@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — name → (spark, sf_dir) -> DataFrame, one per operator
+  (SURVEY.md §2.3).
+``oracle_sql()`` — name → DuckDB SQL equivalent (omitted only for
+  genuinely non-SQL-expressible ops → rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +13,65 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cs422pp_mapreduce_spark.session import apply_runtime_confs
+from cs422pp_mapreduce_spark.oracles import ORACLES
+from cs422pp_mapreduce_spark.operators import relational as R
+from cs422pp_mapreduce_spark.operators.wordcount import wordcount
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _wrap(fn: QueryFn) -> QueryFn:
+    """Ensure engine runtime confs (UTC session tz, AQE, Arrow) hold even
+    on a driver-provided SparkSession."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
+_QUERIES: dict[str, QueryFn] = {
+    "wordcount": wordcount,
+    "scan_project": R.q_scan_project,
+    "filter_pred": R.q_filter_pred,
+    "group_agg": R.q_group_agg,
+    "count_distinct": R.q_count_distinct,
+    "rollup_agg": R.q_rollup_agg,
+    "cube_agg": R.q_cube_agg,
+    "case_expr": R.q_case_expr,
+    "hash_join": R.q_hash_join,
+    "broadcast_join": R.q_broadcast_join,
+    "multi_join_agg": R.q_multi_join_agg,
+    "semi_join": R.q_semi_join,
+    "anti_join": R.q_anti_join,
+    "outer_join": R.q_outer_join,
+    "union_distinct": R.q_union_distinct,
+    "except_op": R.q_except_op,
+    "intersect_op": R.q_intersect_op,
+    "topk": R.q_topk,
+    "window_rank": R.q_window_rank,
+    "window_running": R.q_window_running,
+    "window_lag": R.q_window_lag,
+    "string_funcs": R.q_string_funcs,
+    "date_funcs": R.q_date_funcs,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's own query (word count), sf0.001."""
+    apply_runtime_confs(spark)
+    return wordcount(spark, SMOKE_SF_DIR)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: ORACLES[name] for name in _QUERIES if name in ORACLES}

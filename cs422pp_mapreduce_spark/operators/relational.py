@@ -1,0 +1,345 @@
+"""Relational operator surface (SURVEY.md §2.2/§2.3).
+
+The reference has exactly one hardcoded query; everything here is the
+generalization a real engine needs: scans, projections, filters, hash
+aggregation (partial→final, the generalization of the reference's
+combiner+reduce, /root/reference/thread_pool.cc:90-98,204-230), joins of
+all shapes, set ops, sorts/top-k, window functions, scalar functions.
+
+Everything is expressed declaratively so Catalyst handles pushdown,
+pruning, join planning and AQE. Scale posture per operator:
+
+- scans: projections/filters land in the parquet reader (ReadSchema /
+  PushedFilters) — verified in tests/test_plans.py;
+- big⋈big joins (orders⋈customer, lineitem⋈orders): shuffle hash/sort
+  joins on the key — correct at any scale, AQE handles skew;
+- big⋈small joins (⋈nation/region): explicit ``F.broadcast`` so no
+  shuffle of the big side ever happens;
+- top-k: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+  per-partition heaps + driver merge of k rows, never a global sort;
+- money sums go through ``exact_sum`` (functions/numeric.py) so results
+  are independent of accumulation order, i.e. of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import exact_avg, exact_sum
+from ..sources.catalog import load_table
+
+
+# --- scans / projections / filters ---------------------------------------
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pruning: only 3 columns may reach the scan."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate, pushed to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# --- aggregation ----------------------------------------------------------
+
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-function hash aggregate.
+
+    Catalyst plans partial_* aggregates before the shuffle — the exact
+    generalization of the reference's map-side combiner
+    (thread_pool.cc:90-98): shuffle volume is O(groups), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", 2, "sum_qty"),
+        exact_sum("l_extendedprice", 2, "sum_base_price"),
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "sum_disc_price"
+        ),
+        exact_avg("l_quantity", 2, "avg_qty"),
+        exact_avg("l_extendedprice", 2, "avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark expands to a two-phase
+    distinct-then-count plan; stays O(distinct keys) in the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical totals in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity", 2, "sum_qty"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", 2, "sum_price"),
+    )
+
+
+def q_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, F.lit("small"))
+        .when(F.col("l_quantity") < 30, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("qty_bucket")
+    )
+    return li.select(bucket, "l_extendedprice").groupBy("qty_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_extendedprice", 2, "sum_price"),
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+
+def q_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join of two fact-sized tables: shuffle join on the
+    key. At 100 TB both sides shuffle-partition by o_custkey/c_custkey;
+    AQE picks shuffled-hash vs sort-merge and splits skewed keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension joins with explicit broadcast: the big side never
+    shuffles — the plan must show BroadcastHashJoin (tests assert it)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+def q_multi_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: customer⋈orders⋈lineitem⋈nation + agg
+    (TPC-H Q5 shape). Fact⋈fact legs shuffle on their keys; the nation
+    dimension broadcasts; aggregation is partial→final."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one big order. Only keys
+    cross the shuffle; no row multiplication ever."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers with NULLs,
+    aggregated to orders-per-customer (COUNT(col) skips NULLs)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def q_except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+def q_intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# --- sort / top-k ---------------------------------------------------------
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price; unique-key tiebreak for
+    determinism. Compiles to TakeOrderedAndProject (per-partition heaps
+    + driver merge of k rows) — no global sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- window functions -----------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via rank() — the distributed 'top-N
+    per group' idiom: one shuffle on the partition key, per-partition
+    sort, early filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue (ROWS UNBOUNDED PRECEDING..CURRENT).
+    Decimal-routed so the cumulative sum is accumulation-order exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: gap to the customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    )
+
+
+# --- scalar functions -----------------------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/length/substring/concat — all
+    JVM-side codegen'd expressions."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + aggregation by calendar month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("oyear"),
+            F.month("o_orderdate").cast("long").alias("omonth"),
+            "o_totalprice",
+        )
+        .groupBy("oyear", "omonth")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 2, "month_revenue"),
+        )
+    )

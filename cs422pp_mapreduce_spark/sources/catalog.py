@@ -1,0 +1,163 @@
+"""Table catalog: explicit schemas, loaders, view registration.
+
+The reference's "catalog" was three compile-time C structs
+(/root/reference/thread_pool.h:14-31) plus a chunked text-file reader
+(/root/reference/thread_pool.cc:46-65). Here the catalog is explicit
+``StructType`` schemas for the engine's tables (FIXTURES.md §B) and
+loaders that go through ``spark.read`` so Catalyst gets column pruning
+and predicate pushdown into the parquet scan for free.
+
+Scale notes:
+- Parquet is self-describing; ``load_table`` validates the footer schema
+  against the declared one instead of forcing a cast-on-read.
+- ``read_text_lines`` is the analog of the reference's input split: one
+  DataFrame row per line; split sizing belongs to Spark
+  (``spark.sql.files.maxPartitionBytes``), not to line-exact chunking —
+  chunk layout never affects results (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(TABLE_SCHEMAS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, validate: bool = False
+) -> DataFrame:
+    """Load one catalog table as a DataFrame (parquet scan).
+
+    The scan stays declarative: downstream ``select``/``where`` reach the
+    reader as ReadSchema pruning + PushedFilters (verify with
+    ``plans.explain_str``).
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if validate:
+        expected = {f.name: f.dataType for f in TABLE_SCHEMAS[name].fields}
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        if set(expected) != set(actual):
+            raise ValueError(
+                f"schema drift for {name}: expected cols {sorted(expected)}, "
+                f"got {sorted(actual)}"
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-file source: DataFrame[value: string], one row per line.
+
+    Spark-native form of the reference's chunked input split
+    (/root/reference/thread_pool.cc:46-65): the "chunk" becomes an input
+    split chosen by the scan planner; results are split-invariant.
+    """
+    return spark.read.text(path)
