@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs422pp_mapreduce_spark.session import apply_runtime_confs
 from cs422pp_mapreduce_spark.oracles import ORACLES
+from cs422pp_mapreduce_spark.operators import dedup as D
+from cs422pp_mapreduce_spark.operators import events as EV
 from cs422pp_mapreduce_spark.operators import relational as R
+from cs422pp_mapreduce_spark.operators import similarity as S
+from cs422pp_mapreduce_spark.operators import textops as TX
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -60,6 +64,30 @@ _QUERIES: dict[str, QueryFn] = {
     "window_lag": R.q_window_lag,
     "string_funcs": R.q_string_funcs,
     "date_funcs": R.q_date_funcs,
+    # event-time windows
+    "event_tumbling": EV.q_event_tumbling,
+    "event_sliding": EV.q_event_sliding,
+    "event_session": EV.q_event_session,
+    "event_session_native": EV.q_event_session_native,
+    # text analytics
+    "text_stats": TX.q_text_stats,
+    "lang_id": TX.q_lang_id,
+    "quality_score": TX.q_quality_score,
+    "token_count": TX.q_token_count,
+    "doc_fingerprint": TX.q_doc_fingerprint,
+    # dedup (minhash/simhash are approximate/hash-family-specific →
+    # rows-only check; exact-Jaccard containment asserted in tests)
+    "dedup_exact": D.q_dedup_exact,
+    "dedup_fingerprint": D.q_dedup_fingerprint,
+    "dedup_ngram": D.q_dedup_ngram,
+    "dedup_minhash": D.q_dedup_minhash,
+    "dedup_simhash": D.q_dedup_simhash,
+    # similarity search (ann_lsh is approximate → rows-only; recall vs
+    # the exact baseline asserted in tests)
+    "topk_similarity": S.q_topk_similarity,
+    "ann_lsh": S.q_ann_lsh,
+    "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "embedding_neardup": S.q_embedding_neardup,
 }
 
 

@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1), local[$SPARK_GRAFT_CPUS].
+
+Protocol (BASELINE.md): warm JVM, median of 3 runs per query, full
+execution forced via the noop sink (no driver-side materialization
+cost). Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family (BASELINE.md table).
+HEADLINE = [
+    "wordcount",
+    "group_agg",
+    "hash_join",
+    "multi_join_agg",
+    "window_rank",
+    "event_tumbling",
+    "event_session",
+    "topk",
+    "topk_similarity",
+    "dedup_minhash",
+    "text_stats",
+]
+
+RUNS = 3
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as E
+    from cs422pp_mapreduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # JVM + parquet-footer warmup (not timed)
+    force(qs["group_agg"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queryset_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Deduplication operators over ``documents`` — the core LLM-corpus
+cleaning surface: exact, fingerprint, n-gram Jaccard, MinHash+LSH, and
+SimHash near-dup detection.
+
+All five are pure DataFrame compositions (no Python UDFs): hashing uses
+``xxhash64``/``md5`` (JVM), shingling uses array HOFs, banding/bucketing
+is groupBy/join. Scale posture:
+
+- exact/fingerprint dedup: one hash-shuffle on the key, O(rows);
+- MinHash+LSH: per-doc signature is a scan-side expression; candidate
+  generation joins on (band, band-hash) buckets so the shuffle is
+  O(docs × bands), never O(docs²); exact Jaccard verification runs only
+  on bucket-collision candidates — the textbook way to dedup 100 TB;
+- SimHash: 64-bit signature from token-hash bit votes; candidates join
+  on 16-bit signature chunks (pigeonhole: hamming ≤3 ⇒ some chunk
+  equal), verified by bit_count(xor);
+- the exact all-pairs Jaccard (q_dedup_ngram) is the *oracle-checkable*
+  formulation: the shingle-inverted-index self-join is still bucketed
+  (no cross join), but its worst case is quadratic in docs sharing a
+  shingle — documented as the verification twin, with MinHash+LSH as
+  the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, nonempty_tokens
+from ..sources.catalog import load_table
+
+# MinHash/LSH defaults: 32 hashes in 8 bands of 4 → catches Jaccard
+# ≳0.6 with high probability; per-pair false positives are removed by
+# the exact-Jaccard verify step, so the parameters trade recall only.
+N_MINHASHES = 32
+LSH_BANDS = 8
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles; short docs fall back to the token
+    list itself so every doc has ≥1 shingle."""
+    toks = nonempty_tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(toks))
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the minimum doc_id per identical text. One
+    hash aggregation; the text itself is the shuffle key (at scale
+    you'd pre-hash — that variant is q_dedup_fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 fingerprint of normalized text — the
+    100 TB-friendly variant: the shuffle key is 16 bytes, not the
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- exact n-gram Jaccard (oracle-checkable near-dup) ---------------------
+
+
+def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    return docs.select("doc_id", word_shingles("text", k).alias("shingles"))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for candidate pairs sharing
+    at least one shingle (inverted-index self-join — never a cross
+    join). Returns pairs with Jaccard ≥ 0.5, doc_a < doc_b."""
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jacc = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signature(shingles: Column) -> list[Column]:
+    """N_MINHASHES seeded min-hashes of the shingle set. xxhash64 with
+    a literal seed column is the engine's deterministic hash family."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(N_MINHASHES)
+    ]
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    Pipeline: shingle → 32 min-hashes → 8 band-hashes → explode bands →
+    bucket self-join (only docs agreeing on a full band meet) → distinct
+    candidate pairs → exact Jaccard on the candidates → threshold.
+    Result ⊆ q_dedup_ngram's result (LSH trades recall, never adds
+    false positives past the verify step) — tests assert containment.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    sig = sh.select("doc_id", "shingles", *minhash_signature(F.col("shingles")))
+    rows_per_band = N_MINHASHES // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{band * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jacc = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from per-token hash bit
+    votes; candidates = pairs sharing one of four 16-bit chunks
+    (pigeonhole guarantees recall for hamming ≤ 3); verified with
+    bit_count(xor) ≤ 3. Returns (doc_a, doc_b, hamming)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(nonempty_tokens("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
+    )
+    sig_expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
+    sigs = votes.select("doc_id", sig_expr.alias("sig"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sig", "cc.chunk", "cc.ck")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

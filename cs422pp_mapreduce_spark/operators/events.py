@@ -1,0 +1,112 @@
+"""Event-time window operators over the ``events`` stream table.
+
+The reference is pure batch with a hard map→reduce barrier
+(/root/reference/mapreduce.cc:200); it has no notion of time. These
+operators add the event-time surface a stream-analytics engine needs —
+written against *event-time semantics* (batch DataFrames here), so the
+Structured Streaming variants (streaming/events.py) are the same
+expressions behind ``readStream`` + ``withWatermark``.
+
+Scale notes:
+- tumbling/sliding windows are pure groupBy aggregations: partial→final
+  HashAggregate, shuffle volume O(windows × groups), not O(events);
+- sliding windows multiply input by window/slide (2× here) — Spark's
+  ``window()`` generates assignments JVM-side, no explode in Python;
+- session windows are the one genuinely order-sensitive operator: one
+  shuffle on user_id, per-partition sort by ts, then lag/cumsum — the
+  gaps-and-islands plan. ``F.session_window`` compiles to the same
+  shape; both are provided and agree (tests assert it).
+- value sums are decimal-routed (functions/numeric.py) so results don't
+  depend on accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import exact_sum
+from ..sources.catalog import load_table
+
+
+def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type: count + exact value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-minute inactivity gap — explicit
+    gaps-and-islands formulation (lag → new-session flag → running sum
+    as session id → aggregate). Exactly the oracle's SQL shape, and
+    exactly what ``session_window`` computes underneath."""
+    ev = load_table(spark, sf_dir, "events")
+    by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_ts)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "value", sess_id.alias("sess_id"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .drop("sess_id")
+    )
+
+
+def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions via Spark's built-in ``session_window`` (the form
+    that swaps directly into Structured Streaming). session_window's
+    end is last_event+gap, so session bounds are re-derived as
+    min/max(ts) to match the explicit formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )

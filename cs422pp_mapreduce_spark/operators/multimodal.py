@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video in a training pipeline are opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched pandas functions via
+``mapInPandas`` — the one place Python in the hot path is justified,
+because the work is per-byte media decoding, not relational logic.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio libs): ``decode_image_stub`` is a deterministic fake that
+parses the engine's synthetic header format, and ``decode_image_real``
+raises ``NotImplementedError`` with the intended Pillow call spelled
+out. Everything Spark-side — schema, batch iteration shape, partition
+sizing, UDF signature — is real and tested (tests/test_multimodal.py).
+
+Scale notes:
+- ``mapInPandas`` streams Arrow batches; peak memory is
+  O(batch × avg blob size), controlled by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set it small for
+  fat blobs;
+- metadata-only predicates (width/height/codec) are ordinary columns →
+  pushed down, so decode only runs on surviving rows;
+- derived features (embeddings, thumbnails) come back as ordinary
+  columns feeding the relational/similarity operators above.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Synthetic media blob format for tests: b'IMG0' + u16 width + u16
+# height + u8 channels + payload. Deterministic, dependency-free.
+MAGIC = b"IMG0"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    payload = bytes((media_id * 31 + i) % 251 for i in range(min(width * height, 64)))
+    return MAGIC + struct.pack("<HHB", width, height, channels) + payload
+
+
+def decode_image_stub(blob: bytes) -> tuple[int, int, int] | None:
+    """Deterministic fake decode: parse the synthetic header."""
+    if blob is None or len(blob) < 9 or blob[:4] != MAGIC:
+        return None
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    return w, h, c
+
+
+def decode_image_real(blob: bytes):
+    """Real decode path (not available in this container)."""
+    raise NotImplementedError(
+        "real image decode requires Pillow: Image.open(io.BytesIO(blob)); "
+        "swap into extract_image_meta via decode=decode_image_real"
+    )
+
+
+def extract_image_meta(media: DataFrame, decode=decode_image_stub) -> DataFrame:
+    """Image metadata extraction over Arrow batches (mapInPandas).
+
+    The per-batch loop is the real production shape: iterate pandas
+    batches, run the decode kernel per blob, emit a typed frame. Only
+    the kernel is swappable/stubbed.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m[0] if m else None for m in metas],
+                    "height": [m[1] if m else None for m in metas],
+                    "channels": [m[2] if m else None for m in metas],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["blob"]],
+                    "ok": [m is not None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling shape for video blobs: explode each blob into
+    frame records (stub: payload bytes stand in for frames), keeping
+    every ``every_nth`` frame. Real decoders slot into the same
+    mapInPandas contract."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                meta = decode_image_stub(blob)
+                if meta is None:
+                    continue
+                payload = blob[9:]
+                for i in range(0, len(payload), every_nth):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(payload[i : i + 1])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def media_metadata_filter_then_decode(media: DataFrame, min_bytes: int) -> DataFrame:
+    """The canonical layout: cheap metadata predicate FIRST (codegen'd,
+    pushdown-eligible), expensive Python decode only on survivors."""
+    survivors = media.where(F.length("blob") >= min_bytes)
+    return extract_image_meta(survivors)

@@ -1,0 +1,74 @@
+"""Text-analysis queries over the ``documents`` table.
+
+The training-data-pipeline text surface (lang-id, quality scoring,
+token counting, fingerprinting) built entirely from the JVM-side
+expressions in functions/text.py — no Python in the hot path, so every
+query here is a single codegen'd scan + (optional) aggregation and
+scales linearly with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint_md5,
+    lang_id_expr,
+    nonempty_tokens,
+    quality_score_cols,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..sources.catalog import load_table
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: docs, tokens, chars, avg doc len."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(nonempty_tokens("text")).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID per document (heuristic, n-gram-free
+    deterministic baseline; a fastText-style model would slot in as a
+    pandas UDF without changing the plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return docs.select(
+        "doc_id", *(expr.alias(name) for name, expr in cols.items())
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp"))

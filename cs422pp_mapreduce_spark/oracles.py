@@ -176,4 +176,197 @@ ORACLES: dict[str, str] = {
                {_xsum('o_totalprice', 2)} AS month_revenue
         FROM orders GROUP BY 1, 2
     """,
+    # --- event-time windows ----------------------------------------------
+    "event_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               {_xsum('value', 2)} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "event_sliding": f"""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                   value
+            FROM events
+        )
+        SELECT win_start, COUNT(*) AS n_events,
+               {_xsum('value', 2)} AS sum_value
+        FROM assigned GROUP BY 1
+    """,
+    # Gaps-and-islands sessionization, 30-min inactivity gap, microsecond
+    # precision (same arithmetic as the Spark side: unix_micros / epoch_us).
+    "event_session": f"""
+        WITH l AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM l
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, {_xsum('value', 2)} AS sum_value
+        FROM s GROUP BY user_id, sess_id
+    """,
+    # --- text analytics ---------------------------------------------------
+    "text_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                   AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS DOUBLE)
+                   / COUNT(*) AS avg_tokens_per_doc
+        FROM documents GROUP BY lang
+    """,
+    "lang_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_filter(toks,
+                       x -> x IN ('the','a','of','and','is'))) AS en,
+                   len(list_filter(toks,
+                       x -> x IN ('le','la','et','les','des'))) AS fr,
+                   len(list_filter(toks,
+                       x -> x IN ('der','die','und','das','ist'))) AS de,
+                   len(list_filter(toks,
+                       x -> x IN ('el','los','y','las','una'))) AS es
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                    WHEN en = greatest(en, fr, de, es) THEN 'en'
+                    WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                    WHEN de = greatest(en, fr, de, es) THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM s
+    """,
+    "quality_score": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                        AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+                                              'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_tokens, n_chars,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_tokens AS DOUBLE) END AS nt,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_chars AS DOUBLE) END AS nc,
+                   n_alpha, n_punct, stop_hits
+            FROM base
+        )
+        SELECT doc_id, n_tokens, n_chars,
+               CAST(n_alpha AS DOUBLE) / nt AS avg_token_len,
+               CAST(n_punct AS DOUBLE) / nc AS punct_ratio,
+               CAST(stop_hits AS DOUBLE) / nt AS stopword_ratio,
+               least(nt / 100.0, 1.0) * 0.4
+                 + (CAST(stop_hits AS DOUBLE) / nt) * 0.4
+                 + (1.0 - CAST(n_punct AS DOUBLE) / nc) * 0.2 AS quality_score
+        FROM r
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                                           '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    """,
+    # --- dedup ------------------------------------------------------------
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "dedup_fingerprint": """
+        SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    # --- similarity search ------------------------------------------------
+    "topk_similarity": """
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qvec
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, ROUND(sim, 4) AS sim FROM (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          qvec) AS sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+        ) ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "embedding_neardup_exact": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     4) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])),
+                    4) >= 0.95
+    """,
 }
+
+# session_window-native variant computes the same sessions.
+ORACLES["event_session_native"] = ORACLES["event_session"]
+

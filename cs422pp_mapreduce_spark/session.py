@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the (rare, declared) pandas-UDF operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
+    # converted to a microsecond timestamp in the loader (catalog.py) —
+    # the same ns→us truncation DuckDB applies.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

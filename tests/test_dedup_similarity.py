@@ -1,0 +1,138 @@
+"""Dedup + similarity semantics: LSH candidates never add false
+positives past verification (⊆ exact), recall is sane, signatures are
+deterministic; brute-force cosine agrees with NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cs422pp_mapreduce_spark.operators import dedup as D
+from cs422pp_mapreduce_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def ngram_pairs(spark, sf_dir):
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.q_dedup_ngram(spark, sf_dir).collect()
+    }
+
+
+def test_minhash_subset_of_exact(spark, sf_dir, ngram_pairs):
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.q_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert set(mh) <= set(ngram_pairs)
+    for pair, j in mh.items():
+        assert j == pytest.approx(ngram_pairs[pair])
+
+
+def test_minhash_recall_reasonable(spark, sf_dir, ngram_pairs):
+    # 32 hashes / 8 bands: collision prob at j=0.6 is ~1-(1-0.6^4)^8≈0.7;
+    # high-j pairs are near-certain. Require ≥60% overall on this corpus.
+    if not ngram_pairs:
+        pytest.skip("no near-dup pairs at this sf")
+    mh = {
+        (r["doc_a"], r["doc_b"]) for r in D.q_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert len(mh) / len(ngram_pairs) >= 0.6
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, D.q_dedup_minhash(spark, sf_dir).collect()))
+    b = sorted(map(tuple, D.q_dedup_minhash(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_simhash_pairs_verified_by_python(spark, sf_dir):
+    # Independent check of hamming distances via brute force on sigs.
+    pairs = D.q_dedup_simhash(spark, sf_dir).collect()
+    for r in pairs:
+        assert 0 <= r["hamming"] <= D.SIMHASH_MAX_HAMMING
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
+    rows = D.q_dedup_exact(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) <= n_docs
+    assert all(r["doc_id"] is not None for r in rows)
+
+
+def test_brute_cosine_matches_numpy(spark, sf_dir):
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    q = emb[S.QUERY_VEC_ID]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in emb.items()
+        if vid != S.QUERY_VEC_ID
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[: S.TOP_K]
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in S.q_topk_similarity(spark, sf_dir).collect()
+    ]
+    assert [v for v, _ in got] == [v for v, _ in expected]
+    for (_, s_got), (_, s_exp) in zip(got, expected):
+        assert s_got == pytest.approx(s_exp, abs=1e-4)
+
+
+def test_ann_is_exact_within_probed_buckets(spark, sf_dir):
+    # The operator's contract: ANN result == brute-force top-k
+    # restricted to the probed buckets (its recall on *uniform random*
+    # embeddings like this table is data-limited by design; the planted
+    # near-neighbor test below covers the real ANN use case).
+    import pyspark.sql.functions as F
+
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    planes = S.hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        S._as_double("embedding").alias("vec"),
+        S.lsh_bucket(S._as_double("embedding"), planes).alias("bucket"),
+    ).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in bucketed}
+    qb = buckets[S.QUERY_VEC_ID]
+    probed = {qb} | {qb ^ (1 << i) for i in range(len(planes))}
+
+    vecs = {r["vec_id"]: np.array(r["vec"]) for r in bucketed}
+    q = vecs[S.QUERY_VEC_ID]
+    in_probe = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != S.QUERY_VEC_ID and buckets[vid] in probed
+    }
+    expected = [
+        v for v, _ in sorted(in_probe.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][: S.TOP_K]
+    got = [r["vec_id"] for r in S.q_ann_lsh(spark, sf_dir).collect()]
+    assert got == expected
+
+
+def test_ann_high_recall_on_planted_neighbors(spark, tmp_path):
+    # Real ANN workload: a cluster of genuine near-duplicates
+    # (cos ≈ 0.99) around the query must be found with high recall.
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(S.EMBED_DIM)
+    rows = []
+    for i in range(10):  # planted neighbors: vec_id 0 (query) .. 9
+        rows.append((i, (base + 0.05 * rng.standard_normal(S.EMBED_DIM))
+                     .astype(np.float32).tolist(), 0))
+    for i in range(10, 300):  # uniform background
+        rows.append((i, rng.standard_normal(S.EMBED_DIM)
+                     .astype(np.float32).tolist(), 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted")
+    df.write.parquet(f"{d}/embeddings.parquet")
+    got = [r["vec_id"] for r in S.q_ann_lsh(spark, d).collect()]
+    planted = set(range(1, 10))
+    assert len(set(got) & planted) >= 8  # ≥8 of 9 planted neighbors found

@@ -92,9 +92,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed, rows_only = [], []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t1 = time.time()
@@ -111,7 +113,7 @@ def main() -> int:
         if problems:
             failed.append(name)
 
-    print(f"\n{len(qs) - len(failed) - len(rows_only)} OK, "
+    print(f"\n{n_run - len(failed) - len(rows_only)} OK, "
           f"{len(failed)} FAIL, {len(rows_only)} rows-only")
     if failed:
         print("FAILED:", ", ".join(failed))
