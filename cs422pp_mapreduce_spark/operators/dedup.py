@@ -25,8 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint_md5, nonempty_tokens
+from ..session import default_parallelism
 from ..sources.catalog import load_table
 
 # MinHash/LSH defaults: 32 hashes in 8 bands of 4 → catches Jaccard
@@ -79,14 +81,27 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    return docs.select("doc_id", word_shingles("text", k).alias("shingles"))
+    """Shingle table, redistributed before the CPU-heavy shingling.
+
+    The scan's partitioning follows file layout (possibly one unsplittable
+    row group); hashing/shingling cost is per-row CPU, so an explicit
+    repartition on doc_id buys full-core parallelism for one cheap
+    shuffle of raw text — the standard move whenever input layout is
+    coarser than compute wants. Results are partitioning-invariant.
+    """
+    return docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", word_shingles("text", k).alias("shingles")
+    )
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs sharing
     at least one shingle (inverted-index self-join — never a cross
     join). Returns pairs with Jaccard ≥ 0.5, doc_a < doc_b."""
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # referenced by inv + both size joins; at cluster scale this is
+    # the materialized shingle table you'd checkpoint
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = inv.alias("a")
@@ -119,15 +134,25 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH --------------------------------------------------------
 
 
-def minhash_signature(shingles: Column) -> list[Column]:
-    """N_MINHASHES seeded min-hashes of the shingle set. xxhash64 with
-    a literal seed column is the engine's deterministic hash family."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh_{i}")
-        for i in range(N_MINHASHES)
-    ]
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_N) signature table from a (doc_id, shingles)
+    frame, via explode → per-shingle seeded hashes → groupBy-min.
+
+    Deliberately NOT 32 per-row ``transform(shingles, xxhash64)`` array
+    traversals: that shape generates pathologically large whole-stage
+    codegen (Janino compile time dominated the runtime 50×+ in
+    profiling). Explode + flat hash columns + min-aggregate is the
+    codegen-friendly formulation, and the partial→final min aggregation
+    keeps shuffle volume at one 32-long row per doc."""
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select(
+        "doc_id",
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h_{i}") for i in range(N_MINHASHES)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(N_MINHASHES)]
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,28 +165,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     false positives past the verify step) — tests assert containment.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    sig = sh.select("doc_id", "shingles", *minhash_signature(F.col("shingles")))
+    sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ referenced by the signature pipeline and both verify joins:
+    # persist so shingling runs once — the cluster-scale analog is
+    # materializing the shingle/signature table once and joining it.
+    sig = minhash_signatures(sh)
     rows_per_band = N_MINHASHES // LSH_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{band * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for band in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"mh_{band * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for band in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # ^ tiny (docs × bands rows); persisted so the 32-hash signature
+        # computation isn't re-run for each side of the self-join.
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -200,9 +234,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole guarantees recall for hamming ≤ 3); verified with
     bit_count(xor) ≤ 3. Returns (doc_a, doc_b, hamming)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(nonempty_tokens("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = (
+        docs.repartition(default_parallelism(), "doc_id")
+        .select("doc_id", F.explode(nonempty_tokens("text")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
