@@ -15,10 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs422pp_mapreduce_spark.session import apply_runtime_confs
 from cs422pp_mapreduce_spark.oracles import ORACLES
+from cs422pp_mapreduce_spark.operators import asof as AJ
 from cs422pp_mapreduce_spark.operators import dedup as D
 from cs422pp_mapreduce_spark.operators import events as EV
 from cs422pp_mapreduce_spark.operators import relational as R
 from cs422pp_mapreduce_spark.operators import similarity as S
+from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 from cs422pp_mapreduce_spark.operators import textops as TX
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
 
@@ -64,6 +66,19 @@ _QUERIES: dict[str, QueryFn] = {
     "window_lag": R.q_window_lag,
     "string_funcs": R.q_string_funcs,
     "date_funcs": R.q_date_funcs,
+    "math_funcs": R.q_math_funcs,
+    "json_funcs": R.q_json_funcs,
+    "stats_agg": R.q_stats_agg,
+    "percentile_agg": R.q_percentile_agg,
+    # SQL surface (spark.sql over registered views)
+    "grouping_sets": SQ.q_grouping_sets,
+    "sql_subquery": SQ.q_sql_subquery,
+    "sql_cte_topnation": SQ.q_sql_cte_topnation,
+    "event_rollup": SQ.q_event_rollup,
+    "pivot_status": SQ.q_pivot_status,
+    # time-series joins
+    "asof_join": AJ.q_asof_join,
+    "range_join": AJ.q_range_join,
     # event-time windows
     "event_tumbling": EV.q_event_tumbling,
     "event_sliding": EV.q_event_sliding,

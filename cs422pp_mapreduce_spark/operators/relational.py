@@ -328,6 +328,77 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: sqrt/ln/power/abs/ceil/floor/round — all
+    single-pass codegen'd projections, bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # ln rounded to 6: JVM Math.log vs libm differ in the last ulp
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_cents_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7_floor"),
+        # truncate, don't round: round-half modes differ across engines
+        # on exact .xx5 quotients
+        (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+         / F.lit(100.0)).alias("unit_price_t2"),
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props blob + aggregation —
+    get_json_object stays JVM-side (Jackson), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via explicit moment sums (decimal-routed), not
+    the engines' streaming variance kernels — the only formulation
+    whose result is independent of accumulation order and therefore
+    of partitioning. (Welford-merge results differ run-to-run on a
+    cluster; these don't.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    s2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,4)")
+    ).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n_rows"),
+        mean.alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90). Exact
+    percentile is a sort-based aggregate — fine per-group; at 100 TB
+    scale the approx_percentile sketch is the mergeable alternative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date part extraction + aggregation by calendar month."""
     orders = load_table(spark, sf_dir, "orders")

@@ -176,6 +176,128 @@ ORACLES: dict[str, str] = {
                {_xsum('o_totalprice', 2)} AS month_revenue
         FROM orders GROUP BY 1, 2
     """,
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               sqrt(l_quantity) AS qty_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               power(l_discount, 2) AS disc_sq,
+               CAST(ceil(l_tax * 100) AS BIGINT) AS tax_cents_ceil,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7_floor,
+               floor(l_extendedprice / l_quantity * 100) / 100.0
+                   AS unit_price_t2
+        FROM lineitem
+    """,
+    "json_funcs": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "stats_agg": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+                        AS DOUBLE) AS s2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               s1 / n AS mean_qty,
+               (s2 - s1 * s1 / n) / (n - 1.0) AS var_qty,
+               sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_qty
+        FROM m
+    """,
+    "percentile_agg": """
+        SELECT l_linestatus,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    # --- SQL surface --------------------------------------------------------
+    "grouping_sets": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_rows,
+               {_xsum('l_quantity', 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """,
+    "sql_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+                SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) / COUNT(*)
+                FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    "sql_cte_topnation": """
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue,
+               revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER ()
+                              AS DOUBLE) AS revenue_share
+        FROM rev
+    """,
+    "event_rollup": """
+        SELECT date_trunc('hour', ts) AS bucket_hour,
+               date_trunc('day', ts)  AS bucket_day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS
+            ((date_trunc('hour', ts), event_type),
+             (date_trunc('day', ts), event_type))
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS n_F,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS n_O,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS n_P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    # --- time-series joins --------------------------------------------------
+    "asof_join": """
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_order_key,
+               o.o_orderdate AS last_order_date
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    "range_join": """
+        SELECT a.event_id AS anchor_id,
+               COUNT(*) AS n_followups,
+               MIN(b.event_id) AS first_other_id,
+               MAX(b.event_id) AS last_other_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts
+         AND b.ts < a.ts + INTERVAL 30 MINUTE
+         AND b.event_id <> a.event_id
+        GROUP BY a.event_id
+    """,
     # --- event-time windows ----------------------------------------------
     "event_tumbling": f"""
         SELECT date_trunc('hour', ts) AS win_start, event_type,

