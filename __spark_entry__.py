@@ -70,6 +70,7 @@ _QUERIES: dict[str, QueryFn] = {
     "json_funcs": R.q_json_funcs,
     "stats_agg": R.q_stats_agg,
     "percentile_agg": R.q_percentile_agg,
+    "approx_agg": R.q_approx_agg,  # sketches → rows-only check
     # SQL surface (spark.sql over registered views)
     "grouping_sets": SQ.q_grouping_sets,
     "sql_subquery": SQ.q_sql_subquery,

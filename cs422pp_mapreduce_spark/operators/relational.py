@@ -387,6 +387,22 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the mergeable, bounded-memory forms that
+    replace exact distinct/percentile at 100 TB: HyperLogLog++ distinct
+    counts and quantile sketches. Approximate ⇒ rows-only driver check;
+    the test asserts HLL error vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median + p90). Exact
     percentile is a sort-based aggregate — fine per-group; at 100 TB

@@ -21,9 +21,11 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
+    """Number of exchange (shuffle) operators in the physical plan.
+    Counts Exchange nodes (formatted mode lists them as numbered node
+    names); BroadcastExchange is excluded — broadcasts are the point."""
     plan = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobin", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
