@@ -28,9 +28,15 @@ HEADLINE = [
     "window_rank",
     "event_tumbling",
     "event_session",
+    "event_rollup",
     "topk",
+    "json_funcs",
+    "asof_join",
+    "range_join",
     "topk_similarity",
+    "ann_lsh",
     "dedup_minhash",
+    "dedup_ngram",
     "text_stats",
 ]
 
