@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from cs422pp_mapreduce_spark.session import apply_runtime_confs
 from cs422pp_mapreduce_spark.oracles import ORACLES
 from cs422pp_mapreduce_spark.operators import asof as AJ
+from cs422pp_mapreduce_spark.operators import corpus as CP
+from cs422pp_mapreduce_spark.operators import tpch as TQ
 from cs422pp_mapreduce_spark.operators import dedup as D
 from cs422pp_mapreduce_spark.operators import events as EV
 from cs422pp_mapreduce_spark.operators import relational as R
@@ -64,6 +66,11 @@ _QUERIES: dict[str, QueryFn] = {
     "window_rank": R.q_window_rank,
     "window_running": R.q_window_running,
     "window_lag": R.q_window_lag,
+    "window_misc": R.q_window_misc,
+    "union_all": R.q_union_all,
+    "null_handling": R.q_null_handling,
+    "string_funcs2": R.q_string_funcs2,
+    "date_funcs2": R.q_date_funcs2,
     "string_funcs": R.q_string_funcs,
     "date_funcs": R.q_date_funcs,
     "math_funcs": R.q_math_funcs,
@@ -77,9 +84,16 @@ _QUERIES: dict[str, QueryFn] = {
     "sql_cte_topnation": SQ.q_sql_cte_topnation,
     "event_rollup": SQ.q_event_rollup,
     "pivot_status": SQ.q_pivot_status,
+    # TPC-H shapes
+    "tpch_q3": TQ.q_tpch_q3,
+    "tpch_q5": TQ.q_tpch_q5,
+    "tpch_q6": TQ.q_tpch_q6,
+    "tpch_q10": TQ.q_tpch_q10,
     # time-series joins
     "asof_join": AJ.q_asof_join,
     "range_join": AJ.q_range_join,
+    # corpus pipeline (quality→lang→dedup→tokens, one plan)
+    "corpus_prep": CP.q_corpus_prep,
     # event-time windows
     "event_tumbling": EV.q_event_tumbling,
     "event_sliding": EV.q_event_sliding,
@@ -102,6 +116,7 @@ _QUERIES: dict[str, QueryFn] = {
     # the exact baseline asserted in tests)
     "topk_similarity": S.q_topk_similarity,
     "ann_lsh": S.q_ann_lsh,
+    "ann_ivf": S.q_ann_ivf,  # k-means IVF → rows-only check
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
     "embedding_neardup": S.q_embedding_neardup,
 }

@@ -1,0 +1,68 @@
+"""End-to-end training-corpus preparation — the composition the whole
+text surface exists for: quality-filter → language-filter → dedup →
+token accounting, as ONE declarative plan.
+
+This is the flagship "LLM data pipeline" query: at 100 TB this exact
+plan shape (cheap codegen'd filters first, hash-dedup on a 16-byte
+fingerprint, aggregation last) is how corpus prep actually runs; every
+stage here pushes work before the single shuffle (dedup) and the plan
+contains no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint_md5,
+    lang_id_expr,
+    quality_score_cols,
+    token_count_bpe,
+)
+from ..sources.catalog import load_table
+
+MIN_QUALITY = 0.5
+KEEP_LANGS = ("en", "und")
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-document ledger: docs passing quality + language gates,
+    deduplicated by normalized-text fingerprint (min doc_id wins),
+    with BPE-ish token counts — the columns a downstream tokenizer
+    shard-writer needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols("text")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        q["quality_score"].alias("quality_score"),
+        lang_id_expr("text").alias("lang_pred"),
+    ).where(
+        (F.col("quality_score") >= MIN_QUALITY)
+        & F.col("lang_pred").isin(*KEEP_LANGS)
+    )
+    deduped = (
+        gated.select(
+            "doc_id",
+            "text",
+            "quality_score",
+            "lang_pred",
+            fingerprint_md5("text").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("quality_score").alias("quality_score"),
+            F.first("lang_pred").alias("lang_pred"),
+            F.first("text").alias("text"),
+        )
+    )
+    return deduped.select(
+        "doc_id",
+        "n_copies",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        token_count_bpe("text").alias("n_tokens"),
+    )

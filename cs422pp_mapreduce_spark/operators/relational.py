@@ -312,6 +312,51 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking/analytic window functions: row_number,
+    dense_rank, ntile, first/last value over a running frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("latest_price"),
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle) + provenance tag."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return c.unionAll(s)
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics surface: coalesce/nullif/nvl2-style over an outer
+    join that genuinely produces NULLs."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000
+    )
+    j = customer.join(big, customer.c_custkey == big.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("best_big_order"),
+        F.count("o_orderkey").alias("n_big_orders"),
+        F.nullif(F.count("o_orderkey"), F.lit(0)).alias("n_or_null"),
+    )
+
+
 # --- scalar functions -----------------------------------------------------
 
 
@@ -412,6 +457,37 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: regexp_extract, pad, replace, split_part,
+    reverse, position."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.replace("p_type", F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "a").cast("long").alias("first_a_pos"),
+    )
+
+
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date surface: quarter, day, date_diff vs epoch, month
+    truncation, interval arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("oquarter"),
+        F.dayofmonth("o_orderdate").cast("long").alias("oday"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_trunc("month", "o_orderdate").alias("omonth_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
     )
 
 

@@ -147,6 +147,65 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16       # coarse centroids
+IVF_NPROBE = 4   # centroids searched per query
+IVF_SEED = 42
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (inverted-file) search: a k-means
+    coarse quantizer (MLlib, fixed seed) partitions vectors into K
+    cells; the query probes its NPROBE nearest centroids and exact
+    cosine re-ranks only those cells' vectors.
+
+    Scale shape: the cell assignment is a one-off batch job (here
+    inline); search is an equi-join on cell id touching ~NPROBE/K of
+    the data. Centroids live on the driver (K×dim floats — tiny) —
+    the standard IVF-flat layout. Approximate ⇒ rows-only check;
+    recall asserted in tests on planted neighbors."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("arr"),
+        array_to_vector(_as_double("embedding")).alias("features"),
+    )
+    km = KMeans(k=IVF_K, seed=IVF_SEED, maxIter=5, featuresCol="features",
+                predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "arr", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    qrow = vecs.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("arr").alias("qvec")
+    )
+    # driver-side probe selection is O(K): rank centroids by distance
+    # to the query's centroid-space representation via a tiny collect
+    import numpy as _np
+
+    q = _np.array(
+        qrow.collect()[0]["qvec"]
+    )  # 1×dim: bounded, not data-sized
+    dists = [
+        float(_np.linalg.norm(q - _np.array(c))) for c in centroids
+    ]
+    probe_cells = sorted(range(IVF_K), key=lambda i: dists[i])[:IVF_NPROBE]
+
+    sim = cosine(F.col("arr"), F.col("qvec"))
+    return (
+        assigned.where(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (round(cos,4) ≥ 0.95)
     via all-pairs self-join — the oracle-checkable baseline twin of

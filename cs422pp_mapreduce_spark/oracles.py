@@ -221,6 +221,107 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_linestatus
     """,
+    "window_misc": """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               DENSE_RANK() OVER w AS drk,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+               LAST_VALUE(o_totalprice) OVER wf AS latest_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "union_all": """
+        SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    """,
+    "null_handling": """
+        SELECT c_custkey,
+               coalesce(MAX(o_totalprice), 0.0) AS best_big_order,
+               COUNT(o_orderkey) AS n_big_orders,
+               nullif(COUNT(o_orderkey), 0) AS n_or_null
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+               ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "string_funcs2": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([0-9]+)', 1) AS name_digits,
+               lpad(p_brand, 12, '_') AS brand_padded,
+               replace(p_type, ' ', '-') AS type_dashed,
+               split_part(p_type, ' ', 1) AS type_first_word,
+               reverse(p_brand) AS brand_rev,
+               CAST(instr(p_name, 'a') AS BIGINT) AS first_a_pos
+        FROM part
+    """,
+    "date_funcs2": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS oquarter,
+               CAST(day(o_orderdate) AS BIGINT) AS oday,
+               CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+                    AS BIGINT) AS days_since_epoch_start,
+               date_trunc('month', o_orderdate) AS omonth_start,
+               o_orderdate + INTERVAL 90 DAY AS due_date
+        FROM orders
+    """,
+    # --- TPC-H shapes -------------------------------------------------------
+    "tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1999-03-15'
+          AND l_shipdate  > DATE '1999-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5": f"""
+        SELECT n_name,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1998-01-01'
+          AND o_orderdate <  DATE '2000-01-01'
+        GROUP BY n_name
+    """,
+    "tpch_q6": f"""
+        SELECT {_xsum('l_extendedprice * l_discount', 4)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1999-01-01'
+          AND l_shipdate <  DATE '2000-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q10": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1999-10-01'
+          AND o_orderdate <  DATE '2000-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
     # --- SQL surface --------------------------------------------------------
     "grouping_sets": f"""
         SELECT l_returnflag, l_linestatus,
@@ -461,6 +562,97 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    "corpus_prep": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+                                              'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, text,
+                   least(CASE WHEN n_tokens > 0
+                              THEN CAST(n_tokens AS DOUBLE) END / 100.0, 1.0)
+                       * 0.4
+                   + (CAST(stop_hits AS DOUBLE)
+                      / CASE WHEN n_tokens > 0
+                             THEN CAST(n_tokens AS DOUBLE) END) * 0.4
+                   + (1.0 - CAST(n_punct AS DOUBLE)
+                      / CASE WHEN n_chars > 0
+                             THEN CAST(n_chars AS DOUBLE) END) * 0.2
+                       AS quality_score,
+                   CASE WHEN greatest(
+                            len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is'))),
+                            len(list_filter(toks,
+                                x -> x IN ('le','la','et','les','des'))),
+                            len(list_filter(toks,
+                                x -> x IN ('der','die','und','das','ist'))),
+                            len(list_filter(toks,
+                                x -> x IN ('el','los','y','las','una')))) = 0
+                        THEN 'und'
+                        WHEN len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is'))) =
+                             greatest(
+                            len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is'))),
+                            len(list_filter(toks,
+                                x -> x IN ('le','la','et','les','des'))),
+                            len(list_filter(toks,
+                                x -> x IN ('der','die','und','das','ist'))),
+                            len(list_filter(toks,
+                                x -> x IN ('el','los','y','las','una'))))
+                        THEN 'en'
+                        WHEN len(list_filter(toks,
+                                x -> x IN ('le','la','et','les','des'))) =
+                             greatest(
+                            len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is'))),
+                            len(list_filter(toks,
+                                x -> x IN ('le','la','et','les','des'))),
+                            len(list_filter(toks,
+                                x -> x IN ('der','die','und','das','ist'))),
+                            len(list_filter(toks,
+                                x -> x IN ('el','los','y','las','una'))))
+                        THEN 'fr'
+                        WHEN len(list_filter(toks,
+                                x -> x IN ('der','die','und','das','ist'))) =
+                             greatest(
+                            len(list_filter(toks,
+                                x -> x IN ('the','a','of','and','is'))),
+                            len(list_filter(toks,
+                                x -> x IN ('le','la','et','les','des'))),
+                            len(list_filter(toks,
+                                x -> x IN ('der','die','und','das','ist'))),
+                            len(list_filter(toks,
+                                x -> x IN ('el','los','y','las','una'))))
+                        THEN 'de'
+                        ELSE 'es' END AS lang_pred
+            FROM base
+        ), gated AS (
+            SELECT * FROM scored
+            WHERE quality_score >= 0.5 AND lang_pred IN ('en', 'und')
+        ), dedup AS (
+            SELECT md5(lower(trim(text))) AS fp,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies,
+                   MIN(text) AS text,
+                   MIN(quality_score) AS quality_score,
+                   MIN(lang_pred) AS lang_pred
+            FROM gated GROUP BY 1
+        )
+        SELECT doc_id, n_copies, lang_pred,
+               round(quality_score, 6) AS quality_score,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+        FROM dedup
     """,
     # --- similarity search ------------------------------------------------
     "topk_similarity": """

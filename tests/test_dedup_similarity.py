@@ -116,6 +116,14 @@ def test_ann_is_exact_within_probed_buckets(spark, sf_dir):
     assert got == expected
 
 
+def test_ann_ivf_runs_and_is_ordered(spark, sf_dir):
+    rows = S.q_ann_ivf(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= S.TOP_K
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != S.QUERY_VEC_ID for r in rows)
+
+
 def test_ann_high_recall_on_planted_neighbors(spark, tmp_path):
     # Real ANN workload: a cluster of genuine near-duplicates
     # (cos ≈ 0.99) around the query must be found with high recall.
@@ -133,6 +141,8 @@ def test_ann_high_recall_on_planted_neighbors(spark, tmp_path):
     )
     d = str(tmp_path / "planted")
     df.write.parquet(f"{d}/embeddings.parquet")
-    got = [r["vec_id"] for r in S.q_ann_lsh(spark, d).collect()]
     planted = set(range(1, 10))
-    assert len(set(got) & planted) >= 8  # ≥8 of 9 planted neighbors found
+    got_lsh = [r["vec_id"] for r in S.q_ann_lsh(spark, d).collect()]
+    assert len(set(got_lsh) & planted) >= 8  # ≥8 of 9 planted found
+    got_ivf = [r["vec_id"] for r in S.q_ann_ivf(spark, d).collect()]
+    assert len(set(got_ivf) & planted) >= 8  # IVF: same bar
