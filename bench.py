@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_ngram",
     "text_stats",
+    "tpch_q3",
+    "corpus_prep",
 ]
 
 RUNS = 3

@@ -61,6 +61,37 @@ def stream_dir(spark, sf_dir):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_sessions_equal_batch(spark, sf_dir, stream_dir):
+    import datetime
+
+    from cs422pp_mapreduce_spark.streaming.events import stream_session_windows
+
+    stream = read_event_stream(spark, stream_dir)
+    run_stream_to_memory(
+        stream_session_windows(stream, gap="30 minutes", watermark="2 hours"),
+        "t_stream_sessions",
+        mode="append",
+    )
+    got = _key(
+        spark.table("t_stream_sessions").collect(),
+        ["user_id", "session_start", "n_events"],
+    )
+    max_ts = load_table(spark, sf_dir, "events").agg({"ts": "max"}).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    # append mode emits sessions whose window end (last event + gap)
+    # cleared the watermark
+    batch = _key(
+        [
+            r
+            for r in EV.q_event_session_native(spark, sf_dir).collect()
+            if r["session_end"] + datetime.timedelta(minutes=30) <= horizon
+        ],
+        ["user_id", "session_start", "n_events"],
+    )
+    assert got == batch
+    assert len(got) > 0
+
+
 def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir):
     import datetime
 

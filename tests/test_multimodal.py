@@ -50,3 +50,58 @@ def test_sample_frames_shape(spark, media_df):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"anything")
+
+
+def test_media_to_embedding_to_similarity(spark):
+    """The full multimodal story: blob → (stub) feature extraction →
+    embedding column → the engine's similarity operators. The feature
+    extractor is a deterministic fake; the plumbing (mapInPandas,
+    array<float> column, cosine ranking) is the real production path."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cs422pp_mapreduce_spark.operators.similarity import cosine
+
+    rows = [(i, encode_fake_image(i, 16 + i, 16), "image/fake") for i in range(20)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def embed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for blob in pdf["blob"]:
+                rng = np.random.default_rng(len(blob))  # deterministic fake
+                out.append(rng.standard_normal(8).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": out})
+
+    embedded = media.mapInPandas(embed, schema=emb_schema)
+    q = embedded.where(F.col("media_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    ranked = (
+        embedded.where(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            cosine(
+                F.col("embedding").cast("array<double>"), F.col("qvec")
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "media_id")
+        .limit(5)
+        .collect()
+    )
+    assert len(ranked) == 5
+    sims = [r["sim"] for r in ranked]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
