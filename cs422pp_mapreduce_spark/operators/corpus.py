@@ -20,6 +20,7 @@ from ..functions.text import (
     quality_score_cols,
     token_count_bpe,
 )
+from ..session import default_parallelism
 from ..sources.catalog import load_table
 
 MIN_QUALITY = 0.5
@@ -31,7 +32,11 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated by normalized-text fingerprint (min doc_id wins),
     with BPE-ish token counts — the columns a downstream tokenizer
     shard-writer needs."""
-    docs = load_table(spark, sf_dir, "documents")
+    # redistribute before the CPU-heavy scoring expressions: the scan's
+    # single row group would otherwise serialize all regex/list work
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), "doc_id"
+    )
     q = quality_score_cols("text")
     gated = docs.select(
         "doc_id",

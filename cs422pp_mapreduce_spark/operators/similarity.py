@@ -164,7 +164,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard IVF-flat layout. Approximate ⇒ rows-only check;
     recall asserted in tests on planted neighbors."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(

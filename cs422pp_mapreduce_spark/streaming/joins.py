@@ -1,0 +1,49 @@
+"""Stream-stream interval join with watermarked state.
+
+The streaming twin of operators/asof.py's range join: match each
+`left` event with `right` events of the same key within a bounded
+time interval. The interval bound + watermarks are what make the join
+state finite — Spark evicts buffered rows once the watermark passes
+their latest possible match, so state is O(events within the interval
+window), not O(stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Pairs (left, right) with equal ``key`` and
+    ``left.ts <= right.ts < left.ts + gap``. Both inputs must carry
+    ``ts`` and an ``event_id``; output keeps both ids and timestamps."""
+    lt = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("k"),
+            F.col("ts").alias("lts"),
+            F.col("event_id").alias("left_id"),
+        )
+    )
+    rt = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("rk"),
+            F.col("ts").alias("rts"),
+            F.col("event_id").alias("right_id"),
+        )
+    )
+    return lt.join(
+        rt,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") < F.col("lts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+        "inner",
+    ).select("k", "left_id", "right_id", "lts", "rts")

@@ -87,8 +87,6 @@ def test_ann_is_exact_within_probed_buckets(spark, sf_dir):
     # restricted to the probed buckets (its recall on *uniform random*
     # embeddings like this table is data-limited by design; the planted
     # near-neighbor test below covers the real ANN use case).
-    import pyspark.sql.functions as F
-
     from cs422pp_mapreduce_spark.sources.catalog import load_table
 
     planes = S.hyperplanes()

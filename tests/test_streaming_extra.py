@@ -1,0 +1,96 @@
+"""Streaming word count (the reference's query, incremental) and
+stream-stream interval join vs their batch twins."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cs422pp_mapreduce_spark.operators.wordcount import wordcount_df
+from cs422pp_mapreduce_spark.sources.catalog import load_table
+from cs422pp_mapreduce_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+)
+from cs422pp_mapreduce_spark.streaming.joins import interval_join
+from cs422pp_mapreduce_spark.streaming.wordcount import (
+    read_text_stream,
+    stream_wordcount,
+)
+
+
+def test_stream_wordcount_equals_batch(spark, tmp_path):
+    d = str(tmp_path / "txt")
+    import os
+
+    os.makedirs(d)
+    chunks = ["the fox ran\nthe dog slept\n", "a fox a dog\nthe end\n"]
+    for i, chunk in enumerate(chunks):
+        with open(f"{d}/part{i}.txt", "w") as f:
+            f.write(chunk)
+    counts = stream_wordcount(read_text_stream(spark, d))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_stream_wc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["word"]: r["cnt"] for r in spark.table("t_stream_wc").collect()
+    }
+    batch_lines = spark.createDataFrame(
+        [(l,) for c in chunks for l in c.splitlines()], "value string"
+    )
+    want = {r["word"]: r["cnt"] for r in wordcount_df(batch_lines).collect()}
+    assert got == want
+
+
+@pytest.fixture()
+def event_stream_dir(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "ev")
+    ev = load_table(spark, sf_dir, "events")
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(d)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, event_stream_dir):
+    clicks = read_event_stream(spark, event_stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, event_stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(clicks, purchases, key="user_id", gap_minutes=30)
+    run_stream_to_memory(joined, "t_ssj", mode="append")
+    got = {
+        (r["left_id"], r["right_id"]) for r in spark.table("t_ssj").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("lts"),
+        F.col("event_id").alias("left_id"),
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("rk"), F.col("ts").alias("rts"),
+        F.col("event_id").alias("right_id"),
+    )
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in c.join(
+            p,
+            (F.col("k") == F.col("rk"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    # stream-stream inner join emits matches whose watermark window
+    # closed; with availableNow over finite input all matches except
+    # possibly those near the stream end are emitted — require subset +
+    # high coverage, and nothing spurious
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 from cs422pp_mapreduce_spark.functions.text import (
     fingerprint_md5,
     lang_id_expr,
