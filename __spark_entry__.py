@@ -68,6 +68,7 @@ _QUERIES: dict[str, QueryFn] = {
     "window_lag": R.q_window_lag,
     "window_misc": R.q_window_misc,
     "union_all": R.q_union_all,
+    "collect_agg": R.q_collect_agg,
     "null_handling": R.q_null_handling,
     "string_funcs2": R.q_string_funcs2,
     "date_funcs2": R.q_date_funcs2,

@@ -460,6 +460,25 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate: per-nation roster of suppliers as a
+    sorted, comma-joined string (sorted ⇒ deterministic under any
+    partitioning; collect_list alone is NOT — order reflects arrival)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("s_name")), ","
+            ).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
 def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended string surface: regexp_extract, pad, replace, split_part,
     reverse, position."""

@@ -250,6 +250,13 @@ ORACLES: dict[str, str] = {
                ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
+    "collect_agg": """
+        SELECT n_name,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+               COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "string_funcs2": """
         SELECT p_partkey,
                regexp_extract(p_name, '([0-9]+)', 1) AS name_digits,
