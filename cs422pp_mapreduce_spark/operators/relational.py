@@ -290,7 +290,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        "o_orderdate",
+        # normalize NTZ → TIMESTAMP (same instant under the UTC session)
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
         .cast("double")
@@ -506,7 +507,9 @@ def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_epoch_start"),
         F.date_trunc("month", "o_orderdate").alias("omonth_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("timestamp")
+        .alias("due_date"),
     )
 
 
