@@ -69,6 +69,9 @@ _QUERIES: dict[str, QueryFn] = {
     "window_misc": R.q_window_misc,
     "union_all": R.q_union_all,
     "collect_agg": R.q_collect_agg,
+    "array_funcs": R.q_array_funcs,
+    "cross_join": R.q_cross_join,
+    "having": R.q_having,
     "null_handling": R.q_null_handling,
     "string_funcs2": R.q_string_funcs2,
     "date_funcs2": R.q_date_funcs2,

@@ -461,6 +461,49 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the embedding column: size, element
+    access, bounded slice aggregation — all JVM-side HOF-light."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(vec, 1), 4).alias("first_val"),
+        F.round(F.array_max(vec), 4).alias("max_val"),
+        F.round(F.array_min(vec), 4).alias("min_val"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head8_sum"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny dims — the one join shape
+    that must NEVER appear implicitly (plan audits assert its absence
+    elsewhere); legitimate only for small×small enumerations."""
+    r1 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("ra"), F.col("r_name").alias("name_a")
+    )
+    r2 = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rb"), F.col("r_name").alias("name_b")
+    )
+    return r1.crossJoin(r2).where(F.col("ra") < F.col("rb"))
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_quantity", 2, "sum_qty"),
+        )
+        .where(F.col("n_items") > 550)
+    )
+
+
 def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregate: per-nation roster of suppliers as a
     sorted, comma-joined string (sorted ⇒ deterministic under any

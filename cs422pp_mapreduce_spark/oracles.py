@@ -250,6 +250,28 @@ ORACLES: dict[str, str] = {
                ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
+    "array_funcs": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+               round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_val,
+               round(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_val,
+               round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]),
+                                    'sum'), 4) AS head8_sum
+        FROM embeddings
+    """,
+    "cross_join": """
+        SELECT a.r_regionkey AS ra, a.r_name AS name_a,
+               b.r_regionkey AS rb, b.r_name AS name_b
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey < b.r_regionkey
+    """,
+    "having": f"""
+        SELECT l_suppkey, COUNT(*) AS n_items,
+               {_xsum('l_quantity', 2)} AS sum_qty
+        FROM lineitem GROUP BY l_suppkey
+        HAVING COUNT(*) > 550
+    """,
     "collect_agg": """
         SELECT n_name,
                string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
