@@ -29,35 +29,40 @@ def with_salt(df: DataFrame, buckets: int, col_name: str = "__salt") -> DataFram
     return df.withColumn(col_name, F.pmod(h, F.lit(buckets)))
 
 
+# merge functions for the two-stage decomposition: how stage-2 combines
+# stage-1 partials. Only distributive aggregates belong here — avg and
+# friends must be decomposed by the caller (sum+count).
+_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_sum_count(
     df: DataFrame,
     group_cols: Sequence[str],
-    agg_cols: dict[str, Column],
+    agg_cols: dict[str, tuple[Column, str]],
     buckets: int = 16,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation: stage 1 aggregates on
     (group_cols + salt) — spreading a hot key over `buckets` reducers —
     stage 2 merges the partials on group_cols alone.
 
-    ``agg_cols`` maps output name → stage-1 aggregate expression; the
-    merge stage re-aggregates with the matching merge fn (sum for
-    sums/counts, min/max for min/max), inferred from the expression's
-    name prefix: callers use F.sum/F.count/F.min/F.max only.
+    ``agg_cols`` maps output name → (stage-1 aggregate expression,
+    merge kind), where merge kind is one of ``sum | count | min | max``
+    — stated explicitly by the caller rather than inferred from private
+    JVM expression handles (which breaks under Spark Connect and would
+    silently mis-merge non-distributive aggregates like avg).
     """
     salted = with_salt(df, buckets)
     stage1 = salted.groupBy(*group_cols, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in agg_cols.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in agg_cols.items()]
     )
     merges = []
-    for name, expr in agg_cols.items():
-        fn_name = expr._jc.toString().split("(")[0].lower()  # type: ignore[attr-defined]
-        col = F.col(f"__p_{name}")
-        if fn_name.startswith("min"):
-            merges.append(F.min(col).alias(name))
-        elif fn_name.startswith("max"):
-            merges.append(F.max(col).alias(name))
-        else:  # sum, count → merge by summing partials
-            merges.append(F.sum(col).alias(name))
+    for name, (_, kind) in agg_cols.items():
+        if kind not in _MERGE_FNS:
+            raise ValueError(
+                f"unsupported merge kind {kind!r} for {name!r}; "
+                f"supported: {sorted(_MERGE_FNS)} (decompose avg as sum+count)"
+            )
+        merges.append(_MERGE_FNS[kind](F.col(f"__p_{name}")).alias(name))
     return stage1.groupBy(*group_cols).agg(*merges)
 
 

@@ -59,9 +59,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.first("quality_score").alias("quality_score"),
-            F.first("lang_pred").alias("lang_pred"),
-            F.first("text").alias("text"),
+            # min, not first: fingerprint-equal docs can differ in
+            # case/whitespace (same md5(lower(trim))); first() would make
+            # the carried columns partition-order-dependent, min matches
+            # the oracle's MIN() and keeps output partitioning-invariant.
+            F.min("quality_score").alias("quality_score"),
+            F.min("lang_pred").alias("lang_pred"),
+            F.min("text").alias("text"),
         )
     )
     return deduped.select(

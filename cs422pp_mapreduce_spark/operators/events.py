@@ -70,8 +70,12 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what ``session_window`` computes underneath."""
     ev = load_table(spark, sf_dir, "events")
     by_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_ts)
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond gap arithmetic — matches the oracle's epoch_us and
+    # session_window's native semantics exactly; a whole-second cast
+    # would misclassify gaps in (1800, 1801) s.
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(by_ts)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess_id = F.sum(new_sess).over(
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -408,13 +408,25 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     # --- time-series joins --------------------------------------------------
+    # Tie among equal o_orderdate is pinned explicitly (max o_orderkey,
+    # matching the Spark side) instead of relying on ASOF JOIN's
+    # unspecified tie choice, which could flip on a DuckDB upgrade.
     "asof_join": """
-        SELECT e.event_id, e.user_id, e.ts,
-               o.o_orderkey AS last_order_key,
-               o.o_orderdate AS last_order_date
-        FROM events e
-        ASOF LEFT JOIN orders o
-          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC NULLS LAST,
+                                o.o_orderkey DESC NULLS LAST) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts,
+               o_orderkey AS last_order_key,
+               o_orderdate AS last_order_date
+        FROM ranked WHERE rn = 1
     """,
     "range_join": """
         SELECT a.event_id AS anchor_id,

@@ -155,10 +155,24 @@ def load_table(
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every catalog table as a temp view for ``spark.sql``."""
+# (session id, sf_dir) most recently registered — registration is
+# idempotent but re-running it on every spark.sql query churns the
+# catalog for nothing; temp views are session-scoped, so key by both.
+_REGISTERED: dict[int, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every catalog table as a temp view for ``spark.sql``.
+
+    Cached per (session, sf_dir): repeat calls with the same directory
+    are no-ops; a different directory re-registers (views are
+    createOrReplace, so switching scale factors is safe)."""
+    key = id(spark)
+    if not force and _REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -8,8 +8,11 @@ This module implements a per-user *running activity profile*:
     state per user: (n_events, sum_value, max_value, last_ts)
     emitted per micro-batch and user: the updated profile row
 
-with GroupStateTimeout-based expiry so state stays bounded — the
-requirement that makes arbitrary state safe on an unbounded stream.
+By default profiles never expire (``NoTimeout``) — correct when the key
+cardinality is bounded (users), and what the batch-equivalence test
+asserts. For unbounded key spaces, pass ``ttl_minutes`` to enable
+ProcessingTimeTimeout-based expiry: idle keys' state is removed when
+the timeout fires, so state stays bounded on an unbounded stream.
 
 The state is a tuple of scalars per key: memory is O(active users),
 shuffles are one hash exchange on user_id per micro-batch — the same
@@ -46,41 +49,61 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_profile(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, s, mx, last_us = state.get
-    else:
-        n, s, mx, last_us = 0, 0.0, float("-inf"), 0
-    for pdf in pdfs:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-        mx = max(mx, float(pdf["value"].max()))
-        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, s, mx, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "sum_value": [s],
-            "max_value": [mx],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-        }
-    )
+def _make_update_profile(ttl_minutes: int | None):
+    def _update_profile(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if ttl_minutes is not None and state.hasTimedOut:
+            # idle key: drop its state entirely — this is what keeps
+            # memory O(active users) on an unbounded stream
+            state.remove()
+            return
+        if state.exists:
+            n, s, mx, last_us = state.get
+        else:
+            n, s, mx, last_us = 0, 0.0, float("-inf"), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, s, mx, last_us))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_value": [mx],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return _update_profile
 
 
-def user_activity_profile(events: DataFrame) -> DataFrame:
+def user_activity_profile(
+    events: DataFrame, ttl_minutes: int | None = None
+) -> DataFrame:
     """Streaming per-user profile with arbitrary state. Works on a
     streaming DataFrame (micro-batch incremental) — on a batch frame
-    use ``user_activity_profile_batch`` (same result, one pass)."""
+    use ``user_activity_profile_batch`` (same result, one pass).
+
+    ``ttl_minutes=None`` keeps state forever (bounded key space);
+    setting it enables ProcessingTimeTimeout expiry of idle keys."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        _make_update_profile(ttl_minutes),
         outputStructType=PROFILE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

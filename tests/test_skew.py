@@ -32,7 +32,7 @@ def test_salted_agg_equals_straight(spark):
         for r in salted_sum_count(
             df,
             ["k"],
-            {"s": exact_sum("v", 2), "n": F.count(F.lit(1))},
+            {"s": (exact_sum("v", 2), "sum"), "n": (F.count(F.lit(1)), "count")},
             buckets=8,
         ).collect()
     }
@@ -42,10 +42,18 @@ def test_salted_agg_equals_straight(spark):
 def test_salted_minmax(spark):
     df = _skewed_df(spark)
     got = salted_sum_count(
-        df, ["k"], {"lo": F.min("v"), "hi": F.max("v")}, buckets=4
+        df, ["k"], {"lo": (F.min("v"), "min"), "hi": (F.max("v"), "max")}, buckets=4
     )
     want = df.groupBy("k").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_salted_rejects_unknown_merge_kind(spark):
+    import pytest
+
+    df = _skewed_df(spark)
+    with pytest.raises(ValueError, match="unsupported merge kind"):
+        salted_sum_count(df, ["k"], {"a": (F.avg("v"), "avg")}).collect()
 
 
 def test_salt_spreads_hot_key(spark):
