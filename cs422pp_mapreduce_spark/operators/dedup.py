@@ -135,23 +135,44 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_N) signature table from a (doc_id, shingles)
-    frame, via explode → per-shingle seeded hashes → groupBy-min.
+    """Long-form (doc_id, i, mh) signature table from a (doc_id,
+    shingles) frame: explode shingles × hash indexes, hash each
+    (shingle, i) pair once, min-aggregate per (doc_id, i).
 
     Deliberately NOT 32 per-row ``transform(shingles, xxhash64)`` array
-    traversals: that shape generates pathologically large whole-stage
-    codegen (Janino compile time dominated the runtime 50×+ in
-    profiling). Explode + flat hash columns + min-aggregate is the
-    codegen-friendly formulation, and the partial→final min aggregation
-    keeps shuffle volume at one 32-long row per doc."""
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    ).select(
-        "doc_id",
-        *[F.xxhash64("shingle", F.lit(i)).alias(f"h_{i}") for i in range(N_MINHASHES)],
+    traversals and NOT 32 flat hash columns + 32 min aggregates: both
+    shapes generate very large whole-stage codegen (Janino compile time
+    dominated cold runtime in profiling). The fully long-form explode
+    keeps every generated function tiny and constant-size in
+    N_MINHASHES, and map-side partial min-aggregation collapses the
+    ×N_MINHASHES row blowup to N_MINHASHES rows per doc before the
+    shuffle."""
+    return (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))).alias("i"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.xxhash64("shingle", "i")).alias("mh"))
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(N_MINHASHES)]
+
+
+def lsh_band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH buckets from the long-form signature:
+    band = i div rows_per_band; the bucket is the hash of the band's
+    (i, mh) rows in canonical order (array_sort fixes collect_list's
+    nondeterministic order, so equal signatures hash equal)."""
+    rows_per_band = N_MINHASHES // LSH_BANDS
+    return (
+        sig.withColumn("band", F.expr(f"CAST(i div {rows_per_band} AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.array_sort(F.collect_list(F.struct("i", "mh")))
+            ).alias("bucket")
+        )
     )
 
 
@@ -170,32 +191,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist so shingling runs once — the cluster-scale analog is
     # materializing the shingle/signature table once and joining it.
     sig = minhash_signatures(sh)
-    rows_per_band = N_MINHASHES // LSH_BANDS
-    bands = (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col(f"mh_{band * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bucket"),
-                        )
-                        for band in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("doc_id", "bb.band", "bb.bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        # ^ tiny (docs × bands rows); persisted so the 32-hash signature
-        # computation isn't re-run for each side of the self-join.
-    )
+    bands = lsh_band_buckets(sig).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ tiny (docs × bands rows); persisted so the signature computation
+    # isn't re-run for each side of the self-join.
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -228,33 +226,55 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash --------------------------------------------------------------
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) 64-bit SimHash signatures via the fully long-form
+    plan: explode tokens × bit positions, vote ±1 per (doc_id, bit),
+    then OR the winning bits back into one long.
+
+    Deliberately NOT 64 per-bit vote aggregates + a 64-term shiftleft
+    chain: that generated a pathologically large whole-stage-codegen
+    function (cold Janino compile dominated runtime). Here every
+    generated function is tiny; map-side partial sum collapses the ×64
+    row blowup to 64 rows per doc before the shuffle."""
+    toks = (
+        docs.repartition(default_parallelism(), "doc_id")
+        .select("doc_id", F.explode(nonempty_tokens("text")).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("shiftright(h, CAST(b AS INT)) & 1") == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias("v")
+        )
+    )
+    # bit_or, not sum: bit 63's shiftleft is the sign bit and must be
+    # combined bitwise, never arithmetically.
+    return votes.groupBy("doc_id").agg(
+        F.bit_or(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+                "CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("sig")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature from per-token hash bit
     votes; candidates = pairs sharing one of four 16-bit chunks
     (pigeonhole guarantees recall for hamming ≤ 3); verified with
     bit_count(xor) ≤ 3. Returns (doc_a, doc_b, hamming)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.repartition(default_parallelism(), "doc_id")
-        .select("doc_id", F.explode(nonempty_tokens("text")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v_{b}")
-            for b in range(64)
-        ]
-    )
-    sig_expr = None
-    for b in range(64):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseXOR(term)
-    sigs = votes.select("doc_id", sig_expr.alias("sig"))
+    sigs = simhash_signatures(docs)
 
     chunks = sigs.select(
         "doc_id",
