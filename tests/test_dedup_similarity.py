@@ -82,36 +82,105 @@ def test_brute_cosine_matches_numpy(spark, sf_dir):
         assert s_got == pytest.approx(s_exp, abs=1e-4)
 
 
-def test_ann_is_exact_within_probed_buckets(spark, sf_dir):
+def _numpy_band_buckets(vecs: dict[int, np.ndarray]) -> dict[int, list[int]]:
+    """Independent NumPy twin of sign_band_buckets: vec_id → per-band
+    bucket values under the same deterministic hyperplanes."""
+    planes = np.array(S.hyperplanes())
+    out = {}
+    for vid, v in vecs.items():
+        bits = (planes @ v > 0).astype(int)
+        out[vid] = [
+            int(
+                sum(
+                    bits[band * S.BITS_PER_BAND + i] << i
+                    for i in range(S.BITS_PER_BAND)
+                )
+            )
+            for band in range(S.LSH_BANDS)
+        ]
+    return out
+
+
+def test_ann_is_exact_within_candidate_set(spark, sf_dir):
     # The operator's contract: ANN result == brute-force top-k
-    # restricted to the probed buckets (its recall on *uniform random*
-    # embeddings like this table is data-limited by design; the planted
-    # near-neighbor test below covers the real ANN use case).
-    from cs422pp_mapreduce_spark.sources.catalog import load_table
-
-    planes = S.hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id",
-        S._as_double("embedding").alias("vec"),
-        S.lsh_bucket(S._as_double("embedding"), planes).alias("bucket"),
-    ).collect()
-    buckets = {r["vec_id"]: r["bucket"] for r in bucketed}
-    qb = buckets[S.QUERY_VEC_ID]
-    probed = {qb} | {qb ^ (1 << i) for i in range(len(planes))}
-
-    vecs = {r["vec_id"]: np.array(r["vec"]) for r in bucketed}
+    # restricted to the banded-LSH candidate set (its recall on
+    # *uniform random* embeddings like this table is data-limited by
+    # design; the planted near-neighbor test below covers the real ANN
+    # use case).
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows
+    }
+    bands = _numpy_band_buckets(vecs)
+    qb = bands[S.QUERY_VEC_ID]
     q = vecs[S.QUERY_VEC_ID]
-    in_probe = {
+    in_cand = {
         vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
         for vid, v in vecs.items()
-        if vid != S.QUERY_VEC_ID and buckets[vid] in probed
+        if vid != S.QUERY_VEC_ID
+        and any(bands[vid][band] == qb[band] for band in range(S.LSH_BANDS))
     }
     expected = [
-        v for v, _ in sorted(in_probe.items(), key=lambda kv: (-kv[1], kv[0]))
+        v for v, _ in sorted(in_cand.items(), key=lambda kv: (-kv[1], kv[0]))
     ][: S.TOP_K]
     got = [r["vec_id"] for r in S.q_ann_lsh(spark, sf_dir).collect()]
     assert got == expected
+
+
+def test_neardup_candidate_fraction_small(spark, sf_dir):
+    # The whole point of banding: the candidate set must be a small
+    # fraction of all pairs on a uniform corpus (expected ~bands/2^bits
+    # ≈ 3%), else the verify join degenerates toward all-pairs.
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    vecs = emb.select("vec_id", S._as_double("embedding").alias("vec"))
+    n_cand = S.band_candidate_pairs(
+        S.sign_band_buckets(spark, vecs)
+    ).count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cand / all_pairs < 0.10
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, tmp_path):
+    # The driver's embeddings table is uniform random → 0 near-dup
+    # pairs (vacuous agreement). Plant genuine cos≥0.95 duplicates and
+    # require the LSH path to find what the exact path finds.
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(12):  # 12 groups of 3 near-identical vectors
+        base = rng.standard_normal(S.EMBED_DIM)
+        for j in range(3):
+            rows.append(
+                (g * 3 + j,
+                 (base + 0.02 * rng.standard_normal(S.EMBED_DIM))
+                 .astype(np.float32).tolist(), g)
+            )
+    for i in range(36, 400):  # uniform background
+        rows.append(
+            (i, rng.standard_normal(S.EMBED_DIM).astype(np.float32).tolist(),
+             -1)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "planted_dups")
+    df.write.parquet(f"{d}/embeddings.parquet")
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.q_embedding_neardup_exact(spark, d).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.q_embedding_neardup(spark, d).collect()
+    }
+    assert exact, "fixture must actually contain near-dup pairs"
+    assert lsh <= exact  # verify step admits no false positives
+    assert len(lsh) / len(exact) >= 0.9  # banded recall bar
 
 
 def test_ann_ivf_runs_and_is_ordered(spark, sf_dir):
