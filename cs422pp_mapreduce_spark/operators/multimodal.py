@@ -30,9 +30,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..sources.catalog import load_table
 
 # Synthetic media blob format for tests: b'IMG0' + u16 width + u16
 # height + u8 channels + payload. Deterministic, dependency-free.
@@ -132,6 +134,56 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return media.mapInPandas(batches, schema=schema)
+
+
+# Synthetic media derivation parameters — shared by synth_media (Spark)
+# and the DuckDB oracle (oracles.py "media_meta"): width/height/channels
+# and payload length are fixed arithmetic functions of doc_id, so the
+# expected metadata is independently computable without parsing blobs.
+W_MOD, H_MOD, H_MUL, C_MOD, P_MOD = 485, 485, 7, 4, 8
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table derived from ``documents``:
+    one IMG0 blob per doc, built JVM-side as a hex string → ``unhex``
+    (magic + u16le width + u16le height + u8 channels + md5-derived
+    payload). No driver data, no randomness — the same table on every
+    engine, which is what makes the decode path oracle-checkable."""
+    did = F.col("doc_id")
+    w = (F.lit(16) + did % W_MOD).cast("int")
+    h = (F.lit(16) + (did * H_MUL) % H_MOD).cast("int")
+    c = (F.lit(1) + did % C_MOD).cast("int")
+    payload_len = (did % P_MOD + 1).cast("int")  # bytes
+
+    def _u8(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    def _u16le(col):
+        return F.concat(_u8(col % 256), _u8((col / 256).cast("int")))
+
+    blob_hex = F.concat(
+        F.lit("494D4730"),  # b"IMG0"
+        _u16le(w),
+        _u16le(h),
+        _u8(c),
+        F.substring(F.md5(did.cast("string")), 1, payload_len * 2),
+    )
+    return docs.select(
+        did.alias("media_id"),
+        F.unhex(blob_hex).alias("blob"),
+        F.lit("image/synthetic").alias("mime"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the multimodal surface: synthesize the media
+    table, then extract image metadata through the real Arrow-batched
+    ``mapInPandas`` decode path. The oracle recomputes the expected
+    metadata arithmetically from doc_id (the blob layout is a pure
+    function of it), so a hash match proves the binary build + header
+    parse round-trips exactly."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    return extract_image_meta(media)
 
 
 def media_metadata_filter_then_decode(media: DataFrame, min_bytes: int) -> DataFrame:

@@ -449,6 +449,19 @@ def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group distinct counts — the hash-checkable twin of
+    q_approx_agg's HLL column (sketches are rows-only by nature; the
+    exact formulation gets a full oracle row). Expands to Spark's
+    two-phase distinct aggregation: partial de-dup on (group, value)
+    before the shuffle, so volume is O(distinct), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median + p90). Exact
     percentile is a sort-based aggregate — fine per-group; at 100 TB

@@ -720,6 +720,28 @@ ORACLES: dict[str, str] = {
                                            CAST(b.embedding AS DOUBLE[])),
                     4) >= 0.95
     """,
+    # --- multimodal --------------------------------------------------------
+    # The synthetic blob layout (operators/multimodal.py synth_media) is a
+    # pure function of doc_id: IMG0 + u16le w + u16le h + u8 c + payload of
+    # (doc_id % 8 + 1) md5 bytes. The oracle recomputes the metadata
+    # arithmetically; a hash match proves Spark's binary build + Arrow
+    # mapInPandas header parse round-trips exactly.
+    "media_meta": """
+        SELECT doc_id AS media_id,
+               CAST(16 + doc_id % 485 AS INT) AS width,
+               CAST(16 + (doc_id * 7) % 485 AS INT) AS height,
+               CAST(1 + doc_id % 4 AS INT) AS channels,
+               CAST(10 + doc_id % 8 AS BIGINT) AS n_bytes,
+               TRUE AS ok
+        FROM documents
+    """,
+    # --- sketch twins ------------------------------------------------------
+    "exact_distinct_agg": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }
 
 # session_window-native variant computes the same sessions.

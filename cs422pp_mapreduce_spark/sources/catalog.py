@@ -175,6 +175,37 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     _REGISTERED[key] = sf_dir
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Schema-explicit CSV source. Schema inference is banned on the
+    load path — at 100 TB it costs an extra full pass over the input
+    and can silently flip a column's type between runs; FAILFAST makes
+    malformed rows an error instead of silent nulls (use PERMISSIVE +
+    a corrupt-record column for salvage pipelines)."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", mode)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Schema-explicit JSON-lines source (same rationale as load_csv:
+    no inference pass, malformed input fails loudly)."""
+    return spark.read.option("mode", mode).schema(schema).json(path)
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line-file source: DataFrame[value: string], one row per line.
 

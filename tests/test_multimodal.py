@@ -47,6 +47,20 @@ def test_sample_frames_shape(spark, media_df):
     assert ids == {1, 2}  # undecodable blobs contribute no frames
 
 
+def test_media_meta_contract_query(spark, sf_dir):
+    """q_media_meta parses what synth_media built: cross-check against
+    a pure-Python recomputation of the blob layout from doc_id."""
+    from cs422pp_mapreduce_spark.operators.multimodal import q_media_meta
+
+    got = {r["media_id"]: r for r in q_media_meta(spark, sf_dir).collect()}
+    assert got and all(r["ok"] for r in got.values())
+    for did, r in got.items():
+        assert r["width"] == 16 + did % 485
+        assert r["height"] == 16 + (did * 7) % 485
+        assert r["channels"] == 1 + did % 4
+        assert r["n_bytes"] == 10 + did % 8
+
+
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"anything")

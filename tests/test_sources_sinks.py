@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from cs422pp_mapreduce_spark.sources.catalog import (
     TABLE_SCHEMAS,
+    load_csv,
+    load_json,
     load_table,
     read_text_lines,
     register_views,
@@ -65,6 +67,37 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in csv_back.collect()} == want
     assert {tuple(r) for r in json_back.collect()} == want
+
+
+def test_first_class_csv_json_loaders(spark, sf_dir, tmp_path):
+    """load_csv/load_json feed queries()-shaped plans identically to
+    the parquet path: the same aggregation over either source matches."""
+    nation = load_table(spark, sf_dir, "nation")
+    csv_p, json_p = str(tmp_path / "nc"), str(tmp_path / "nj")
+    write_csv(nation, csv_p)
+    write_json(nation, json_p)
+
+    def agg(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    want = agg(nation)
+    assert agg(load_csv(spark, csv_p, TABLE_SCHEMAS["nation"])) == want
+    assert agg(load_json(spark, json_p, TABLE_SCHEMAS["nation"])) == want
+
+
+def test_csv_loader_failfast_on_malformed(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2\nnot_an_int,3\n")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        load_csv(spark, p, "a int, b int").collect()
 
 
 def test_kv_text_sink_reference_layout(spark, tmp_path):
