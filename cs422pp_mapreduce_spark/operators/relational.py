@@ -479,14 +479,22 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     access, bounded slice aggregation — all JVM-side HOF-light."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
+    # + 0.0 after round: normalizes IEEE signed zero. Spark and DuckDB
+    # disagree on round(-2e-5, 4) → 0.0 vs -0.0; numerically equal but
+    # they stringify differently, which breaks hash/sort-based
+    # cross-engine comparison (bit us at sf0.1, vec_id 1753).
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at(vec, 1), 4).alias("first_val"),
-        F.round(F.array_max(vec), 4).alias("max_val"),
-        F.round(F.array_min(vec), 4).alias("min_val"),
-        F.round(
-            F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        (F.round(F.element_at(vec, 1), 4) + 0.0).alias("first_val"),
+        (F.round(F.array_max(vec), 4) + 0.0).alias("max_val"),
+        (F.round(F.array_min(vec), 4) + 0.0).alias("min_val"),
+        (
+            F.round(
+                F.aggregate(F.slice(vec, 1, 8), F.lit(0.0), lambda a, x: a + x),
+                4,
+            )
+            + 0.0
         ).alias("head8_sum"),
     )
 

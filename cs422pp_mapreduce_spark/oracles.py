@@ -250,14 +250,16 @@ ORACLES: dict[str, str] = {
                ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
+    # + 0.0 normalizes signed zero (engines disagree on round(-2e-5, 4):
+    # 0.0 vs -0.0; equal numerically, different stringified/hashed).
     "array_funcs": """
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
-               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-               round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_val,
-               round(list_min(CAST(embedding AS DOUBLE[])), 4) AS min_val,
+               round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+               round(list_max(CAST(embedding AS DOUBLE[])), 4) + 0.0 AS max_val,
+               round(list_min(CAST(embedding AS DOUBLE[])), 4) + 0.0 AS min_val,
                round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]),
-                                    'sum'), 4) AS head8_sum
+                                    'sum'), 4) + 0.0 AS head8_sum
         FROM embeddings
     """,
     "cross_join": """

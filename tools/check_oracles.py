@@ -37,6 +37,10 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(np.float64)
         elif str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
             df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float64:
+            # normalize IEEE -0.0 → +0.0: numerically equal values must
+            # stringify identically or the row sort diverges per engine
+            df[c] = df[c] + 0.0
     if len(df):
         key = df.astype(str)
         order = key.sort_values(by=list(df.columns)).index
