@@ -96,6 +96,8 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q5": TQ.q_tpch_q5,
     "tpch_q6": TQ.q_tpch_q6,
     "tpch_q10": TQ.q_tpch_q10,
+    "tpch_q14": TQ.q_tpch_q14,
+    "tpch_q18": TQ.q_tpch_q18,
     # SQL surface (spark.sql over registered views)
     "grouping_sets": SQ.q_grouping_sets,
     "sql_subquery": SQ.q_sql_subquery,
@@ -105,6 +107,7 @@ _QUERIES: dict[str, QueryFn] = {
     # window functions
     "window_rank": R.q_window_rank,
     "window_running": R.q_window_running,
+    "window_range": EV.q_event_window_range,
     # aggregation variants
     "count_distinct": R.q_count_distinct,
     "exact_distinct_agg": R.q_exact_distinct_agg,

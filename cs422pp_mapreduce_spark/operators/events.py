@@ -94,6 +94,33 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 30-minute window per user (RANGE frame over
+    event-time, not ROWS): running decimal-exact sum + count of events
+    in (ts − 30 min, ts]. The range frame is the event-time analog of a
+    sliding window evaluated AT every event rather than on a fixed
+    grid; one shuffle on user_id, per-partition sort, no self-join —
+    the plan a naive events×events interval join would cost far more
+    to produce (that shape exists as range_join for comparison)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+
+
 def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sessions via Spark's built-in ``session_window`` (the form
     that swaps directly into Structured Streaming). session_window's

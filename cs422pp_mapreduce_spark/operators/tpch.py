@@ -104,6 +104,66 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share for one ship month. Conditional
+    aggregation over a broadcast dim join; both sums decimal-routed and
+    the percentage is one double expression so the result is
+    bit-stable."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-09-01"))
+        & (F.col("l_shipdate") < F.lit("1999-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = (
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,4)")
+        ).cast("double")
+    )
+    total_rev = F.sum(rev.cast("decimal(18,4)")).cast("double")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy()
+        .agg(
+            (F.lit(100.0) * promo_rev / total_rev).alias("promo_pct"),
+            total_rev.alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume customers — orders whose total quantity
+    exceeds a threshold, with customer attribution. The aggregate-then-
+    join order matters at scale: the heavy lineitem aggregation reduces
+    to one row per qualifying order BEFORE any join, so the joins move
+    ~1% of the data."""
+    threshold = 250
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", 2, "sum_qty"))
+        .where(F.col("sum_qty") > threshold)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top-20 customers by lost revenue from returned items
     in one quarter."""

@@ -722,6 +722,40 @@ ORACLES: dict[str, str] = {
                                            CAST(b.embedding AS DOUBLE[])),
                     4) >= 0.95
     """,
+    "tpch_q14": f"""
+        SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END AS DECIMAL(18,4)))
+                            AS DOUBLE)
+                     / {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+                   AS promo_pct,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1999-09-01' AND l_shipdate < '1999-10-01'
+    """,
+    "tpch_q18": f"""
+        WITH big AS (
+            SELECT l_orderkey, {_xsum('l_quantity', 2)} AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {_xsum('l_quantity', 2)} > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "window_range": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS trail_sum,
+               COUNT(*) OVER w AS trail_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
     # --- multimodal --------------------------------------------------------
     # The synthetic blob layout (operators/multimodal.py synth_media) is a
     # pure function of doc_id: IMG0 + u16le w + u16le h + u8 c + payload of
