@@ -81,6 +81,30 @@ def stream_session_windows(
     )
 
 
+def run_stream_foreach_batch(
+    stream_df: DataFrame, batch_fn, checkpoint_dir: str | None = None
+) -> "object":
+    """Drive a streaming DataFrame through a ``foreachBatch`` sink until
+    all available input is processed.
+
+    ``foreachBatch`` is the escape hatch for sinks Structured Streaming
+    lacks natively (JDBC upserts, multi-table fan-out, MERGE INTO):
+    ``batch_fn(batch_df, batch_id)`` receives each micro-batch as a
+    BATCH DataFrame, so every batch writer in sources/sinks.py works
+    unchanged inside it. Exactly-once comes from the (batch_id,
+    checkpoint) pair: a restarted query re-offers the same batch_id, so
+    idempotent writers (overwrite-by-batch-partition, MERGE on key)
+    upgrade at-least-once delivery to effectively-once."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, mode: str = "append"
 ) -> "object":

@@ -94,3 +94,40 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, event_stream_di
     # high coverage, and nothing spurious
     assert got <= want
     assert len(got) >= 0.8 * len(want)
+
+
+def test_foreach_batch_sink_partitioned_parquet(spark, sf_dir, tmp_path):
+    """foreachBatch: every micro-batch lands through an ordinary batch
+    writer (write_parquet) into batch_id-partitioned output; the union
+    of batches equals the input exactly once."""
+    from cs422pp_mapreduce_spark.sources.sinks import write_parquet
+    from cs422pp_mapreduce_spark.streaming.events import (
+        run_stream_foreach_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        write_parquet(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            f"{out}/batch_id={batch_id}",
+            mode="overwrite",  # idempotent per batch_id → exactly-once
+        )
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    run_stream_foreach_batch(
+        stream, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert len(seen_batches) >= 2  # one per input file
+    back = spark.read.parquet(f"{out}/batch_id=*")
+    assert back.count() == ev.count()
+    assert set(
+        r["event_id"] for r in back.select("event_id").collect()
+    ) == set(r["event_id"] for r in ev.select("event_id").collect())
