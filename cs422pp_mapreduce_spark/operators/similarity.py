@@ -162,7 +162,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exactness-within-candidates are asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
-    bb = sign_band_buckets(spark, vecs)
+    bb = sign_band_buckets(spark, vecs).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ read twice (query row + candidate side); persisting runs the
+    # ×planes bucket pipeline once — cluster analog: materialized index
     qb = bb.where(F.col("vec_id") == QUERY_VEC_ID).select("band", "bucket")
     cand_ids = (
         bb.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -343,7 +345,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _as_double("embedding").alias("vec")).persist(
         StorageLevel.MEMORY_AND_DISK
     )  # scanned by the bucket pipeline and both sides of the verify join
-    bb = sign_band_buckets(spark, vecs)
+    bb = sign_band_buckets(spark, vecs).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ both sides of the candidate self-join; persisting computes the
+    # ×planes bucket pipeline once instead of twice
     cands = band_candidate_pairs(bb)
     va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
