@@ -70,6 +70,7 @@ _QUERIES: dict[str, QueryFn] = {
     "quality_score": TX.q_quality_score,
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
+    "deterministic_sample": TX.q_deterministic_sample,
     # dedup (minhash/simhash are approximate/hash-family-specific →
     # rows-only check; exact-Jaccard containment asserted in tests)
     "dedup_exact": D.q_dedup_exact,

@@ -72,3 +72,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5 fingerprint of normalized text per document."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of documents via hash-mod bucketing
+    (md5 of the key → bucket 0..99, keep < 10).
+
+    The reproducible alternative to rand()-based ``sample()`` for
+    corpus work: membership is a pure function of the key, so the
+    sample is stable across runs, engines, partitionings, and data
+    re-layouts — which is what makes held-out splits and A/B corpus
+    slices auditable. Pure codegen'd expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars", bucket.alias("sample_bucket")
+    ).where(F.col("sample_bucket") < 10)

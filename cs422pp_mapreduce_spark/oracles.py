@@ -565,6 +565,16 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": """
         SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
     """,
+    # Membership is a pure function of the key (md5 prefix mod 100) so
+    # both engines compute the identical sample.
+    "deterministic_sample": """
+        SELECT doc_id, lang, source, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 100 AS sample_bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                  % 100 < 10
+    """,
     # --- dedup ------------------------------------------------------------
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text

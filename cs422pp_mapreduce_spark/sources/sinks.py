@@ -68,3 +68,25 @@ def write_kv_text(
     if num_partitions:
         out = out.repartition(num_partitions)
     out.sortWithinPartitions("value").write.mode(mode).text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    buckets: int = 8,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink (`bucketBy` requires `saveAsTable`).
+
+    Bucketing is the 100 TB co-location tool: two tables bucketed the
+    same way on the join key sort-merge-join with ZERO Exchange — the
+    shuffle is paid once at write time, then every downstream join and
+    aggregation on the bucket key is shuffle-free
+    (tests/test_sources_sinks.py asserts the no-Exchange plan)."""
+    writer = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("path", path).format("parquet").saveAsTable(table)

@@ -119,3 +119,40 @@ def test_text_lines_source(spark, tmp_path):
     df = read_text_lines(spark, p)
     assert df.columns == ["value"]
     assert df.count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located bucketed tables: the shuffle is paid at write time;
+    the join plan must contain ZERO Exchange operators."""
+    from cs422pp_mapreduce_spark.plans.explain import explain_str
+    from cs422pp_mapreduce_spark.sources.sinks import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(
+        orders, "t_orders_b", str(tmp_path / "ob"), ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        customer, "t_customer_b", str(tmp_path / "cb"), ["c_custkey"], 8,
+        sort_cols=["c_custkey"],
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path so the assert is about bucketing,
+        # not about the broadcast planner
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
