@@ -143,6 +143,7 @@ _QUERIES: dict[str, QueryFn] = {
     "date_funcs2": R.q_date_funcs2,
     "math_funcs": R.q_math_funcs,
     "json_funcs": R.q_json_funcs,
+    "map_funcs": R.q_map_funcs,
 }
 
 

@@ -781,6 +781,16 @@ ORACLES: dict[str, str] = {
                TRUE AS ok
         FROM documents
     """,
+    # Fixed-key map layout: the oracle recomputes keys/values directly
+    # (map built from literals + the single-key props JSON).
+    "map_funcs": """
+        SELECT event_id,
+               CAST(3 AS BIGINT) AS n_keys,
+               ['k', 'type', 'uid'] AS keys,
+               event_type AS type_val,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
     # --- sketch twins ------------------------------------------------------
     "exact_distinct_agg": """
         SELECT l_returnflag,
