@@ -119,6 +119,12 @@ _QUERIES: dict[str, QueryFn] = {
     "approx_agg": R.q_approx_agg,  # sketches → rows-only check
     "collect_agg": R.q_collect_agg,
     "having": R.q_having,
+    # TPC-H long tail (family represented by q3..q18 in the front block)
+    "tpch_q7": TQ.q_tpch_q7,
+    "tpch_q13": TQ.q_tpch_q13,
+    "tpch_q15": TQ.q_tpch_q15,
+    "tpch_q17": TQ.q_tpch_q17,
+    "tpch_q19": TQ.q_tpch_q19,
     # joins & set ops
     "multi_join_agg": R.q_multi_join_agg,
     "semi_join": R.q_semi_join,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_sum
+from ..functions.numeric import exact_avg, exact_sum
 from ..sources.catalog import load_table
 
 
@@ -188,4 +188,160 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: volume shipped between two nations by year, keyed on
+    (supplier nation, customer nation). Two independent nation joins —
+    both broadcast — against one fact pass; the year extraction happens
+    before the aggregate so the shuffle key is (2 strings, 1 int)."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), customer.c_nationkey == n2.c_nkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of orders-per-customer (a LEFT join so
+    zero-order customers appear as c_count = 0), then a histogram over
+    the counts. Two aggregations, each a single hash shuffle; the
+    second input is one row per customer — tiny."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top supplier by quarterly revenue — an aggregate
+    reused twice (per-supplier revenue AND its max) without
+    recomputation hazards: the max is a broadcast single-row join, so
+    the revenue aggregate is computed once per branch off one scan.
+    Ties (several suppliers at max) are all returned, per spec."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_revenue"
+        )
+    )
+    top = revenue.groupBy().agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(top), revenue.total_revenue == top.max_revenue
+        )
+        .join(F.broadcast(supplier), revenue.supplier_no == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from small-quantity orders — lineitems below
+    20% of their part's average quantity, for one brand. The correlated
+    scalar subquery becomes an aggregate-then-join: per-part averages
+    reduce to one row per part BEFORE joining back to the fact, the
+    decorrelation Catalyst itself would pick."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    branded = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = branded.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        exact_avg("l_quantity", 2, "avg_qty")
+    )
+    return (
+        branded.join(
+            F.broadcast(per_part), branded.l_partkey == per_part.avg_partkey
+        )
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy()
+        .agg(
+            (exact_sum("l_extendedprice", 4) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive multi-attribute predicate (brand × size ×
+    quantity OR-chains) over a part join. The join key predicate is
+    conjunctive so the join stays an equi-join; the OR-chain is one
+    post-join filter Catalyst can partially push to both scans
+    (brand/size terms to part, quantity bounds to lineitem)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .where(disj)
+        .groupBy()
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )

@@ -757,6 +757,73 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    "tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '2000-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '1999-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, s_acctbal, total_revenue
+        FROM revenue JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17": f"""
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12'
+        ), per_part AS (
+            SELECT l_partkey AS avg_partkey, {_xavg('l_quantity', 2)} AS avg_qty
+            FROM branded GROUP BY l_partkey
+        )
+        SELECT {_xsum('l_extendedprice', 4)} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM branded JOIN per_part ON l_partkey = avg_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "tpch_q19": f"""
+        SELECT {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "window_range": """
         SELECT event_id, user_id, ts,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
