@@ -20,6 +20,7 @@ from cs422pp_mapreduce_spark.operators import corpus as CP
 from cs422pp_mapreduce_spark.operators import tpch as TQ
 from cs422pp_mapreduce_spark.operators import dedup as D
 from cs422pp_mapreduce_spark.operators import events as EV
+from cs422pp_mapreduce_spark.operators import maintenance as MT
 from cs422pp_mapreduce_spark.operators import multimodal as MM
 from cs422pp_mapreduce_spark.operators import relational as R
 from cs422pp_mapreduce_spark.operators import similarity as S
@@ -71,6 +72,8 @@ _QUERIES: dict[str, QueryFn] = {
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
+    "tfidf": TX.q_tfidf,
+    "inverted_index": TX.q_inverted_index,
     # dedup (minhash/simhash are approximate/hash-family-specific →
     # rows-only check; exact-Jaccard containment asserted in tests)
     "dedup_exact": D.q_dedup_exact,
@@ -78,6 +81,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_ngram": D.q_dedup_ngram,
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_simhash": D.q_dedup_simhash,
+    "dedup_clusters": D.q_dedup_clusters,
     # similarity search (ann_lsh/ann_ivf are approximate → rows-only;
     # recall vs the exact baseline asserted in tests)
     "topk_similarity": S.q_topk_similarity,
@@ -89,6 +93,8 @@ _QUERIES: dict[str, QueryFn] = {
     "media_meta": MM.q_media_meta,
     # corpus pipeline (quality→lang→dedup→tokens, one plan)
     "corpus_prep": CP.q_corpus_prep,
+    # table maintenance (MERGE-style upsert)
+    "merge_upsert": MT.q_merge_upsert,
     # time-series joins
     "asof_join": AJ.q_asof_join,
     "range_join": AJ.q_range_join,

@@ -312,3 +312,80 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# --- duplicate clusters (connected components) -----------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    (src, dst) edge frame; returns (node, comp) with comp = the minimum
+    node id in the component.
+
+    This is the engine's iterative-algorithm shape: a DataFrame loop
+    with an action per round to test convergence, `localCheckpoint()`
+    each round so lineage (and thus plan size) stays O(1) in the
+    iteration count instead of compounding. Rounds needed = graph
+    diameter — near-dup graphs are unions of tiny cliques, so 2-3
+    rounds in practice. At 100 TB you'd swap the loop body for the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which contracts components
+    in O(log²) rounds independent of diameter; the per-round plan —
+    join labels to edges, min-aggregate, compare — is identical.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint()  # truncate lineage: keeps round N's plan
+            # the same size as round 1's
+        )
+        changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over
+    the exact n-gram-Jaccard near-dup graph, labeling every clustered
+    document with the minimum doc_id of its component (the canonical
+    representative a dedup pass would keep).
+
+    Pairwise near-dup output under-describes duplication: if A~B and
+    B~C, keeping "one of each pair" retains 2 of 3 copies. Components
+    give the keep-one-per-cluster semantics every corpus dedup
+    actually wants. Exact input graph + deterministic min labels make
+    this oracle-checkable (DuckDB WITH RECURSIVE twin)."""
+    pairs = q_dedup_ngram(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

@@ -1,0 +1,97 @@
+"""Table-maintenance operators: MERGE-style upsert as a batch plan.
+
+The reference's only sink semantics are truncate-and-rewrite
+(/root/reference/thread_pool.cc:253 — reducers open their output file
+with std::ofstream::trunc); a warehouse engine additionally needs the
+incremental path: apply a changeset of updates + inserts to a target
+without rewriting unmatched rows' values. Formats with a transaction
+log (Delta/Iceberg) run this exact plan under `MERGE INTO`; expressed
+on plain DataFrames it is anti-join + union — which is also the plan
+those formats generate, so the shape benchmarked here IS the scale
+shape (one shuffle-or-broadcast join on the merge key, one union).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# Deterministic changeset: ~10% of orders (hash-mod bucket 0) get
+# re-priced; each also spawns one new row with a shifted key. A pure
+# function of the key, so Spark and the DuckDB oracle derive the
+# identical changeset independently.
+_NEW_KEY_OFFSET = 10_000_000
+
+
+def _bucket(key):
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast(
+            "bigint"
+        )
+        % 10
+    )
+
+
+def changeset(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, …, merge_action) updates + inserts derived from the
+    target itself — stands in for a CDC feed."""
+    sampled = orders.where(_bucket(F.col("o_orderkey")) == 0)
+    updates = sampled.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("REPRICED").alias("o_orderpriority"),
+    )
+    inserts = sampled.select(
+        (F.col("o_orderkey") + F.lit(_NEW_KEY_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("BACKFILL").alias("o_orderpriority"),
+    )
+    return updates.unionByName(inserts)
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT: source
+    rows win on key collision, unmatched target rows pass through.
+
+    One anti-join (broadcast when the changeset is small — the common
+    CDC case — else a shuffle join on the key) plus a union. No
+    correlated logic, no per-row Python; at 100 TB this is bounded by
+    one pass over the target."""
+    kept = target.join(source.select(key), key, "left_anti")
+    return source.unionByName(kept)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the deterministic changeset to orders and return the merged
+    table tagged with what happened to each row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(orders, changeset(orders), "o_orderkey")
+    action = (
+        F.when(F.col("o_orderpriority") == "REPRICED", "updated")
+        .when(F.col("o_orderpriority") == "BACKFILL", "inserted")
+        .otherwise("kept")
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+        action.alias("merge_action"),
+    )

@@ -93,3 +93,59 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", "source", "n_chars", bucket.alias("sample_bucket")
     ).where(F.col("sample_bucket") < 10)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, token) TF-IDF with smooth idf = ln((N+1)/(df+1)) + 1
+    (sklearn's convention) — the classic relevance weighting a text
+    pipeline feeds to retrieval or keyword extraction.
+
+    Shape: explode tokens → tf per (doc, token) [one shuffle] → df per
+    token from the tf table [second shuffle, input already one row per
+    (doc, token)] → broadcast both the single-row corpus count and the
+    df side back onto tf. At 100 TB the df table is vocabulary-sized
+    (≪ corpus), so the broadcast stays the right plan; ln() output is
+    rounded to 6 decimals per the engine's libm-vs-JVM convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(nonempty_tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.round(F.col("tf") * idf, 6) + 0.0).alias("tfidf"),
+        )
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → sorted postings list (distinct doc_ids) + document
+    frequency — the retrieval-index build as one aggregation.
+
+    collect_set's order is partitioning-dependent; array_sort
+    canonicalizes it so the result is deterministic (the engine-wide
+    convention for collection outputs). At scale the skew risk is
+    stopword tokens with corpus-sized postings; production would cap
+    or tier those (they carry no retrieval signal) — here the 31-word
+    vocabulary makes every posting list corpus-wide, the worst case,
+    which the plan survives because the set is built by partial
+    aggregation before the single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(nonempty_tokens("text")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.count_distinct("doc_id").alias("df"),
+    )

@@ -575,6 +575,37 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
                   % 100 < 10
     """,
+    "tfidf": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        )
+        SELECT doc_id, token, tf, df,
+               ROUND(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1),
+                     6) + 0.0 AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    "inverted_index": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents
+            )
+        )
+        SELECT token, list_sort(list(doc_id)) AS postings,
+               CAST(COUNT(doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    """,
     # --- dedup ------------------------------------------------------------
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
@@ -615,6 +646,52 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    # Connected components over the same near-dup graph: the recursive
+    # walk enumerates every (node, reachable-comp seed) pair; MIN over
+    # the walk = the component's minimum id — identical semantics to
+    # the Spark side's min-label propagation fixpoint.
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), walk AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, w.comp
+            FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM walk GROUP BY node
     """,
     "corpus_prep": """
         WITH base AS (
@@ -756,6 +833,35 @@ ORACLES: dict[str, str] = {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "merge_upsert": """
+        WITH sampled AS (
+            SELECT * FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+                      ::BIGINT % 10 = 0
+        ), src AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+                   'REPRICED' AS o_orderpriority
+            FROM sampled
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N',
+                   o_totalprice, o_orderdate, 'BACKFILL'
+            FROM sampled
+        ), merged AS (
+            SELECT * FROM src
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            ANTI JOIN src USING (o_orderkey)
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               CASE WHEN o_orderpriority = 'REPRICED' THEN 'updated'
+                    WHEN o_orderpriority = 'BACKFILL' THEN 'inserted'
+                    ELSE 'kept' END AS merge_action
+        FROM merged
     """,
     "tpch_q7": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
