@@ -89,6 +89,9 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_ivf": S.q_ann_ivf,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
     "embedding_neardup": S.q_embedding_neardup,
+    # iterative ML (Lloyd's k-means as a DataFrame loop → rows-only;
+    # exact NumPy-replica assignment check in tests)
+    "kmeans_clusters": S.q_kmeans_clusters,
     # multimodal (synthetic blobs → Arrow mapInPandas header decode)
     "media_meta": MM.q_media_meta,
     # corpus pipeline (quality→lang→dedup→tokens, one plan)

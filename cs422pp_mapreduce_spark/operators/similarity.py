@@ -358,3 +358,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
         .where(F.col("sim") >= NEARDUP_COS)
     )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignments + per-cell stats — the iterative-ML
+    surface of the engine, exposing the same Lloyd's fit that powers
+    the IVF index (build_ivf_index: deterministic first-K init, 3
+    iterations, broadcast-argmin assignment, bounded K×dim centroid
+    update per round).
+
+    Iterative float refinement is engine-specific by nature (fp
+    accumulation order in the centroid means), so this is a rows-only
+    contract query; tests/test_dedup_similarity.py cross-checks the
+    assignment against an exact NumPy replica of the same fit."""
+    _, assigned = build_ivf_index(spark, sf_dir)
+    return assigned.select("vec_id", "cell")

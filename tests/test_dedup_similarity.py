@@ -213,3 +213,35 @@ def test_ann_high_recall_on_planted_neighbors(spark, tmp_path):
     assert len(set(got_lsh) & planted) >= 8  # ≥8 of 9 planted found
     got_ivf = [r["vec_id"] for r in S.q_ann_ivf(spark, d).collect()]
     assert len(set(got_ivf) & planted) >= 8  # IVF: same bar
+
+
+def test_kmeans_matches_numpy_replica(spark, sf_dir):
+    # Exact NumPy replica of build_ivf_index's Lloyd fit: first-K init,
+    # IVF_ITERS rounds of argmin-assign (lowest-cell tiebreak) + per-
+    # cell mean update (empty cells keep their centroid). Float-sum
+    # order can differ in the last ulp between engines, but no vector
+    # in the fixture sits within fp noise of a Voronoi boundary, so
+    # assignments must agree exactly.
+    import duckdb
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.q_kmeans_clusters(spark, sf_dir).collect()
+    }
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    C = X[: S.IVF_K].copy()
+    for _ in range(S.IVF_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first (lowest) cell
+        for c in range(S.IVF_K):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    expected = dict(zip(ids, assign.tolist()))
+    assert got == expected

@@ -121,3 +121,35 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir):
     )
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.fixture()
+def dup_stream_dir(spark, sf_dir):
+    # The same events delivered twice across micro-batches (an
+    # at-least-once source replaying) — streaming dedup must emit each
+    # event_id exactly once.
+    d = tempfile.mkdtemp(prefix="evdup_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.parquet(f"{d}/once")
+    src = f"{d}/src"
+    os.makedirs(src)
+    for copy_name in ("delivery1", "delivery2"):
+        for f in os.listdir(f"{d}/once"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/once/{f}", f"{src}/{copy_name}.parquet")
+    yield src
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir, dup_stream_dir):
+    from cs422pp_mapreduce_spark.streaming.dedup import stream_dedup_events
+
+    stream = read_event_stream(spark, dup_stream_dir)
+    run_stream_to_memory(
+        stream_dedup_events(stream), "t_stream_dedup", mode="append"
+    )
+    got = spark.table("t_stream_dedup")
+    n = load_table(spark, sf_dir, "events").count()
+    # doubled input, exactly-once output, no key seen twice
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
