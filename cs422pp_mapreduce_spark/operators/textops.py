@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import (
     fingerprint_md5,
@@ -103,15 +104,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode tokens → tf per (doc, token) [one shuffle] → df per
     token from the tf table [second shuffle, input already one row per
     (doc, token)] → broadcast both the single-row corpus count and the
-    df side back onto tf. At 100 TB the df table is vocabulary-sized
-    (≪ corpus), so the broadcast stays the right plan; ln() output is
-    rounded to 6 decimals per the engine's libm-vs-JVM convention."""
+    df side back onto tf. The tf table is persisted because Spark does
+    not share the subplan between the tf and df branches of the join —
+    without it the corpus is tokenized twice, the dominant cost at
+    scale (plan-audited; the cluster analog is materializing tf once).
+    At 100 TB the df table is vocabulary-sized (≪ corpus), so the
+    broadcast stays the right plan; ln() output is rounded to 6
+    decimals per the engine's libm-vs-JVM convention."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(nonempty_tokens("text")).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
