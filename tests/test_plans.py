@@ -50,3 +50,36 @@ def test_wordcount_has_partial_count(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = explain_str(R.q_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import tpch as TQ
+
+    plan = pushed_filters(TQ.q_tpch_q19(spark, sf_dir))
+    # quantity bounds reach lineitem, brand/size terms reach part
+    assert "l_quantity" in plan
+    assert "p_brand" in plan and "p_size" in plan
+
+
+def test_merge_upsert_target_scanned_without_shuffle(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import maintenance as MT
+    from cs422pp_mapreduce_spark.plans.explain import count_shuffles
+
+    df = MT.q_merge_upsert(spark, sf_dir)
+    plan = explain_str(df)
+    # changeset broadcasts into a LeftAnti; no shuffle anywhere
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert count_shuffles(df) == 0
+
+
+def test_tfidf_reuses_cached_tf(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import textops as TX
+
+    plan = explain_str(TX.q_tfidf(spark, sf_dir), mode="simple")
+    # both the tf and df branches must read the cache — tokenize once,
+    # not twice (InMemoryRelation descriptions echo their build plan,
+    # so FileScan counts are inflated; the cache-scan count is the
+    # reliable signal)
+    assert plan.count("InMemoryTableScan") == 2
+    # the only live parquet read is the column-pruned n_docs count scan
+    assert "ReadSchema: struct<>" in plan
