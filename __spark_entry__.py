@@ -65,6 +65,7 @@ _QUERIES: dict[str, QueryFn] = {
     "event_session": EV.q_event_session,
     "event_session_native": EV.q_event_session_native,
     "event_sliding": EV.q_event_sliding,
+    "gap_fill": EV.q_gap_fill,
     # text analytics
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,
@@ -114,6 +115,7 @@ _QUERIES: dict[str, QueryFn] = {
     "sql_cte_topnation": SQ.q_sql_cte_topnation,
     "event_rollup": SQ.q_event_rollup,
     "pivot_status": SQ.q_pivot_status,
+    "unpivot": R.q_unpivot,
     # window functions
     "window_rank": R.q_window_rank,
     "window_running": R.q_window_running,

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import exact_sum
 from ..sources.catalog import load_table
@@ -139,5 +140,54 @@ def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized per-user hourly series: every hour between a user's
+    first and last event exists in the output (the timescale/hypertable
+    "gap fill"), with n_events = 0 for silent hours and sum_value
+    carried forward from the last active hour.
+
+    Shape: hourly aggregate (one shuffle) → per-user bounds from the
+    AGGREGATE, not the raw events (grid generation touches rows-per-
+    user-hour, not rows-per-event) → `sequence()` + explode builds the
+    dense grid distributed (never a driver loop) → left join the
+    aggregate back on (user, hour) → forward fill as last(ignorenulls)
+    over an unbounded-preceding row frame. Grid size is bounded by
+    users × hours-span; at 100 TB the span is what you'd partition the
+    output by anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("hr0"), F.max("hr").alias("hr1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hr0", "hr1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
         )
     )

@@ -615,3 +615,21 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("type")).alias("type_val"),
         F.element_at(m, F.lit("k")).cast("bigint").alias("k_val"),
     )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): lineitem's four numeric measures become
+    (key, measure, value) rows — the normalization step feeding
+    per-measure statistics or sparse storage. `unpivot` is pure
+    row-local reshaping: no shuffle, stays in whole-stage codegen, and
+    column pruning still reaches the scan (only the id + measure
+    columns are read)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

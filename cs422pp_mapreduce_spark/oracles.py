@@ -834,6 +834,45 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem WHERE l_orderkey % 100 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice
+            FROM lineitem WHERE l_orderkey % 100 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey % 100 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem WHERE l_orderkey % 100 = 0
+        )
+    """,
+    "gap_fill": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hr,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(MIN(hr), MAX(hr),
+                                          INTERVAL 1 HOUR)) AS hr
+            FROM hourly GROUP BY user_id
+        )
+        SELECT g.user_id, g.hr,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.sum_value IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sum_value_ff
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    """,
     "merge_upsert": """
         WITH sampled AS (
             SELECT * FROM orders
