@@ -58,6 +58,7 @@ _QUERIES: dict[str, QueryFn] = {
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,
     "group_agg": R.q_group_agg,
+    "skewed_agg": R.q_skewed_agg,
     "hash_join": R.q_hash_join,
     "broadcast_join": R.q_broadcast_join,
     # event-time windows
@@ -95,6 +96,7 @@ _QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": S.q_kmeans_clusters,
     # multimodal (synthetic blobs → Arrow mapInPandas header decode)
     "media_meta": MM.q_media_meta,
+    "media_frames": MM.q_media_frames,
     # corpus pipeline (quality→lang→dedup→tokens, one plan)
     "corpus_prep": CP.q_corpus_prep,
     # table maintenance (MERGE-style upsert)

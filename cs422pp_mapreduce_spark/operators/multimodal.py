@@ -191,3 +191,18 @@ def media_metadata_filter_then_decode(media: DataFrame, min_bytes: int) -> DataF
     pushdown-eligible), expensive Python decode only on survivors."""
     survivors = media.where(F.length("blob") >= min_bytes)
     return extract_image_meta(survivors)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the frame-sampling path: synthesize media,
+    explode every 2nd payload byte as a 'frame' through the Arrow
+    mapInPandas kernel, return frames hex-encoded (JVM `hex`) so the
+    comparison is engine-portable text. The oracle recomputes frames
+    arithmetically from doc_id (payload = md5 prefix), so a hash match
+    proves blob build → Arrow batch → per-blob explode → byte slicing
+    all round-trip exactly."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_nth=2)
+    return frames.select(
+        "media_id", "frame_no", F.hex("frame").alias("frame_hex")
+    )

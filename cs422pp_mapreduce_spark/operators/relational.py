@@ -633,3 +633,33 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation as a contract query: revenue +
+    row count per l_returnflag (3 hot keys over the whole fact — the
+    textbook skewed-aggregation shape) computed via salting
+    (functions/skew.salted_sum_count): stage 1 spreads each hot key
+    over 16 salt buckets, stage 2 merges partials. Decimal-routed sums
+    make the result bit-identical to the unsalted single-stage plan,
+    which is exactly what the DuckDB oracle runs — the gate proves the
+    decomposition is lossless, not just close."""
+    from ..functions.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    out = salted_sum_count(
+        li,
+        ["l_returnflag"],
+        {
+            "revenue": (F.sum(rev), "sum"),
+            "n_rows": (F.count(F.lit(1)), "count"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_rows",
+    )

@@ -834,6 +834,12 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    "skewed_agg": f"""
+        SELECT l_returnflag,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "unpivot": """
         SELECT l_orderkey, l_linenumber, measure, value FROM (
             SELECT l_orderkey, l_linenumber,
@@ -992,6 +998,23 @@ ORACLES: dict[str, str] = {
                CAST(10 + doc_id % 8 AS BIGINT) AS n_bytes,
                TRUE AS ok
         FROM documents
+    """,
+    # Frames are every-2nd payload byte; payload = md5-hex prefix of
+    # doc_id, length (doc_id % 8 + 1) bytes. frame_no is the 0-based
+    # BYTE index (steps of 2), frame_hex the uppercase hex of that byte.
+    "media_frames": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   doc_id % 8 + 1 AS plen,
+                   upper(md5(CAST(doc_id AS VARCHAR))) AS h
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(unnest(generate_series(0, plen - 1, 2)) AS INT)
+                   AS frame_no,
+               substr(h, unnest(generate_series(0, plen - 1, 2)) * 2 + 1, 2)
+                   AS frame_hex
+        FROM m
     """,
     # Fixed-key map layout: the oracle recomputes keys/values directly
     # (map built from literals + the single-key props JSON).
