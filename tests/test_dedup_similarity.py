@@ -182,6 +182,31 @@ def test_embedding_neardup_finds_planted_pairs(spark, tmp_path):
     assert lsh <= exact  # verify step admits no false positives
     assert len(lsh) / len(exact) >= 0.9  # banded recall bar
 
+    # Non-vacuous oracle agreement: the driver's embeddings are uniform
+    # random, so the gate's exact-neardup comparison matches at 0 rows;
+    # here the same DuckDB oracle runs on planted data with a NON-empty
+    # answer and must still agree pairwise with Spark (rounded sim too).
+    import duckdb
+
+    from cs422pp_mapreduce_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {
+        (a, b): sim
+        for a, b, sim in con.execute(
+            ORACLES["embedding_neardup_exact"]
+        ).fetchall()
+    }
+    spark_pairs = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in S.q_embedding_neardup_exact(spark, d).collect()
+    }
+    assert spark_pairs == oracle
+
 
 def test_ann_ivf_runs_and_is_ordered(spark, sf_dir):
     rows = S.q_ann_ivf(spark, sf_dir).collect()
