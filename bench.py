@@ -40,6 +40,13 @@ HEADLINE = [
     "text_stats",
     "tpch_q3",
     "corpus_prep",
+    # round-2 additions (BASELINE.md round-2 table)
+    "tfidf",
+    "dedup_clusters",
+    "merge_upsert",
+    "gap_fill",
+    "tpch_q19",
+    "skewed_agg",
 ]
 
 RUNS = 3
