@@ -67,6 +67,7 @@ _QUERIES: dict[str, QueryFn] = {
     "event_session_native": EV.q_event_session_native,
     "event_sliding": EV.q_event_sliding,
     "gap_fill": EV.q_gap_fill,
+    "funnel": EV.q_funnel,
     # text analytics
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,
@@ -76,6 +77,10 @@ _QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": TX.q_deterministic_sample,
     "tfidf": TX.q_tfidf,
     "inverted_index": TX.q_inverted_index,
+    "doc_chunk": TX.q_doc_chunk,
+    "bigram_freq": TX.q_bigram_freq,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
     # dedup (minhash/simhash are approximate/hash-family-specific →
     # rows-only check; exact-Jaccard containment asserted in tests)
     "dedup_exact": D.q_dedup_exact,
@@ -131,6 +136,8 @@ _QUERIES: dict[str, QueryFn] = {
     "percentile_agg": R.q_percentile_agg,
     "approx_agg": R.q_approx_agg,  # sketches → rows-only check
     "collect_agg": R.q_collect_agg,
+    "price_histogram": R.q_price_histogram,
+    "table_profile": R.q_table_profile,
     "having": R.q_having,
     # TPC-H long tail (family represented by q3..q18 in the front block)
     "tpch_q7": TQ.q_tpch_q7,

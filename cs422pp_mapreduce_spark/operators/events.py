@@ -144,6 +144,40 @@ def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: per-user
+    first-occurrence timestamps per step, then strict-order counts.
+
+    The classic product-analytics operator: ONE conditional aggregation
+    (min-if per step) collapses the event log to a row per user — no
+    per-step self-joins, which at 100 TB would be three shuffles of the
+    full log instead of one. NULL ordering does the step gating: a user
+    missing a step yields NULL firsts, and NULL comparisons drop out of
+    the sums in both engines identically."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            first_ts("signup").alias("t_signup"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_purchase"),
+        )
+    )
+    step2 = F.col("t_signup") < F.col("t_click")
+    step3 = step2 & (F.col("t_click") < F.col("t_purchase"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_signup").isNotNull().cast("long")).alias("n_signup"),
+        F.sum(step2.cast("long")).alias("n_signup_then_click"),
+        F.sum(step3.cast("long")).alias("n_full_funnel"),
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regularized per-user hourly series: every hour between a user's
     first and last event exists in the output (the timescale/hypertable

@@ -462,6 +462,63 @@ def q_exact_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (20k-wide buckets):
+    bucket id by floor-division, count + exact-decimal mass per bucket.
+
+    Binning is a pure projection, so the histogram is one partial→final
+    hash aggregate over O(buckets) groups — the distributed analog of a
+    single-pass histogram, and the shape profilers/BI layers push down."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("long")
+    return (
+        orders.select(bucket.alias("price_bucket"), "o_totalprice")
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 2, "total_value"),
+        )
+    )
+
+
+# Profiled columns of ``orders`` (name, null-count + distinct-count).
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary of ``orders``: per-column null count and
+    exact distinct count, plus the table rowcount, in ONE pass.
+
+    All metrics aggregate in a single scan (one agg row), then a
+    ``stack`` melts the row into (column_name, metric...) long form —
+    profiling N columns costs one job, not N. The exact distincts
+    expand to Spark's multi-distinct plan; a 100 TB profiler would flip
+    them to HLL sketches (q_approx_agg) with the same output shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    stack = ", ".join(
+        f"'{c}', n_rows, nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median + p90). Exact
     percentile is a sort-based aggregate — fine per-group; at 100 TB

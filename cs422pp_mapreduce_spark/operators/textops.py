@@ -136,6 +136,127 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 40  # tokens per chunk
+CHUNK_STRIDE = 30  # tokens between chunk starts (overlap = 10)
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (CHUNK_SIZE tokens, CHUNK_STRIDE stride) — the context-window
+    packing step an LLM training pipeline runs before tokenization.
+
+    Shape: tokenize once, posexplode a small per-doc start-offset
+    array (sequence), slice the token array per chunk — all codegen'd
+    array expressions, zero Python, one narrow explode whose fan-out
+    is ceil(tokens/stride) per doc. No shuffle at all: chunking is
+    embarrassingly parallel, and at 100 TB it stays a map-only stage
+    that chains onto the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+    chunks = toks.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start"), F.lit(CHUNK_SIZE))
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_SIZE), F.size("toks") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+
+
+def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (count >= 5) — the n-gram statistics
+    pass behind collocation mining and LM smoothing tables.
+
+    Bigrams come from zip_with over two shifted slices of the token
+    array (adjacent-pair join inside the row, no self-join, no
+    positional shuffle); the only shuffle is the final count, which
+    partial-aggregates map-side first. A deliberately shallow HOF
+    stack — wide lambda pyramids blow up Janino codegen (BASELINE.md
+    round-1 note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(nonempty_tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigram = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        toks.select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+
+
+# Per-language sampling percentages: oversample low-resource languages,
+# downsample the dominant one — the usual corpus-balancing move.
+STRATA_PCT = {"en": 5, "de": 10, "es": 20, "fr": 30, "zh": 50}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via
+    the same hash-mod bucketing as q_deterministic_sample.
+
+    Unlike ``df.sampleBy`` (rand()-seeded, partitioning-sensitive),
+    membership is a pure function of the key, so the stratified split
+    is reproducible across engines and re-layouts. Pure codegen'd
+    expressions, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in STRATA_PCT.items():
+        expr = (
+            F.when(F.col("lang") == lang, pct)
+            if expr is None
+            else expr.when(F.col("lang") == lang, pct)
+        )
+    rate = expr.otherwise(0)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("sample_bucket"),
+        rate.cast("long").alias("keep_pct"),
+    ).where(F.col("sample_bucket") < rate)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the event stream: pseudonymize the user key
+    (keyed md5 → stable opaque token) and redact numeric literals in
+    the free-form props payload.
+
+    The redaction regex runs JVM-side (codegen'd regexp_replace), the
+    pseudonym is a pure hash of the key — so the scrub is a map-only
+    stage with no shuffle, and the pseudonym remains joinable across
+    tables scrubbed the same way (referential integrity preserved,
+    the property GDPR-style pipelines need)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit("u_"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+        ).alias("user_pseudo"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        "event_type",
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token → sorted postings list (distinct doc_ids) + document
     frequency — the retrieval-index build as one aggregation.

@@ -1033,6 +1033,105 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
+    # --- LLM-pipeline text surface (round 2) -------------------------------
+    # Chunking: starts at 1, 31, 61, ... (stride 30); DuckDB list slicing
+    # is 1-based inclusive, so a 40-token chunk is toks[start : start+39].
+    "doc_chunk": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1, 30)) AS start
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start : start + 39], ' ') AS chunk_text,
+               CAST(least(40, len(toks) - start + 1) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM s
+    """,
+    "bigram_freq": """
+        WITH t AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), b AS (
+            SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM b GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+    "stratified_sample": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 AS sample_bucket,
+                   CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 10
+                             WHEN 'es' THEN 20 WHEN 'fr' THEN 30
+                             WHEN 'zh' THEN 50 ELSE 0 END AS keep_pct
+            FROM documents
+        )
+        SELECT doc_id, lang, sample_bucket, CAST(keep_pct AS BIGINT) AS keep_pct
+        FROM d WHERE sample_bucket < keep_pct
+    """,
+    "pii_redact": """
+        SELECT event_id,
+               'u_' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                   AS user_pseudo,
+               regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+               event_type
+        FROM events
+    """,
+    # --- analytics / profiling (round 2) -----------------------------------
+    "funnel": """
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               SUM(CAST(t_signup IS NOT NULL AS BIGINT)) AS n_signup,
+               SUM(CAST(t_signup < t_click AS BIGINT)) AS n_signup_then_click,
+               SUM(CAST(t_signup < t_click AND t_click < t_purchase AS BIGINT))
+                   AS n_full_funnel
+        FROM f
+    """,
+    "price_histogram": f"""
+        SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS price_bucket,
+               COUNT(*) AS n_orders,
+               {_xsum('o_totalprice', 2)} AS total_value
+        FROM orders
+        GROUP BY 1
+    """,
+    "table_profile": """
+        SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+               COUNT(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
 }
 
 # session_window-native variant computes the same sessions.

@@ -1,0 +1,153 @@
+"""Semantic invariants for the round-2 pipeline operators (chunking,
+n-grams, stratified sampling, redaction, funnel, profiling). Cross-
+engine value equality is the oracle gate's job; these tests pin the
+properties the oracle can't see — coverage, overlap, strict ordering,
+referential integrity of pseudonyms."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cs422pp_mapreduce_spark.operators.events import q_funnel
+from cs422pp_mapreduce_spark.operators.relational import (
+    q_price_histogram,
+    q_table_profile,
+)
+from cs422pp_mapreduce_spark.operators.textops import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    STRATA_PCT,
+    q_bigram_freq,
+    q_doc_chunk,
+    q_pii_redact,
+    q_stratified_sample,
+)
+from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+def test_doc_chunk_covers_every_token(spark, sf_dir):
+    """Concatenating each doc's stride-step chunk prefixes rebuilds the
+    full token stream: chunk k contributes its first CHUNK_STRIDE tokens
+    (all of them for the last chunk) — so no token is lost or invented."""
+    chunks = q_doc_chunk(spark, sf_dir)
+    rebuilt = (
+        chunks.withColumn("toks", F.split("chunk_text", " "))
+        .withColumn("is_last", F.col("n_chunk_tokens") <= CHUNK_STRIDE)
+        .withColumn(
+            "contrib",
+            F.when(F.col("is_last"), F.col("toks")).otherwise(
+                F.slice("toks", 1, CHUNK_STRIDE)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "contrib"))
+                    ).contrib
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("orig"),
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .where(F.col("rebuilt") != F.col("orig"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_doc_chunk_sizes(spark, sf_dir):
+    chunks = q_doc_chunk(spark, sf_dir).collect()
+    assert chunks
+    for row in chunks:
+        n = row["n_chunk_tokens"]
+        assert 1 <= n <= CHUNK_SIZE
+        assert len(row["chunk_text"].split(" ")) == n
+
+
+def test_bigram_total_mass(spark, sf_dir):
+    """Sum over ALL bigrams (threshold off ⇒ reuse plan pre-filter) =
+    sum of (len-1) over docs with ≥2 tokens."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n")
+    )
+    expected = (
+        docs.where(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1))
+        .collect()[0][0]
+    )
+    # q_bigram_freq filters cnt >= 5; recompute mass from its parent by
+    # dropping the HAVING via a union of below-threshold counts is more
+    # brittle than re-deriving: assert the >=5 subset mass is <= total
+    # and that every returned count is >= 5.
+    rows = q_bigram_freq(spark, sf_dir).collect()
+    assert rows
+    assert all(r["cnt"] >= 5 for r in rows)
+    assert sum(r["cnt"] for r in rows) <= expected
+
+
+def test_stratified_sample_membership_is_pure_function(spark, sf_dir):
+    rows = q_stratified_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:6], 16)
+        assert h % 100 == r["sample_bucket"]
+        assert r["sample_bucket"] < STRATA_PCT[r["lang"]]
+        assert r["keep_pct"] == STRATA_PCT[r["lang"]]
+
+
+def test_pii_redact_no_digits_and_stable_pseudonyms(spark, sf_dir):
+    out = q_pii_redact(spark, sf_dir)
+    assert out.where(F.col("props_redacted").rlike("[0-9]")).count() == 0
+    # pseudonym is a pure function of user_id: same #distinct values
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert out.select("user_pseudo").distinct().count() == n_users
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    row = q_funnel(spark, sf_dir).collect()[0]
+    assert (
+        row["n_users"]
+        >= row["n_signup"]
+        >= row["n_signup_then_click"]
+        >= row["n_full_funnel"]
+        >= 0
+    )
+
+
+def test_price_histogram_masses(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    hist = q_price_histogram(spark, sf_dir)
+    agg = hist.agg(
+        F.sum("n_orders").alias("n"), F.min("price_bucket").alias("b0")
+    ).collect()[0]
+    assert agg["n"] == orders.count()
+    assert agg["b0"] >= 0  # o_totalprice is non-negative
+
+
+def test_table_profile_one_row_per_column(spark, sf_dir):
+    rows = {r["column_name"]: r for r in q_table_profile(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    assert all(r["n_rows"] == n for r in rows.values())
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderkey"]["n_nulls"] == 0
