@@ -20,6 +20,7 @@ from cs422pp_mapreduce_spark.operators import corpus as CP
 from cs422pp_mapreduce_spark.operators import tpch as TQ
 from cs422pp_mapreduce_spark.operators import dedup as D
 from cs422pp_mapreduce_spark.operators import events as EV
+from cs422pp_mapreduce_spark.operators import graph as GR
 from cs422pp_mapreduce_spark.operators import maintenance as MT
 from cs422pp_mapreduce_spark.operators import multimodal as MM
 from cs422pp_mapreduce_spark.operators import relational as R
@@ -104,8 +105,12 @@ _QUERIES: dict[str, QueryFn] = {
     "media_frames": MM.q_media_frames,
     # corpus pipeline (quality→lang→dedup→tokens, one plan)
     "corpus_prep": CP.q_corpus_prep,
-    # table maintenance (MERGE-style upsert)
+    # table maintenance (MERGE-style upsert, SCD2 history)
     "merge_upsert": MT.q_merge_upsert,
+    "scd2_apply": MT.q_scd2_apply,
+    # graph analytics (iterative DataFrame loop → rows-only;
+    # exact NumPy power-iteration replica in tests)
+    "pagerank": GR.q_pagerank,
     # time-series joins
     "asof_join": AJ.q_asof_join,
     "range_join": AJ.q_range_join,

@@ -1,0 +1,105 @@
+"""Graph analytics as DataFrame loops: PageRank over the
+customer–supplier transaction graph.
+
+The reference has no iterative surface at all (one map→reduce pass,
+/root/reference/mapreduce.cc:200); connected components
+(operators/dedup.py) and Lloyd's k-means (operators/similarity.py)
+established the engine's iterative-algorithm shape — a bounded
+DataFrame loop with ``localCheckpoint()`` per round so lineage stays
+O(1). PageRank is the third member: the canonical
+join→groupBy-per-round algorithm every distributed engine demos.
+
+Scale posture: each round is one join of ranks onto the edge list
+(both sides hash-partitioned on the same key, so AQE keeps it a
+shuffle join co-partitioned across rounds) plus one aggregation. The
+edge list is persisted once and reused by every round. Rank mass sums
+are decimal-routed so the result is independent of partitioning —
+the repo-wide determinism convention (oracles.py) — which is what
+makes the NumPy replica test exact instead of allclose-fuzzy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..sources.catalog import load_table
+
+DAMPING = 0.85
+N_ITERATIONS = 8
+# Supplier node ids are offset into a disjoint range from customers.
+SUPP_OFFSET = 1_000_000
+
+
+def transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier edges from lineitem⋈orders — the
+    bipartite who-bought-from-whom graph. The join shuffles on
+    l_orderkey/o_orderkey; distinct() collapses the ~16× lineitem
+    fan-in before any graph work."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("cust"),
+            (F.col("l_suppkey").cast("long") + SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+
+
+def pagerank(edges_sym: DataFrame, n_iterations: int = N_ITERATIONS) -> DataFrame:
+    """PageRank over a symmetric (src, dst) edge frame: returns
+    (node, pagerank). Dangling nodes cannot occur (every node in a
+    symmetric edge list has out-degree ≥ 1), so no mass-redistribution
+    term is needed and total mass stays 1 up to the damping leak."""
+    edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    out_edges = edges_sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges_sym.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # bounded driver action: one scalar
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+    for _ in range(n_iterations):
+        contrib = (
+            out_edges.join(ranks, out_edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,20)"))
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        ranks = contrib.select(
+            "node",
+            (
+                F.lit((1.0 - DAMPING) / n_nodes)
+                + F.lit(DAMPING) * F.col("inflow")
+            ).alias("rank"),
+        ).localCheckpoint()
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the transaction graph, 8 fixed rounds; output is
+    rounded to 12 decimals per the engine's float-output convention.
+    Iterative + float accumulation ⇒ rows-only driver check; the exact
+    NumPy power-iteration replica is asserted in tests."""
+    edges = transaction_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(edges.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    return (
+        pagerank(sym)
+        .select(
+            "node", (F.round(F.col("rank"), 12) + 0.0).alias("pagerank")
+        )
+    )

@@ -69,6 +69,56 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return source.unionByName(kept)
 
 
+# SCD2 effective date of the deterministic changeset (pure function of
+# the key, like the merge changeset above).
+_SCD2_EFFECTIVE = "1998-01-01"
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a changeset to the
+    ``customer`` dimension, closing the old version of changed rows
+    (valid_to = effective date) and appending the new current version
+    — the warehouse pattern for keeping history instead of
+    overwriting (Kimball SCD type 2).
+
+    The changeset is deterministic: hash-bucket-0 customers (~10%) get
+    a segment upgrade and an account credit. The whole apply is pure
+    projections + one unionByName — NO join at all, because the
+    changeset is derived from the target; with an external CDC feed
+    the plan gains exactly one key join (see merge_upsert) and nothing
+    else. History lives as rows, so downstream time-travel is a
+    ``WHERE valid_from <= ts < valid_to`` filter that pushes down."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    changed = _bucket(F.col("c_custkey")) == 0
+    eff = F.lit(_SCD2_EFFECTIVE).cast("timestamp")
+    base_from = F.lit("1990-01-01").cast("timestamp")
+    old_rows = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        base_from.alias("valid_from"),
+        F.when(changed, eff).alias("valid_to"),
+        F.when(changed, 0).otherwise(1).cast("long").alias("is_current"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    new_rows = cust.where(changed).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    return old_rows.unionByName(new_rows)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the deterministic changeset to orders and return the merged
     table tagged with what happened to each row."""

@@ -908,6 +908,26 @@ ORACLES: dict[str, str] = {
                     ELSE 'kept' END AS merge_action
         FROM merged
     """,
+    "scd2_apply": """
+        WITH cust AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+                       ::BIGINT % 10 = 0 AS changed
+            FROM customer
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN changed THEN TIMESTAMP '1998-01-01' END AS valid_to,
+               CAST(CASE WHEN changed THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_current,
+               CAST(1 AS BIGINT) AS version
+        FROM cust
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0, 'UPGRADED',
+               TIMESTAMP '1998-01-01', NULL, CAST(1 AS BIGINT),
+               CAST(2 AS BIGINT)
+        FROM cust WHERE changed
+    """,
     "tpch_q7": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,

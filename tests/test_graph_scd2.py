@@ -1,0 +1,71 @@
+"""PageRank replica check + SCD2 history invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cs422pp_mapreduce_spark.operators.graph import (
+    DAMPING,
+    N_ITERATIONS,
+    q_pagerank,
+    transaction_edges,
+)
+from cs422pp_mapreduce_spark.operators.maintenance import q_scd2_apply
+from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    edges = transaction_edges(spark, sf_dir).collect()
+    pairs = [(r["cust"], r["supp"]) for r in edges]
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for c, s in pairs:
+        adj[idx[c], idx[s]] = 1.0
+        adj[idx[s], idx[c]] = 1.0
+    outdeg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(N_ITERATIONS):
+        r = (1.0 - DAMPING) / n + DAMPING * (adj.T @ (r / outdeg))
+    got = {row["node"]: row["pagerank"] for row in q_pagerank(spark, sf_dir).collect()}
+    assert len(got) == n
+    expected = {nodes[i]: r[i] for i in range(n)}
+    worst = max(abs(got[k] - expected[k]) for k in expected)
+    assert worst < 1e-9, worst
+    # ranking agrees on the head (ties broken by node id)
+    top_got = sorted(got, key=lambda k: (-got[k], k))[:10]
+    top_exp = sorted(expected, key=lambda k: (-expected[k], k))[:10]
+    assert top_got == top_exp
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    out = q_pagerank(spark, sf_dir)
+    total = out.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_scd2_invariants(spark, sf_dir):
+    hist = q_scd2_apply(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    # exactly one current version per key
+    cur = hist.where(F.col("is_current") == 1)
+    assert cur.count() == n
+    assert cur.select("c_custkey").distinct().count() == n
+    # closed rows: valid_to set, superseded by a version-2 row
+    closed = hist.where(F.col("valid_to").isNotNull())
+    v2 = hist.where(F.col("version") == 2)
+    assert closed.count() == v2.count()
+    assert (
+        closed.select("c_custkey")
+        .exceptAll(v2.select("c_custkey"))
+        .count()
+        == 0
+    )
+    # no overlapping validity: old.valid_to == new.valid_from per key
+    j = closed.alias("o").join(v2.alias("n"), "c_custkey")
+    assert (
+        j.where(F.col("o.valid_to") != F.col("n.valid_from")).count() == 0
+    )
