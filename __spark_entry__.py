@@ -97,6 +97,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_ivf": S.q_ann_ivf,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
     "embedding_neardup": S.q_embedding_neardup,
+    "label_centroid": S.q_label_centroid,
     # iterative ML (Lloyd's k-means as a DataFrame loop → rows-only;
     # exact NumPy-replica assignment check in tests)
     "kmeans_clusters": S.q_kmeans_clusters,
@@ -131,6 +132,7 @@ _QUERIES: dict[str, QueryFn] = {
     # window functions
     "window_rank": R.q_window_rank,
     "window_running": R.q_window_running,
+    "latest_order": R.q_latest_order,
     "window_range": EV.q_event_window_range,
     # aggregation variants
     "count_distinct": R.q_count_distinct,

@@ -244,6 +244,24 @@ def q_intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sort / top-k ---------------------------------------------------------
 
 
+def q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-key dedupe: each customer's most recent order
+    (row_number over a per-key descending sort, keep rank 1 — SQL
+    QUALIFY). THE workhorse for snapshotting mutable entities out of
+    an append-only log; at scale it is one shuffle on the key with the
+    rank computed per partition, and AQE handles hot keys. Unique-key
+    tiebreak (o_orderkey) keeps the winner deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 orders by price; unique-key tiebreak for
     determinism. Compiles to TakeOrderedAndProject (per-partition heaps

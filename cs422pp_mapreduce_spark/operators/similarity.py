@@ -373,3 +373,37 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment against an exact NumPy replica of the same fit."""
     _, assigned = build_ivf_index(spark, sf_dir)
     return assigned.select("vec_id", "cell")
+
+
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, long form (label, dim, centroid_v,
+    n_vecs) — the class-prototype aggregate behind nearest-centroid
+    classifiers, IVF coarse quantizers, and drift monitoring.
+
+    posexplode flattens vectors to (label, dim, value) so the centroid
+    is ONE partial→final hash aggregate over label×dim groups — no
+    collect, no Python, and shuffle volume is O(labels × dims), not
+    O(vectors). Component sums are decimal-routed (the engine's
+    order-independence convention): float32 inputs are exact in
+    double, and the decimal(38,20) accumulator makes the sum
+    independent of partitioning; the mean is rounded to 6 decimals for
+    cross-engine hashing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    return (
+        flat.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,20)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.round(F.col("s") / F.col("n_vecs"), 6) + 0.0).alias(
+                "centroid_v"
+            ),
+            "n_vecs",
+        )
+    )

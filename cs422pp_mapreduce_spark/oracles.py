@@ -1053,6 +1053,30 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
+    "latest_order": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    """,
+    # Centroid sums are decimal(38,20)-routed on both sides so the
+    # accumulation is order-independent; the /n mean is one double
+    # division and the 6-decimal round makes hashing robust.
+    "label_centroid": """
+        WITH flat AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               round(CAST(SUM(CAST(v AS DECIMAL(38,20))) AS DOUBLE)
+                     / COUNT(*), 6) + 0.0 AS centroid_v,
+               COUNT(*) AS n_vecs
+        FROM flat GROUP BY label, dim
+    """,
     # --- LLM-pipeline text surface (round 2) -------------------------------
     # Chunking: starts at 1, 31, 61, ... (stride 30); DuckDB list slicing
     # is 1-based inclusive, so a 40-token chunk is toks[start : start+39].
