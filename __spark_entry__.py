@@ -69,6 +69,7 @@ _QUERIES: dict[str, QueryFn] = {
     "event_sliding": EV.q_event_sliding,
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
+    "rolling_active_users": EV.q_rolling_active_users,
     # text analytics
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,

@@ -144,6 +144,45 @@ def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU
+    rollup), EXACT — via contribution explode, not window-distinct.
+
+    COUNT(DISTINCT) over a sliding frame isn't supported by any
+    engine's window path without buffering the full set per row; the
+    scalable exact formulation is: collapse to distinct (user, day)
+    [shuffle 1, volume O(user-days)], explode each into the ≤7 report
+    days it contributes to (sequence — JVM-side, fan-out bounded by
+    the window length), then count distinct users per report day
+    [shuffle 2, volume O(user-days × 7)]. Both shuffles are on compact
+    keys; nothing ever holds a per-window user set in memory. Report
+    days are clamped to the observed range so counts near the edge
+    reflect real data, not phantom future days."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    max_day = user_days.agg(F.max("day").alias("max_day"))
+    contrib = user_days.crossJoin(F.broadcast(max_day)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day",
+                F.least(F.date_add("day", 6), F.col("max_day")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.col("report_day").cast("timestamp").alias("report_day"),
+            "active_users_7d",
+        )
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase: per-user
     first-occurrence timestamps per step, then strict-order counts.

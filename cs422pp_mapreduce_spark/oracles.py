@@ -1131,6 +1131,22 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     # --- analytics / profiling (round 2) -----------------------------------
+    "rolling_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), mx AS (SELECT MAX(day) AS max_day FROM ud),
+        c AS (
+            SELECT user_id,
+                   unnest(generate_series(
+                       CAST(day AS TIMESTAMP),
+                       CAST(least(day + 6, max_day) AS TIMESTAMP),
+                       INTERVAL 1 DAY))::DATE AS report_day
+            FROM ud, mx
+        )
+        SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+               COUNT(DISTINCT user_id) AS active_users_7d
+        FROM c GROUP BY report_day
+    """,
     "funnel": """
         WITH f AS (
             SELECT user_id,

@@ -83,3 +83,33 @@ def test_tfidf_reuses_cached_tf(spark, sf_dir):
     assert plan.count("InMemoryTableScan") == 2
     # the only live parquet read is the column-pruned n_docs count scan
     assert "ReadSchema: struct<>" in plan
+
+
+def test_map_only_pipeline_ops_have_zero_shuffles(spark, sf_dir):
+    """Chunking, redaction, and stratified sampling are map-only:
+    their plans must contain NO Exchange at all — at 100 TB they chain
+    onto the scan as one stage."""
+    from cs422pp_mapreduce_spark.operators import textops as TX
+    from cs422pp_mapreduce_spark.plans.explain import count_shuffles
+
+    assert count_shuffles(TX.q_doc_chunk(spark, sf_dir)) == 0
+    assert count_shuffles(TX.q_pii_redact(spark, sf_dir)) == 0
+    assert count_shuffles(TX.q_stratified_sample(spark, sf_dir)) == 0
+
+
+def test_latest_order_single_shuffle(spark, sf_dir):
+    """Top-1-per-key is one hash exchange on the key + per-partition
+    sort — no global sort, no join."""
+    from cs422pp_mapreduce_spark.plans.explain import count_shuffles, explain_str
+
+    df = R.q_latest_order(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert "WindowGroupLimit" in explain_str(df) or "Window" in explain_str(df)
+
+
+def test_funnel_is_two_aggregates_no_join(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import events as EV
+    from cs422pp_mapreduce_spark.plans.explain import explain_str
+
+    plan = explain_str(EV.q_funnel(spark, sf_dir))
+    assert "Join" not in plan  # conditional agg, not per-step self-joins
