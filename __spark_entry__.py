@@ -79,6 +79,7 @@ _QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": TX.q_deterministic_sample,
     "tfidf": TX.q_tfidf,
     "inverted_index": TX.q_inverted_index,
+    "keyword_extract": TX.q_keyword_extract,
     "doc_chunk": TX.q_doc_chunk,
     "bigram_freq": TX.q_bigram_freq,
     "stratified_sample": TX.q_stratified_sample,
@@ -153,6 +154,7 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q15": TQ.q_tpch_q15,
     "tpch_q17": TQ.q_tpch_q17,
     "tpch_q19": TQ.q_tpch_q19,
+    "tpch_q22": TQ.q_tpch_q22,
     # joins & set ops
     "multi_join_agg": R.q_multi_join_agg,
     "semi_join": R.q_semi_join,

@@ -277,3 +277,27 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("doc_id")).alias("postings"),
         F.count_distinct("doc_id").alias("df"),
     )
+
+
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by TF-IDF — the keyword-extraction
+    composition: the tfidf aggregate feeds a per-doc ranking window
+    (row_number over tfidf DESC with token tiebreak), which compiles
+    to WindowGroupLimit: the top-3 cut applies per partition BEFORE
+    the final per-doc sort, so the window shuffle carries candidates,
+    not the full (doc, token) matrix. Ranking runs on the rounded
+    tfidf both here and in the oracle, so ordering is engine-stable."""
+    from pyspark.sql.window import Window
+
+    tfidf = q_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        tfidf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tfidf",
+            F.col("rn").cast("long").alias("kw_rank"),
+        )
+    )

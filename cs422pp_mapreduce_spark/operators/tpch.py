@@ -345,3 +345,40 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global-sales-opportunity), adapted: nation key stands
+    in for the phone country code the fixtures lack. Wealthy-but-idle
+    customers — balance above the global positive-balance average, no
+    orders — counted per nation.
+
+    The three classic pieces: a scalar aggregate subquery (1-row
+    broadcast, exact-decimal avg so the threshold is bit-stable), an
+    anti join against orders (no order ever ships the big side twice),
+    and a final partial→final aggregate. At 100 TB: customer scans
+    once, orders scans once (keys only, price filter pushed to the
+    scan), the scalar threshold broadcasts. Every fixture customer
+    has SOME order, so the idleness predicate is "no large order"
+    (> 300k) — same plan, non-vacuous output."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        exact_avg("c_acctbal", 2, "avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(F.col("o_totalprice") > 300000.0).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", 2, "totacctbal"),
+        )
+    )

@@ -1077,6 +1077,22 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_vecs
         FROM flat GROUP BY label, dim
     """,
+    # Q22 shape: scalar avg subquery (exact-decimal) + anti join + agg.
+    "tpch_q22": f"""
+        WITH thresh AS (
+            SELECT {_xsum('c_acctbal', 2)} / COUNT(c_acctbal) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               {_xsum('c_acctbal', 2)} AS totacctbal
+        FROM customer, thresh
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+          )
+        GROUP BY c_nationkey
+    """,
     # --- LLM-pipeline text surface (round 2) -------------------------------
     # Chunking: starts at 1, 31, 61, ... (stride 30); DuckDB list slicing
     # is 1-based inclusive, so a 40-token chunk is toks[start : start+39].
@@ -1197,3 +1213,16 @@ ORACLES: dict[str, str] = {
 # session_window-native variant computes the same sessions.
 ORACLES["event_session_native"] = ORACLES["event_session"]
 
+
+# Keyword extraction composes the tfidf oracle with a per-doc top-3
+# QUALIFY; ranking runs on the same rounded tfidf as the Spark side,
+# with the token as tiebreak.
+ORACLES["keyword_extract"] = f"""
+    WITH base AS ({ORACLES['tfidf']})
+    SELECT doc_id, token, tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token
+           ) AS BIGINT) AS kw_rank
+    FROM base
+    QUALIFY kw_rank <= 3
+"""
