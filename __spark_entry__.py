@@ -48,13 +48,14 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 # Registration order is part of the contract: the driver's correctness
-# budget may only cover a prefix (round 1 recorded exactly the first 50),
-# so every operator FAMILY sits inside the first ~40 slots — one
-# representative of each family early, the long tail of scalar-function
-# and set-op variants last (they are the cheapest and most redundant
-# coverage).
+# budget may only cover a prefix (round 1 recorded exactly the first 50 of 68),
+# so the first ~50 slots hold ONE representative of EVERY operator
+# family — core relational, joins, set ops, top-k, windows, aggregate
+# variants, profiling, scalar functions, SQL surface, reshaping,
+# event-time, text/LLM pipeline, dedup, similarity, multimodal,
+# maintenance, graph, time-series joins, TPC-H — and the long tail of
+# within-family variants follows.
 _QUERIES: dict[str, QueryFn] = {
-    # flagship + core relational
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,
@@ -62,120 +63,98 @@ _QUERIES: dict[str, QueryFn] = {
     "skewed_agg": R.q_skewed_agg,
     "hash_join": R.q_hash_join,
     "broadcast_join": R.q_broadcast_join,
-    # event-time windows
+    "semi_join": R.q_semi_join,
+    "anti_join": R.q_anti_join,
+    "union_distinct": R.q_union_distinct,
+    "topk": R.q_topk,
+    "window_rank": R.q_window_rank,
+    "latest_order": R.q_latest_order,
+    "count_distinct": R.q_count_distinct,
+    "rollup_agg": R.q_rollup_agg,
+    "percentile_agg": R.q_percentile_agg,
+    "price_histogram": R.q_price_histogram,
+    "table_profile": R.q_table_profile,
+    "string_funcs": R.q_string_funcs,
+    "date_funcs": R.q_date_funcs,
+    "grouping_sets": SQ.q_grouping_sets,
+    "sql_subquery": SQ.q_sql_subquery,
+    "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
-    "event_session_native": EV.q_event_session_native,
-    "event_sliding": EV.q_event_sliding,
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
     "rolling_active_users": EV.q_rolling_active_users,
-    # text analytics
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,
+    "tfidf": TX.q_tfidf,
+    "keyword_extract": TX.q_keyword_extract,
+    "doc_chunk": TX.q_doc_chunk,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
+    "dedup_exact": D.q_dedup_exact,
+    "dedup_ngram": D.q_dedup_ngram,
+    "dedup_minhash": D.q_dedup_minhash,
+    "dedup_clusters": D.q_dedup_clusters,
+    "topk_similarity": S.q_topk_similarity,
+    "ann_lsh": S.q_ann_lsh,
+    "embedding_neardup": S.q_embedding_neardup,
+    "label_centroid": S.q_label_centroid,
+    "kmeans_clusters": S.q_kmeans_clusters,
+    "media_meta": MM.q_media_meta,
+    "corpus_prep": CP.q_corpus_prep,
+    "merge_upsert": MT.q_merge_upsert,
+    "scd2_apply": MT.q_scd2_apply,
+    "pagerank": GR.q_pagerank,
+    "asof_join": AJ.q_asof_join,
+    "range_join": AJ.q_range_join,
+    "tpch_q3": TQ.q_tpch_q3,
+    "tpch_q6": TQ.q_tpch_q6,
+    "ann_ivf": S.q_ann_ivf,
+    "media_frames": MM.q_media_frames,
+    "event_session_native": EV.q_event_session_native,
+    "event_sliding": EV.q_event_sliding,
+    "window_range": EV.q_event_window_range,
     "quality_score": TX.q_quality_score,
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
-    "tfidf": TX.q_tfidf,
     "inverted_index": TX.q_inverted_index,
-    "keyword_extract": TX.q_keyword_extract,
-    "doc_chunk": TX.q_doc_chunk,
     "bigram_freq": TX.q_bigram_freq,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
-    # dedup (minhash/simhash are approximate/hash-family-specific →
-    # rows-only check; exact-Jaccard containment asserted in tests)
-    "dedup_exact": D.q_dedup_exact,
     "dedup_fingerprint": D.q_dedup_fingerprint,
-    "dedup_ngram": D.q_dedup_ngram,
-    "dedup_minhash": D.q_dedup_minhash,
     "dedup_simhash": D.q_dedup_simhash,
-    "dedup_clusters": D.q_dedup_clusters,
-    # similarity search (ann_lsh/ann_ivf are approximate → rows-only;
-    # recall vs the exact baseline asserted in tests)
-    "topk_similarity": S.q_topk_similarity,
-    "ann_lsh": S.q_ann_lsh,
-    "ann_ivf": S.q_ann_ivf,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
-    "embedding_neardup": S.q_embedding_neardup,
-    "label_centroid": S.q_label_centroid,
-    # iterative ML (Lloyd's k-means as a DataFrame loop → rows-only;
-    # exact NumPy-replica assignment check in tests)
-    "kmeans_clusters": S.q_kmeans_clusters,
-    # multimodal (synthetic blobs → Arrow mapInPandas header decode)
-    "media_meta": MM.q_media_meta,
-    "media_frames": MM.q_media_frames,
-    # corpus pipeline (quality→lang→dedup→tokens, one plan)
-    "corpus_prep": CP.q_corpus_prep,
-    # table maintenance (MERGE-style upsert, SCD2 history)
-    "merge_upsert": MT.q_merge_upsert,
-    "scd2_apply": MT.q_scd2_apply,
-    # graph analytics (iterative DataFrame loop → rows-only;
-    # exact NumPy power-iteration replica in tests)
-    "pagerank": GR.q_pagerank,
-    # time-series joins
-    "asof_join": AJ.q_asof_join,
-    "range_join": AJ.q_range_join,
-    # TPC-H shapes
-    "tpch_q3": TQ.q_tpch_q3,
     "tpch_q5": TQ.q_tpch_q5,
-    "tpch_q6": TQ.q_tpch_q6,
     "tpch_q10": TQ.q_tpch_q10,
     "tpch_q14": TQ.q_tpch_q14,
     "tpch_q18": TQ.q_tpch_q18,
-    # SQL surface (spark.sql over registered views)
-    "grouping_sets": SQ.q_grouping_sets,
-    "sql_subquery": SQ.q_sql_subquery,
-    "sql_cte_topnation": SQ.q_sql_cte_topnation,
-    "event_rollup": SQ.q_event_rollup,
-    "pivot_status": SQ.q_pivot_status,
-    "unpivot": R.q_unpivot,
-    # window functions
-    "window_rank": R.q_window_rank,
-    "window_running": R.q_window_running,
-    "latest_order": R.q_latest_order,
-    "window_range": EV.q_event_window_range,
-    # aggregation variants
-    "count_distinct": R.q_count_distinct,
-    "exact_distinct_agg": R.q_exact_distinct_agg,
-    "rollup_agg": R.q_rollup_agg,
-    "cube_agg": R.q_cube_agg,
-    "stats_agg": R.q_stats_agg,
-    "percentile_agg": R.q_percentile_agg,
-    "approx_agg": R.q_approx_agg,  # sketches → rows-only check
-    "collect_agg": R.q_collect_agg,
-    "price_histogram": R.q_price_histogram,
-    "table_profile": R.q_table_profile,
-    "having": R.q_having,
-    # TPC-H long tail (family represented by q3..q18 in the front block)
     "tpch_q7": TQ.q_tpch_q7,
     "tpch_q13": TQ.q_tpch_q13,
     "tpch_q15": TQ.q_tpch_q15,
     "tpch_q17": TQ.q_tpch_q17,
     "tpch_q19": TQ.q_tpch_q19,
     "tpch_q22": TQ.q_tpch_q22,
-    # joins & set ops
+    "sql_cte_topnation": SQ.q_sql_cte_topnation,
+    "event_rollup": SQ.q_event_rollup,
+    "pivot_status": SQ.q_pivot_status,
+    "window_running": R.q_window_running,
+    "window_lag": R.q_window_lag,
+    "window_misc": R.q_window_misc,
+    "exact_distinct_agg": R.q_exact_distinct_agg,
+    "cube_agg": R.q_cube_agg,
+    "stats_agg": R.q_stats_agg,
+    "approx_agg": R.q_approx_agg,
+    "collect_agg": R.q_collect_agg,
+    "having": R.q_having,
     "multi_join_agg": R.q_multi_join_agg,
-    "semi_join": R.q_semi_join,
-    "anti_join": R.q_anti_join,
     "outer_join": R.q_outer_join,
     "cross_join": R.q_cross_join,
-    "union_distinct": R.q_union_distinct,
     "union_all": R.q_union_all,
     "except_op": R.q_except_op,
     "intersect_op": R.q_intersect_op,
-    "topk": R.q_topk,
-    # remaining window variants
-    "window_lag": R.q_window_lag,
-    "window_misc": R.q_window_misc,
-    # scalar-function surface
     "case_expr": R.q_case_expr,
     "null_handling": R.q_null_handling,
     "array_funcs": R.q_array_funcs,
-    "string_funcs": R.q_string_funcs,
     "string_funcs2": R.q_string_funcs2,
-    "date_funcs": R.q_date_funcs,
     "date_funcs2": R.q_date_funcs2,
     "math_funcs": R.q_math_funcs,
     "json_funcs": R.q_json_funcs,
