@@ -84,6 +84,7 @@ _QUERIES: dict[str, QueryFn] = {
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
     "rolling_active_users": EV.q_rolling_active_users,
+    "outlier_events": EV.q_outlier_events,
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,
     "tfidf": TX.q_tfidf,
@@ -93,6 +94,7 @@ _QUERIES: dict[str, QueryFn] = {
     "pii_redact": TX.q_pii_redact,
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram": D.q_dedup_ngram,
+    "fuzzy_name_match": D.q_fuzzy_name_match,
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_clusters": D.q_dedup_clusters,
     "topk_similarity": S.q_topk_similarity,

@@ -47,6 +47,16 @@ HEADLINE = [
     "gap_fill",
     "tpch_q19",
     "skewed_agg",
+    # round-2 wave 2: LLM-pipeline + analytics + iterative families
+    "doc_chunk",
+    "keyword_extract",
+    "rolling_active_users",
+    "funnel",
+    "label_centroid",
+    "latest_order",
+    "scd2_apply",
+    "tpch_q22",
+    "pagerank",
 ]
 
 RUNS = 3

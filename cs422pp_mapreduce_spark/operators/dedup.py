@@ -389,3 +389,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: customer-name pairs within edit distance 1, via
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007) — the
+    scale-correct fuzzy join.
+
+    Candidates come from an equi-join on deletion variants (a pair is
+    within lev ≤ 1 iff their {self + 1-deletion} neighborhoods
+    intersect), so the join is O(names × length) keys, NEVER the
+    all-pairs cross join the DuckDB oracle runs at test scale. Exact
+    levenshtein verifies candidates only — same candidates-then-verify
+    shape as MinHash→Jaccard above."""
+    names = (
+        load_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("c_name")),
+        lambda i: F.concat(
+            F.substr(F.col("c_name"), F.lit(1), i - 1),
+            F.substr(F.col("c_name"), i + 1, F.length("c_name")),
+        ),
+    )
+    keyed = names.select(
+        "c_name",
+        F.explode(
+            F.array_union(F.array(F.col("c_name")), dels)
+        ).alias("variant"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("a.c_name") < F.col("b.c_name"))
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= 1).select(
+        "name_a", "name_b", dist.cast("long").alias("edit_dist")
+    )

@@ -264,3 +264,37 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
         )
     )
+
+
+def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value is > 3σ from their
+    type's mean (z-score on explicit decimal-routed moment sums — the
+    same order-independent formulation as q_stats_agg, so mean/σ are
+    bit-identical across partitionings and engines, making even the
+    boundary of the outlier set deterministic).
+
+    Per-type moments are one partial→final aggregate over O(types)
+    groups, broadcast back onto the stream — two passes over events,
+    no shuffle of the big side. The z column is rounded for hashing;
+    the filter runs on the unrounded value."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    s2 = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,4)")
+    ).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        (s1 / n).alias("m"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("sd"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(F.col("value") - F.col("m")) > 3.0 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.round(z, 6) + 0.0).alias("z"),
+        )
+    )

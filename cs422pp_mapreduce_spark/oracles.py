@@ -1146,6 +1146,30 @@ ORACLES: dict[str, str] = {
                event_type
         FROM events
     """,
+    # Record linkage: the oracle is the brute-force all-pairs join —
+    # correct at test scale; the Spark side must produce the identical
+    # pair set from deletion-neighborhood candidates.
+    "fuzzy_name_match": """
+        WITH w AS (SELECT DISTINCT c_name FROM customer)
+        SELECT a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        FROM w a JOIN w b ON a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    "outlier_events": """
+        WITH s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+                       AS s2
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               round((value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) + 0.0 AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE abs(value - s1 / n) > 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))
+    """,
     # --- analytics / profiling (round 2) -----------------------------------
     "rolling_active_users": """
         WITH ud AS (

