@@ -63,12 +63,14 @@ _QUERIES: dict[str, QueryFn] = {
     "skewed_agg": R.q_skewed_agg,
     "hash_join": R.q_hash_join,
     "broadcast_join": R.q_broadcast_join,
+    "null_safe_join": R.q_null_safe_join,
     "semi_join": R.q_semi_join,
     "anti_join": R.q_anti_join,
     "union_distinct": R.q_union_distinct,
     "topk": R.q_topk,
     "window_rank": R.q_window_rank,
     "latest_order": R.q_latest_order,
+    "revenue_share": R.q_revenue_share,
     "count_distinct": R.q_count_distinct,
     "rollup_agg": R.q_rollup_agg,
     "percentile_agg": R.q_percentile_agg,

@@ -376,6 +376,72 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the semantics
+    CDC/merge pipelines need when the join key is nullable.
+
+    The fixture keys are non-null, so a nullable key is derived
+    (nullif(o_orderstatus, 'F')): 'F' rows join through the NULL arm,
+    proving both match paths. Spark plans ``<=>`` as an ordinary hash
+    join (NULL hashes to a regular bucket), NOT a cartesian fallback —
+    same single-shuffle shape at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("P", "pending"), (None, "finished")],
+        "status_key string, status_name string",
+    )
+    key = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return (
+        orders.withColumn("o_status_key", key)
+        .join(
+            F.broadcast(dim),
+            F.col("o_status_key").eqNullSafe(dim.status_key),
+        )
+        .groupBy("status_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 2, "total_value"),
+        )
+    )
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's revenue share via an
+    unpartitioned window sum over the aggregated (25-row) result — the
+    classic BI ratio. The whole-table window runs AFTER aggregation,
+    so the single-partition window stage sees O(groups) rows, never
+    the fact table (the plan a naive total-subquery join would also
+    reach, minus the extra scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "revenue",
+            )
+        )
+    )
+    total = F.sum(F.col("revenue").cast("decimal(18,4)")).over(
+        Window.partitionBy()
+    ).cast("double")
+    return rev.select(
+        "n_name",
+        "revenue",
+        (F.round(F.col("revenue") / total * 100.0, 6) + 0.0).alias(
+            "revenue_share_pct"
+        ),
+    )
+
+
 # --- scalar functions -----------------------------------------------------
 
 

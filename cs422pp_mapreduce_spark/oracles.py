@@ -1146,6 +1146,32 @@ ORACLES: dict[str, str] = {
                event_type
         FROM events
     """,
+    "null_safe_join": f"""
+        WITH dim(status_key, status_name) AS (
+            VALUES ('O', 'open'), ('P', 'pending'), (NULL, 'finished')
+        )
+        SELECT status_name, COUNT(*) AS n_orders,
+               {_xsum('o_totalprice', 2)} AS total_value
+        FROM orders JOIN dim
+          ON nullif(o_orderstatus, 'F') IS NOT DISTINCT FROM status_key
+        GROUP BY status_name
+    """,
+    "revenue_share": f"""
+        WITH rev AS (
+            SELECT n_name,
+                   {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue,
+               round(revenue
+                     / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER ()
+                            AS DOUBLE) * 100.0, 6) + 0.0 AS revenue_share_pct
+        FROM rev
+    """,
     # Record linkage: the oracle is the brute-force all-pairs join —
     # correct at test scale; the Spark side must produce the identical
     # pair set from deletion-neighborhood candidates.
