@@ -71,6 +71,7 @@ _QUERIES: dict[str, QueryFn] = {
     "window_rank": R.q_window_rank,
     "latest_order": R.q_latest_order,
     "revenue_share": R.q_revenue_share,
+    "global_rank": R.q_global_rank,
     "count_distinct": R.q_count_distinct,
     "rollup_agg": R.q_rollup_agg,
     "percentile_agg": R.q_percentile_agg,

@@ -26,8 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import exact_avg, exact_sum
+from ..session import default_parallelism
 from ..sources.catalog import load_table
 
 
@@ -439,6 +441,62 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("revenue") / total * 100.0, 6) + 0.0).alias(
             "revenue_share_pct"
         ),
+    )
+
+
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global rank over the whole table WITHOUT the
+    single-partition window anti-pattern.
+
+    An unpartitioned ``row_number()`` funnels every row through one
+    task — the classic 100 TB killer. The scalable plan implemented
+    here: range-repartition on the sort key (parallel range exchange),
+    rank locally per partition, then add per-partition row-count
+    offsets (a tiny O(partitions) aggregate, cumulative-summed and
+    broadcast back). Output is identical to the naive global window —
+    the oracle IS the naive formulation — and independent of where the
+    sampled range boundaries land, because offset + local rank is
+    invariant under any contiguous split of a total order."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranged = orders.repartitionByRange(
+        default_parallelism(), "o_orderdate", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    # persisted BEFORE branching: the offsets branch and the final join
+    # must see the SAME range boundaries — re-executing the range
+    # exchange re-samples them (RangePartitioner seeds per RDD
+    # instance), which would misalign offsets against local ranks
+    local = ranged.withColumn("local_rn", F.row_number().over(local_w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            (F.col("local_rn") + F.col("offset")).cast("long").alias(
+                "global_rn"
+            ),
+        )
     )
 
 

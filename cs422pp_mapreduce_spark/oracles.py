@@ -1146,6 +1146,16 @@ ORACLES: dict[str, str] = {
                event_type
         FROM events
     """,
+    # Oracle is the NAIVE single-partition global window — the Spark
+    # side must reproduce it exactly from the distributed
+    # range+offset plan.
+    "global_rank": """
+        SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o_totalprice,
+               CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS global_rn
+        FROM orders
+    """,
     "null_safe_join": f"""
         WITH dim(status_key, status_name) AS (
             VALUES ('O', 'open'), ('P', 'pending'), (NULL, 'finished')
