@@ -107,6 +107,7 @@ _QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_prep": CP.q_corpus_prep,
+    "corpus_pipeline": CP.q_corpus_pipeline,
     "merge_upsert": MT.q_merge_upsert,
     "scd2_apply": MT.q_scd2_apply,
     "pagerank": GR.q_pagerank,

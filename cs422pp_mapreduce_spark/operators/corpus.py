@@ -27,11 +27,9 @@ MIN_QUALITY = 0.5
 KEEP_LANGS = ("en", "und")
 
 
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kept-document ledger: docs passing quality + language gates,
-    deduplicated by normalized-text fingerprint (min doc_id wins),
-    with BPE-ish token counts — the columns a downstream tokenizer
-    shard-writer needs."""
+def gated_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front half of the corpus pipeline: quality + language
+    gates, then fingerprint dedup (min doc_id wins), text carried."""
     # redistribute before the CPU-heavy scoring expressions: the scan's
     # single row group would otherwise serialize all regex/list work
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -47,7 +45,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_score") >= MIN_QUALITY)
         & F.col("lang_pred").isin(*KEEP_LANGS)
     )
-    deduped = (
+    return (
         gated.select(
             "doc_id",
             "text",
@@ -68,10 +66,84 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("text").alias("text"),
         )
     )
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-document ledger: docs passing quality + language gates,
+    deduplicated by normalized-text fingerprint (min doc_id wins),
+    with BPE-ish token counts — the columns a downstream tokenizer
+    shard-writer needs."""
+    deduped = gated_deduped_docs(spark, sf_dir)
     return deduped.select(
         "doc_id",
         "n_copies",
         "lang_pred",
         F.round("quality_score", 6).alias("quality_score"),
         token_count_bpe("text").alias("n_tokens"),
+    )
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one declarative plan:
+    quality gate → language gate → fingerprint dedup → overlapping
+    token-window chunking → deterministic train/val split.
+
+    Output is the chunk ledger a tokenizer shard-writer consumes:
+    (doc, chunk, token count, lang, quality, split). Stage order is
+    the 100 TB cost order — cheap codegen'd filters first (scan-side),
+    the one hash shuffle (dedup) on 16-byte keys in the middle, and
+    the map-only chunk/split explosion LAST, after the data has been
+    shrunk by every earlier stage. The split is hash-mod on
+    (doc_id, chunk_id), so membership is reproducible across engines
+    and re-layouts (same convention as q_deterministic_sample)."""
+    from .textops import CHUNK_SIZE, CHUNK_STRIDE
+
+    deduped = gated_deduped_docs(spark, sf_dir)
+    toks = deduped.select(
+        "doc_id",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    ).where(F.size("toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+    chunks = toks.select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(CHUNK_SIZE), F.size("toks") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        "lang_pred",
+        "quality_score",
+    )
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("chunk_id").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        "lang_pred",
+        "quality_score",
+        F.when(split_bucket < 90, "train").otherwise("val").alias("split"),
     )

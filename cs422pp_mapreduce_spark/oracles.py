@@ -1286,3 +1286,28 @@ ORACLES["keyword_extract"] = f"""
     FROM base
     QUALIFY kw_rank <= 3
 """
+
+# The end-to-end pipeline oracle reuses corpus_prep's gate+dedup CTE
+# chain verbatim (split off before its final SELECT) and appends the
+# chunk + deterministic-split tail.
+_CORPUS_FRONT = ORACLES["corpus_prep"].rsplit("SELECT doc_id, n_copies", 1)[0]
+ORACLES["corpus_pipeline"] = _CORPUS_FRONT + """
+        , chunked AS (
+            SELECT doc_id, lang_pred, round(quality_score, 6) AS quality_score,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ctoks
+            FROM dedup
+        ), chunks AS (
+            SELECT doc_id, lang_pred, quality_score,
+                   CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+                   CAST(least(40, len(ctoks) - start + 1) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM (SELECT doc_id, lang_pred, quality_score, ctoks,
+                         unnest(range(1, len(ctoks) + 1, 30)) AS start
+                  FROM chunked WHERE len(ctoks) > 0)
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens, lang_pred, quality_score,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(chunk_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM chunks
+"""
