@@ -140,18 +140,11 @@ CHUNK_SIZE = 40  # tokens per chunk
 CHUNK_STRIDE = 30  # tokens between chunk starts (overlap = 10)
 
 
-def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split each document into overlapping token-window chunks
-    (CHUNK_SIZE tokens, CHUNK_STRIDE stride) — the context-window
-    packing step an LLM training pipeline runs before tokenization.
-
-    Shape: tokenize once, posexplode a small per-doc start-offset
-    array (sequence), slice the token array per chunk — all codegen'd
-    array expressions, zero Python, one narrow explode whose fan-out
-    is ceil(tokens/stride) per doc. No shuffle at all: chunking is
-    embarrassingly parallel, and at 100 TB it stays a map-only stage
-    that chains onto the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """Chunking core over any (doc_id, text) frame — batch or
+    streaming: stateless map-only expressions, so the identical plan
+    runs under readStream in append mode (asserted in
+    tests/test_streaming_corpus.py)."""
     toks = docs.select("doc_id", nonempty_tokens("text").alias("toks")).where(
         F.size("toks") > 0
     )
@@ -169,6 +162,21 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chunk_tokens"),
     )
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (CHUNK_SIZE tokens, CHUNK_STRIDE stride) — the context-window
+    packing step an LLM training pipeline runs before tokenization.
+
+    Shape: tokenize once, posexplode a small per-doc start-offset
+    array (sequence), slice the token array per chunk — all codegen'd
+    array expressions, zero Python, one narrow explode whose fan-out
+    is ceil(tokens/stride) per doc. No shuffle at all: chunking is
+    embarrassingly parallel, and at 100 TB it stays a map-only stage
+    that chains onto the scan (and runs unchanged as a streaming
+    append-mode query — see chunk_docs)."""
+    return chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
 def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
