@@ -84,17 +84,16 @@ _QUERIES: dict[str, QueryFn] = {
     "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
-    "gap_fill": EV.q_gap_fill,
-    "funnel": EV.q_funnel,
-    "rolling_active_users": EV.q_rolling_active_users,
-    "outlier_events": EV.q_outlier_events,
+    "asof_join": AJ.q_asof_join,
+    "tpch_q3": TQ.q_tpch_q3,
+    "corpus_prep": CP.q_corpus_prep,
+    "merge_upsert": MT.q_merge_upsert,
     "text_stats": TX.q_text_stats,
     "lang_id": TX.q_lang_id,
     "tfidf": TX.q_tfidf,
     "keyword_extract": TX.q_keyword_extract,
     "doc_chunk": TX.q_doc_chunk,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
+    "pagerank": GR.q_pagerank,
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram": D.q_dedup_ngram,
     "fuzzy_name_match": D.q_fuzzy_name_match,
@@ -106,14 +105,15 @@ _QUERIES: dict[str, QueryFn] = {
     "label_centroid": S.q_label_centroid,
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
-    "corpus_prep": CP.q_corpus_prep,
     "corpus_pipeline": CP.q_corpus_pipeline,
-    "merge_upsert": MT.q_merge_upsert,
+    "gap_fill": EV.q_gap_fill,
+    "funnel": EV.q_funnel,
+    "rolling_active_users": EV.q_rolling_active_users,
+    "outlier_events": EV.q_outlier_events,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
     "scd2_apply": MT.q_scd2_apply,
-    "pagerank": GR.q_pagerank,
-    "asof_join": AJ.q_asof_join,
     "range_join": AJ.q_range_join,
-    "tpch_q3": TQ.q_tpch_q3,
     "tpch_q6": TQ.q_tpch_q6,
     "ann_ivf": S.q_ann_ivf,
     "media_frames": MM.q_media_frames,

@@ -28,6 +28,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE coalesce the output partitioning of persisted plans too
+    # (off by default). Every iterative operator here (pagerank,
+    # connected components, k-means) and every persisted intermediate
+    # (tf table, LSH buckets) re-scans its cache once per round — at a
+    # 64-MB advisory size the cache collapses to a handful of
+    # right-sized partitions instead of one tiny task per original
+    # shuffle partition. Results stay partition-count-independent by
+    # the engine's decimal-routing convention (oracles.py), so this is
+    # purely a task-count knob.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for the (rare, declared) pandas-UDF operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
