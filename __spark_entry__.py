@@ -126,7 +126,9 @@ _QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": TX.q_deterministic_sample,
     "inverted_index": TX.q_inverted_index,
     "bigram_freq": TX.q_bigram_freq,
+    "seq_pack": TX.q_seq_pack,
     "dedup_fingerprint": D.q_dedup_fingerprint,
+    "decontaminate": D.q_decontaminate,
     "dedup_simhash": D.q_dedup_simhash,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
     "tpch_q5": TQ.q_tpch_q5,

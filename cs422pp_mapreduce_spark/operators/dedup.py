@@ -131,6 +131,52 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_PCT = 2  # deterministic md5-bucket slice held out as the "benchmark"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-3-gram with the held-out eval slice — the n-gram-overlap
+    hygiene pass every pretraining pipeline runs so eval answers don't
+    leak into training data.
+
+    The eval slice is the deterministic md5-bucket < EVAL_PCT % of
+    docs (same hash-mod membership as q_deterministic_sample, so the
+    split is reproducible across engines and re-layouts); train = the
+    rest. Shape: shingle both sides, explode to inverted indexes, and
+    equi-join train shingles against the *broadcast* eval shingle set
+    — at 100 TB the benchmark side is KBs-to-MBs, so the corpus scan
+    never shuffles on content; the only shuffle is the per-doc
+    aggregation over matching rows (candidates only, tiny). Returns
+    (doc_id, n_shared_shingles, n_eval_docs) per contaminated train
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    tagged = docs.withColumn("is_eval", bucket < EVAL_PCT)
+    sh = tagged.select(
+        "doc_id", "is_eval", word_shingles("text").alias("shingles")
+    )
+    train_inv = sh.where(~F.col("is_eval")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    eval_inv = sh.where("is_eval").select(
+        F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("shingle")
+    )
+    return (
+        train_inv.join(F.broadcast(eval_inv), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -179,6 +179,77 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
+SEQ_LEN = 512  # training-sequence token budget
+
+
+def pack_sequences(chunks: DataFrame) -> DataFrame:
+    """Concatenate-and-split sequence packing over a
+    (doc_id, chunk_id, n_chunk_tokens) frame: lay every chunk out on
+    one global token axis in (doc_id, chunk_id) order and cut it into
+    fixed SEQ_LEN-token training sequences — the packing step a
+    pretraining pipeline runs so no context window is padded. A chunk
+    belongs to the sequence where it *starts* (boundary-straddling
+    chunks are assigned once, deterministically).
+
+    The global running token total is NOT an unpartitioned window (the
+    one-task 100 TB killer). Same shape as q_global_rank
+    (relational.py): range-repartition on the order key, per-partition
+    running sums, then add per-partition token-total offsets (tiny
+    O(partitions) aggregate, cumulative-summed, broadcast back).
+    Result is identical to the naive single-window formulation — the
+    oracle IS that formulation — because offset + local prefix sum is
+    invariant under any contiguous split of a total order."""
+    from pyspark.sql.window import Window
+
+    from ..session import default_parallelism
+
+    ranged = chunks.repartitionByRange(
+        default_parallelism(), "doc_id", "chunk_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # persisted BEFORE branching: the offsets branch and the final join
+    # must see the SAME sampled range boundaries (q_global_rank note).
+    local = ranged.withColumn(
+        "local_start",
+        F.coalesce(F.sum("n_chunk_tokens").over(local_w), F.lit(0)),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("n_chunk_tokens").alias("toks"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("toks").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    start = F.col("local_start") + F.col("offset")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.floor(start / SEQ_LEN).cast("long").alias("seq_id"),
+        (start % SEQ_LEN).cast("long").alias("seq_off"),
+    )
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack document chunks into SEQ_LEN-token training sequences
+    (chunking per q_doc_chunk, then distributed prefix-sum packing per
+    pack_sequences)."""
+    return pack_sequences(chunk_docs(load_table(spark, sf_dir, "documents")))
+
+
 def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies (count >= 5) — the n-gram statistics
     pass behind collocation mining and LM smoothing tables.

@@ -647,6 +647,36 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
+    # Benchmark decontamination: same shingling as dedup_ngram, same
+    # md5-bucket eval membership as deterministic_sample.
+    "decontaminate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 2 AS is_eval,
+                   list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                            ELSE t END) AS shingles
+            FROM toks
+        ), train_inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle
+            FROM sh WHERE NOT is_eval
+        ), eval_inv AS (
+            SELECT doc_id AS eval_doc, unnest(shingles) AS shingle
+            FROM sh WHERE is_eval
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+               CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
+        FROM train_inv t JOIN eval_inv e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+    """,
     # Connected components over the same near-dup graph: the recursive
     # walk enumerates every (node, reachable-comp seed) pair; MIN over
     # the walk = the component's minimum id — identical semantics to
@@ -1112,6 +1142,37 @@ ORACLES: dict[str, str] = {
                CAST(least(40, len(toks) - start + 1) AS BIGINT)
                    AS n_chunk_tokens
         FROM s
+    """,
+    # Concatenate-and-split sequence packing: the naive single-window
+    # formulation — the Spark side's range-exchange + offset-merge
+    # prefix sum (textops.pack_sequences) must reproduce it exactly.
+    "seq_pack": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1, 30)) AS start
+            FROM t WHERE len(toks) > 0
+        ), c AS (
+            SELECT doc_id,
+                   CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+                   CAST(least(40, len(toks) - start + 1) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM s
+        ), p AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   COALESCE(SUM(n_chunk_tokens) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS st
+            FROM c
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               CAST(st // 512 AS BIGINT) AS seq_id,
+               CAST(st % 512 AS BIGINT) AS seq_off
+        FROM p
     """,
     "bigram_freq": """
         WITH t AS (
