@@ -57,6 +57,9 @@ HEADLINE = [
     "scd2_apply",
     "tpch_q22",
     "pagerank",
+    # round-2 wave 3: sequence packing + decontamination
+    "seq_pack",
+    "decontaminate",
 ]
 
 RUNS = 3

@@ -40,10 +40,19 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 3
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles; short docs fall back to the token
-    list itself so every doc has ≥1 shingle."""
-    toks = nonempty_tokens(text)
+def token_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from an ALREADY-MATERIALIZED token
+    array column; short docs fall back to the token list itself so
+    every doc has ≥1 shingle.
+
+    ``toks`` must be a plain column reference, not an inline
+    tokenization expression: codegen's common-subexpression
+    elimination does not reach inside higher-order-function lambdas,
+    so an inlined ``filter(split(...))`` would be re-evaluated at
+    every ``element_at`` of every shingle — O(tokens²) per doc
+    (measured 7 s to shingle 5 000 docs vs < 1 s two-step). Project
+    the token array first (see shingle_frame); the multi-referenced
+    non-trivial alias also stops CollapseProject from re-inlining it."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -52,6 +61,23 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(F.when(n >= k, grams).otherwise(toks))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Single-expression form of token_shingles(nonempty_tokens(text)).
+
+    Only for small inputs / tests: inlining the tokenizer into the
+    shingle lambda is quadratic per doc (see token_shingles). Hot
+    paths go through shingle_frame."""
+    return token_shingles(nonempty_tokens(text), k)
+
+
+def shingle_frame(docs: DataFrame, k: int = 3, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, shingles) with the token array projected
+    in its own step so it is computed once per row."""
+    return docs.select(
+        "doc_id", *extra_cols, nonempty_tokens("text").alias("toks")
+    ).select("doc_id", *extra_cols, token_shingles(F.col("toks"), k).alias("shingles"))
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -89,9 +115,7 @@ def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     shuffle of raw text — the standard move whenever input layout is
     coarser than compute wants. Results are partitioning-invariant.
     """
-    return docs.repartition(default_parallelism(), "doc_id").select(
-        "doc_id", word_shingles("text", k).alias("shingles")
-    )
+    return shingle_frame(docs.repartition(default_parallelism(), "doc_id"), k)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,13 +167,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval slice is the deterministic md5-bucket < EVAL_PCT % of
     docs (same hash-mod membership as q_deterministic_sample, so the
     split is reproducible across engines and re-layouts); train = the
-    rest. Shape: shingle both sides, explode to inverted indexes, and
-    equi-join train shingles against the *broadcast* eval shingle set
-    — at 100 TB the benchmark side is KBs-to-MBs, so the corpus scan
-    never shuffles on content; the only shuffle is the per-doc
-    aggregation over matching rows (candidates only, tiny). Returns
-    (doc_id, n_shared_shingles, n_eval_docs) per contaminated train
-    doc."""
+    rest. Shape: shingle both sides, pre-aggregate the eval side to
+    one row per shingle (shingle, #eval docs containing it), and
+    equi-join train shingles against that *broadcast* table — at
+    100 TB the benchmark side is KBs-to-MBs, so the corpus scan never
+    shuffles on content, and because the eval side is pre-aggregated
+    the join never enumerates (train doc × eval doc) pairs: output is
+    bounded by the train shingle stream itself. (The naive
+    per-pair countDistinct variant measured 10 s at sf0.1 on this
+    common-shingle-heavy fixture — same quadratic family as the
+    16-bucket LSH anti-pattern.) Returns one row per contaminated
+    train doc: n_shared_shingles (distinct shingles shared with the
+    eval slice) and n_eval_hits (Σ over those shingles of the number
+    of eval docs containing them — total overlap mass)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(
@@ -158,21 +188,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     tagged = docs.withColumn("is_eval", bucket < EVAL_PCT)
-    sh = tagged.select(
-        "doc_id", "is_eval", word_shingles("text").alias("shingles")
+    # persisted: both branches (train inverted index, eval stats) read
+    # it, and the cache boundary stops InferFiltersFromGenerate's
+    # size()>0 pre-filter from being pushed below the projections with
+    # the whole shingling expression inlined (which would re-tokenize
+    # every doc quadratically — the same HOF-inlining trap
+    # token_shingles documents)
+    sh = shingle_frame(tagged, 3, "is_eval").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     train_inv = sh.where(~F.col("is_eval")).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    eval_inv = sh.where("is_eval").select(
-        F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("shingle")
+    # per-doc shingles are array_distinct, so count(*) per shingle is
+    # exactly "#eval docs containing it"
+    eval_stats = (
+        sh.where("is_eval")
+        .select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_eval_docs_with"))
     )
     return (
-        train_inv.join(F.broadcast(eval_inv), "shingle")
+        train_inv.join(F.broadcast(eval_stats), "shingle")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("shingle").alias("n_shared_shingles"),
-            F.countDistinct("eval_doc").alias("n_eval_docs"),
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.sum("n_eval_docs_with").alias("n_eval_hits"),
         )
     )
 

@@ -667,14 +667,16 @@ ORACLES: dict[str, str] = {
         ), train_inv AS (
             SELECT doc_id, unnest(shingles) AS shingle
             FROM sh WHERE NOT is_eval
-        ), eval_inv AS (
-            SELECT doc_id AS eval_doc, unnest(shingles) AS shingle
-            FROM sh WHERE is_eval
+        ), eval_stats AS (
+            SELECT shingle, COUNT(*) AS n_eval_docs_with
+            FROM (SELECT doc_id, unnest(shingles) AS shingle
+                  FROM sh WHERE is_eval)
+            GROUP BY shingle
         )
         SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
-               CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs
-        FROM train_inv t JOIN eval_inv e ON t.shingle = e.shingle
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+               CAST(SUM(e.n_eval_docs_with) AS BIGINT) AS n_eval_hits
+        FROM train_inv t JOIN eval_stats e ON t.shingle = e.shingle
         GROUP BY t.doc_id
     """,
     # Connected components over the same near-dup graph: the recursive

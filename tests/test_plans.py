@@ -113,3 +113,25 @@ def test_funnel_is_two_aggregates_no_join(spark, sf_dir):
 
     plan = explain_str(EV.q_funnel(spark, sf_dir))
     assert "Join" not in plan  # conditional agg, not per-step self-joins
+
+
+def test_seq_pack_ranges_not_single_partition(spark, sf_dir):
+    """The packing prefix sum must be a parallel range exchange plus a
+    broadcast offset join. (A SinglePartition exchange remains in the
+    offsets branch, but over O(#partitions) counter rows, not data —
+    the chunk stream itself is range-partitioned.)"""
+    from cs422pp_mapreduce_spark.operators import textops as TX
+
+    plan = explain_str(TX.q_seq_pack(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert has_broadcast_join(TX.q_seq_pack(spark, sf_dir))
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The corpus-side shingle stream must join the eval shingle set by
+    broadcast — no shuffle of corpus content, no sort-merge join."""
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    plan = explain_str(D.q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
