@@ -121,6 +121,7 @@ _QUERIES: dict[str, QueryFn] = {
     "event_sliding": EV.q_event_sliding,
     "window_range": EV.q_event_window_range,
     "quality_score": TX.q_quality_score,
+    "doc_repetition": TX.q_doc_repetition,
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,

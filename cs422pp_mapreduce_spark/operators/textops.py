@@ -179,6 +179,75 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (docs with ≥3
+    tokens): duplicate-token/bigram/trigram fractions plus the mass of
+    the single most frequent bigram — the within-document repetition
+    gate a pretraining quality pipeline applies before dedup.
+
+    Two branches, both linear: the duplicate fractions are pure
+    within-row array math (size − size∘array_distinct over a token
+    array projected once — map-only, zero shuffle even at 100 TB); the
+    top-bigram mass needs cross-row state per (doc, bigram), so it is
+    the standard explode → two-level aggregate, shuffling only
+    (doc_id, bigram) pairs. The final join is doc_id-keyed and AQE
+    picks broadcast when one side is small. Fractions are exact
+    integer-ratio IEEE divisions, bit-equal across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+
+    def dup_frac(arr):
+        return (F.size(arr) - F.size(F.array_distinct(arr))).cast(
+            "double"
+        ) / F.size(arr)
+
+    metrics = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_frac(F.col("toks")).alias("dup_token_frac"),
+        dup_frac(bigrams).alias("dup_bigram_frac"),
+        dup_frac(trigrams).alias("dup_trigram_frac"),
+    )
+    top = (
+        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    return metrics.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+        (
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+        ).alias("top_bigram_frac"),
+    )
+
+
 SEQ_LEN = 512  # training-sequence token budget
 
 

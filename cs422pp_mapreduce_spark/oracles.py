@@ -1145,6 +1145,48 @@ ORACLES: dict[str, str] = {
                    AS n_chunk_tokens
         FROM s
     """,
+    # Gopher-style repetition signals: duplicate fractions are pure
+    # list math; top-bigram mass via the same two-level aggregate.
+    # Integer-ratio divisions are bit-exact in both engines.
+    "doc_repetition": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id, toks,
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i+1]
+                                       || ' ' || toks[i+2]) AS tgs
+            FROM t WHERE len(toks) >= 3
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) AS dup_token_frac,
+                   CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+                       / len(bgs) AS dup_bigram_frac,
+                   CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE)
+                       / len(tgs) AS dup_trigram_frac
+            FROM f
+        ), bc AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bgs) AS bigram FROM f)
+            GROUP BY doc_id, bigram
+        ), top AS (
+            SELECT doc_id, MAX(c) AS top_bigram_count,
+                   SUM(c) AS n_bigrams
+            FROM bc GROUP BY doc_id
+        )
+        SELECT m.doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+               dup_trigram_frac,
+               CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+               CAST(top_bigram_count AS DOUBLE) / n_bigrams
+                   AS top_bigram_frac
+        FROM m JOIN top USING (doc_id)
+    """,
     # Concatenate-and-split sequence packing: the naive single-window
     # formulation — the Spark side's range-exchange + offset-merge
     # prefix sum (textops.pack_sequences) must reproduce it exactly.

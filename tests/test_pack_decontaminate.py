@@ -103,3 +103,41 @@ def test_decontaminate_flags_only_train_docs_with_real_overlap(spark, sf_dir):
         if d not in eval_ids and s & eval_shingles
     }
     assert flagged == expected
+
+
+def test_doc_repetition_matches_python_recompute(spark, sf_dir):
+    """Every repetition metric recomputed independently in Python must
+    match exactly (integer-ratio divisions are IEEE-exact)."""
+    from collections import Counter
+
+    from cs422pp_mapreduce_spark.operators.textops import q_doc_repetition
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    expected = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        if len(toks) < 3:
+            continue
+        bgs = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        tgs = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        top = max(Counter(bgs).values())
+        expected[r["doc_id"]] = (
+            len(toks),
+            (len(toks) - len(set(toks))) / len(toks),
+            (len(bgs) - len(set(bgs))) / len(bgs),
+            (len(tgs) - len(set(tgs))) / len(tgs),
+            top,
+            top / len(bgs),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_token_frac"],
+            r["dup_bigram_frac"],
+            r["dup_trigram_frac"],
+            r["top_bigram_count"],
+            r["top_bigram_frac"],
+        )
+        for r in q_doc_repetition(spark, sf_dir).collect()
+    }
+    assert got == expected
