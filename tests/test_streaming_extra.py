@@ -1,5 +1,6 @@
-"""Streaming word count (the reference's query, incremental) and
-stream-stream interval join vs their batch twins."""
+"""Streaming word count (the reference's query, incremental),
+stream-stream interval join, and stream-static enrichment vs their
+batch twins."""
 
 from __future__ import annotations
 
@@ -13,7 +14,7 @@ from cs422pp_mapreduce_spark.streaming.events import (
     read_event_stream,
     run_stream_to_memory,
 )
-from cs422pp_mapreduce_spark.streaming.joins import interval_join
+from cs422pp_mapreduce_spark.streaming.joins import enrich_stream, interval_join
 from cs422pp_mapreduce_spark.streaming.wordcount import (
     read_text_stream,
     stream_wordcount,
@@ -131,3 +132,35 @@ def test_foreach_batch_sink_partitioned_parquet(spark, sf_dir, tmp_path):
     assert set(
         r["event_id"] for r in back.select("event_id").collect()
     ) == set(r["event_id"] for r in ev.select("event_id").collect())
+
+
+def test_stream_static_enrichment_equals_batch(
+    spark, sf_dir, event_stream_dir
+):
+    """Stream-static joins are stateless: with availableNow over finite
+    input the streamed enrichment must equal the batch left join
+    EXACTLY — no watermark slack, unlike the stream-stream case."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    enriched = enrich_stream(
+        read_event_stream(spark, event_stream_dir),
+        dim,
+        key="user_id",
+        dim_key="c_custkey",
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    run_stream_to_memory(enriched, "t_enrich", mode="append")
+    got = {tuple(r) for r in spark.table("t_enrich").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        tuple(r)
+        for r in ev.join(
+            dim, ev.user_id == dim.c_custkey, "left"
+        )
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .collect()
+    }
+    assert got == want
+    # left join keeps every event exactly once per source row
+    assert len(got) == ev.select("event_id", "user_id").distinct().count()
