@@ -106,6 +106,7 @@ _QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
+    "corpus_to_sequences": CP.q_corpus_to_sequences,
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
     "rolling_active_users": EV.q_rolling_active_users,

@@ -147,3 +147,35 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         F.when(split_bucket < 90, "train").otherwise("val").alias("split"),
     )
+
+
+def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → model-ready training sequences, ONE declarative
+    plan: quality gate → language gate → fingerprint dedup →
+    benchmark decontamination (drop the eval slice itself and every
+    surviving doc sharing a shingle with it) → overlapping chunking →
+    concatenate-and-split packing into 512-token sequences.
+
+    This is the full pretraining data path. Cost order is the 100 TB
+    order: codegen'd gates scan-side, the dedup hash shuffle on
+    16-byte keys, the decontamination anti-join against a *broadcast*
+    flagged-id set (the benchmark side is tiny), and only then the
+    map-only chunk explosion and the range-exchange prefix-sum packing
+    (never a single-partition window). Every stage is a previously
+    oracle-verified operator; the composed oracle chains the same
+    CTEs."""
+    from .dedup import EVAL_PCT, contamination_stats, eval_bucket
+    from .textops import chunk_docs, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = gated_deduped_docs(spark, sf_dir)
+    # flags are computed corpus-wide (the benchmark definition does not
+    # depend on the gates); survivors are dropped if their kept
+    # representative doc is flagged or is itself in the eval slice
+    flagged = contamination_stats(docs).select("doc_id")
+    clean = (
+        deduped.where(eval_bucket("doc_id") >= EVAL_PCT)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    return pack_sequences(chunk_docs(clean))

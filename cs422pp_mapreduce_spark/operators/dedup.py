@@ -158,36 +158,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_PCT = 2  # deterministic md5-bucket slice held out as the "benchmark"
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    word-3-gram with the held-out eval slice — the n-gram-overlap
-    hygiene pass every pretraining pipeline runs so eval answers don't
-    leak into training data.
-
-    The eval slice is the deterministic md5-bucket < EVAL_PCT % of
-    docs (same hash-mod membership as q_deterministic_sample, so the
-    split is reproducible across engines and re-layouts); train = the
-    rest. Shape: shingle both sides, pre-aggregate the eval side to
-    one row per shingle (shingle, #eval docs containing it), and
-    equi-join train shingles against that *broadcast* table — at
-    100 TB the benchmark side is KBs-to-MBs, so the corpus scan never
-    shuffles on content, and because the eval side is pre-aggregated
-    the join never enumerates (train doc × eval doc) pairs: output is
-    bounded by the train shingle stream itself. (The naive
-    per-pair countDistinct variant measured 10 s at sf0.1 on this
-    common-shingle-heavy fixture — same quadratic family as the
-    16-bucket LSH anti-pattern.) Returns one row per contaminated
-    train doc: n_shared_shingles (distinct shingles shared with the
-    eval slice) and n_eval_hits (Σ over those shingles of the number
-    of eval docs containing them — total overlap mass)."""
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = (
+def eval_bucket(col: str = "doc_id") -> Column:
+    """Deterministic 0-99 bucket for eval-slice membership — same
+    hash-mod convention as q_deterministic_sample."""
+    return (
         F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+            F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10
         ).cast("bigint")
         % 100
     )
-    tagged = docs.withColumn("is_eval", bucket < EVAL_PCT)
+
+
+def contamination_stats(docs: DataFrame) -> DataFrame:
+    """Per-train-doc eval overlap over any (doc_id, text) frame; see
+    q_decontaminate for semantics and the plan-shape rationale."""
+    tagged = docs.withColumn("is_eval", eval_bucket() < EVAL_PCT)
     # persisted: both branches (train inverted index, eval stats) read
     # it, and the cache boundary stops InferFiltersFromGenerate's
     # size()>0 pre-filter from being pushed below the projections with
@@ -216,6 +201,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_eval_docs_with").alias("n_eval_hits"),
         )
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-3-gram with the held-out eval slice — the n-gram-overlap
+    hygiene pass every pretraining pipeline runs so eval answers don't
+    leak into training data.
+
+    The eval slice is the deterministic md5-bucket < EVAL_PCT % of
+    docs (same hash-mod membership as q_deterministic_sample, so the
+    split is reproducible across engines and re-layouts); train = the
+    rest. Shape: shingle both sides, pre-aggregate the eval side to
+    one row per shingle (shingle, #eval docs containing it), and
+    equi-join train shingles against that *broadcast* table — at
+    100 TB the benchmark side is KBs-to-MBs, so the corpus scan never
+    shuffles on content, and because the eval side is pre-aggregated
+    the join never enumerates (train doc × eval doc) pairs: output is
+    bounded by the train shingle stream itself. (The naive
+    per-pair countDistinct variant measured 10 s at sf0.1 on this
+    common-shingle-heavy fixture — same quadratic family as the
+    16-bucket LSH anti-pattern.) Returns one row per contaminated
+    train doc: n_shared_shingles (distinct shingles shared with the
+    eval slice) and n_eval_hits (Σ over those shingles of the number
+    of eval docs containing them — total overlap mass)."""
+    return contamination_stats(load_table(spark, sf_dir, "documents"))
 
 
 # --- MinHash + LSH --------------------------------------------------------

@@ -1416,3 +1416,59 @@ ORACLES["corpus_pipeline"] = _CORPUS_FRONT + """
                     THEN 'train' ELSE 'val' END AS split
         FROM chunks
 """
+
+# Documents → training sequences: the same gate+dedup front, then the
+# decontaminate CTEs (flags corpus-wide), anti-join, and the
+# chunk+pack tail from seq_pack — every stage a previously-verified
+# oracle, chained.
+ORACLES["corpus_to_sequences"] = _CORPUS_FRONT + """
+        , dsh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 100 < 2 AS is_eval,
+                   list_distinct(CASE WHEN len(t) >= 3 THEN
+                        list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE t END) AS shingles
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS t
+                  FROM documents)
+        ), eval_sh AS (
+            SELECT DISTINCT unnest(shingles) AS shingle
+            FROM dsh WHERE is_eval
+        ), flagged AS (
+            SELECT DISTINCT d.doc_id
+            FROM (SELECT doc_id, unnest(shingles) AS shingle
+                  FROM dsh WHERE NOT is_eval) d
+            JOIN eval_sh e ON d.shingle = e.shingle
+        ), clean AS (
+            SELECT doc_id, text FROM dedup
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                      % 100 >= 2
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        ), ctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM clean
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+                   CAST(least(40, len(toks) - start + 1) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1, 30)) AS start
+                  FROM ctoks WHERE len(toks) > 0)
+        ), packed AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   COALESCE(SUM(n_chunk_tokens) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS st
+            FROM chunks
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               CAST(st // 512 AS BIGINT) AS seq_id,
+               CAST(st % 512 AS BIGINT) AS seq_off
+        FROM packed
+"""
