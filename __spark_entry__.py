@@ -131,6 +131,7 @@ _QUERIES: dict[str, QueryFn] = {
     "seq_pack": TX.q_seq_pack,
     "dedup_fingerprint": D.q_dedup_fingerprint,
     "decontaminate": D.q_decontaminate,
+    "dedup_windowed": D.q_dedup_windowed,
     "dedup_simhash": D.q_dedup_simhash,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
     "tpch_q5": TQ.q_tpch_q5,

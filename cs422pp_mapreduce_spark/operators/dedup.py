@@ -155,6 +155,39 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-bounded event dedup: keep the FIRST event per
+    (user_id, event_type) within each 1-hour tumbling window — the
+    batch twin of streaming/dedup.py's dropDuplicatesWithinWatermark
+    (there the bound is the watermark horizon, here an explicit
+    window; both make dedup state finite, which unbounded dedup at
+    100 TB is not).
+
+    One hash shuffle on (window, key); rank-1 rows are pruned by
+    WindowGroupLimit before the filter, so the post-shuffle cost is
+    the group count, not the event count."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy(hour, "user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            hour.alias("win_start"),
+        )
+    )
+
+
 EVAL_PCT = 2  # deterministic md5-bucket slice held out as the "benchmark"
 
 

@@ -647,6 +647,20 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
+    # Window-bounded dedup: first event per (hour, user, type).
+    "dedup_windowed": """
+        SELECT event_id, user_id, event_type, ts,
+               date_trunc('hour', ts) AS win_start
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY date_trunc('hour', ts), user_id,
+                                    event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
     # Benchmark decontamination: same shingling as dedup_ngram, same
     # md5-bucket eval membership as deterministic_sample.
     "decontaminate": """
