@@ -57,9 +57,13 @@ HEADLINE = [
     "scd2_apply",
     "tpch_q22",
     "pagerank",
-    # round-2 wave 3: sequence packing + decontamination
+    # round-2 wave 3: sequence packing + decontamination + repetition
+    # gate + windowed dedup + the composed flagship pipeline
     "seq_pack",
     "decontaminate",
+    "doc_repetition",
+    "dedup_windowed",
+    "corpus_to_sequences",
 ]
 
 RUNS = 3
