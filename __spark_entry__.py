@@ -96,7 +96,7 @@ _QUERIES: dict[str, QueryFn] = {
     "pagerank": GR.q_pagerank,
     "dedup_exact": D.q_dedup_exact,
     "dedup_ngram": D.q_dedup_ngram,
-    "fuzzy_name_match": D.q_fuzzy_name_match,
+    "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_clusters": D.q_dedup_clusters,
     "topk_similarity": S.q_topk_similarity,
@@ -106,7 +106,7 @@ _QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
-    "corpus_to_sequences": CP.q_corpus_to_sequences,
+    "fuzzy_name_match": D.q_fuzzy_name_match,
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
     "rolling_active_users": EV.q_rolling_active_users,
@@ -123,6 +123,7 @@ _QUERIES: dict[str, QueryFn] = {
     "window_range": EV.q_event_window_range,
     "quality_score": TX.q_quality_score,
     "doc_repetition": TX.q_doc_repetition,
+    "quality_deciles": TX.q_quality_deciles,
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,

@@ -179,6 +179,68 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus deciles — the stratification table a
+    data-mixing / curriculum step samples from: rank every doc by
+    composite quality score, cut into 10 equal-frequency buckets,
+    report per-decile size and score range.
+
+    The global rank is NOT an unpartitioned window (ntile() would
+    funnel the corpus through one task): same range-exchange +
+    offset-merge shape as q_global_rank, with the total count joined
+    back as a broadcast single-row frame instead of a driver collect.
+    decile = floor(10·(rank−1)/n), bit-equal to the naive-window
+    oracle."""
+    from pyspark.sql.window import Window
+
+    from ..session import default_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols("text")["quality_score"]
+    scored = docs.select("doc_id", q.alias("q"))
+    ranged = scored.repartitionByRange(
+        default_parallelism(), "q", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy("q", "doc_id")
+    # persisted BEFORE branching (q_global_rank note): offsets and the
+    # final join must see the same sampled range boundaries
+    local = ranged.withColumn(
+        "local_rn", F.row_number().over(local_w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    total = counts.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(total))
+        .select(
+            "q",
+            (
+                F.floor(
+                    F.lit(10)
+                    * (F.col("local_rn") + F.col("offset") - 1)
+                    / F.col("n")
+                )
+            ).cast("long").alias("decile"),
+        )
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.min("q"), 6) + 0.0).alias("min_score"),
+        (F.round(F.max("q"), 6) + 0.0).alias("max_score"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (docs with ≥3
     tokens): duplicate-token/bigram/trigram fractions plus the mass of

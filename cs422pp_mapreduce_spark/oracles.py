@@ -1159,6 +1159,47 @@ ORACLES: dict[str, str] = {
                    AS n_chunk_tokens
         FROM s
     """,
+    # Quality-stratified deciles: the naive-window formulation (global
+    # row_number + count-over) that the Spark side's range-exchange +
+    # offset-merge rank must reproduce exactly. Quality formula is the
+    # corpus_prep scoring, verbatim.
+    "quality_deciles": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+                                              'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   least(CASE WHEN n_tokens > 0
+                              THEN CAST(n_tokens AS DOUBLE) END / 100.0, 1.0)
+                       * 0.4
+                   + (CAST(stop_hits AS DOUBLE)
+                      / CASE WHEN n_tokens > 0
+                             THEN CAST(n_tokens AS DOUBLE) END) * 0.4
+                   + (1.0 - CAST(n_punct AS DOUBLE)
+                      / CASE WHEN n_chars > 0
+                             THEN CAST(n_chars AS DOUBLE) END) * 0.2
+                       AS q
+            FROM base
+        ), r AS (
+            SELECT q,
+                   ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM scored
+        )
+        SELECT CAST((10 * (rn - 1)) // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(MIN(q), 6) + 0.0 AS min_score,
+               round(MAX(q), 6) + 0.0 AS max_score
+        FROM r GROUP BY 1
+    """,
     # Gopher-style repetition signals: duplicate fractions are pure
     # list math; top-bigram mass via the same two-level aggregate.
     # Integer-ratio divisions are bit-exact in both engines.

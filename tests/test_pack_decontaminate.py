@@ -141,3 +141,25 @@ def test_doc_repetition_matches_python_recompute(spark, sf_dir):
         for r in q_doc_repetition(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_corpus_to_sequences_excludes_eval_and_flagged(spark, sf_dir):
+    """The flagship pipeline's output may contain no eval-slice doc and
+    no doc the standalone decontaminate query flags; surviving chunks
+    must carry a dense, valid packing."""
+    from cs422pp_mapreduce_spark.operators.corpus import (
+        q_corpus_to_sequences,
+    )
+    from cs422pp_mapreduce_spark.operators.dedup import q_decontaminate
+    from cs422pp_mapreduce_spark.operators.textops import SEQ_LEN
+
+    out = q_corpus_to_sequences(spark, sf_dir).persist()
+    out_docs = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    eval_ids = _eval_ids(load_table(spark, sf_dir, "documents"))
+    flagged = {r["doc_id"] for r in q_decontaminate(spark, sf_dir).collect()}
+    assert not (out_docs & eval_ids)
+    assert not (out_docs & flagged)
+    bad = out.where(
+        (F.col("seq_off") < 0) | (F.col("seq_off") >= SEQ_LEN)
+    ).count()
+    assert bad == 0
