@@ -189,6 +189,13 @@ def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVAL_PCT = 2  # deterministic md5-bucket slice held out as the "benchmark"
+# Contamination shingle size: 8-grams, the real-pipeline standard
+# (8-13). Short n-grams over-flag — on this small-vocab fixture,
+# 3-grams flag ~98% of train docs through incidental collisions while
+# 8-grams flag only genuinely shared passages. Docs shorter than
+# DECONTAM_K tokens fall back to whole-token matching (word_shingles
+# fallback; none exist in the fixtures — min doc length is 10).
+DECONTAM_K = 8
 
 
 def eval_bucket(col: str = "doc_id") -> Column:
@@ -212,7 +219,7 @@ def contamination_stats(docs: DataFrame) -> DataFrame:
     # the whole shingling expression inlined (which would re-tokenize
     # every doc quadratically — the same HOF-inlining trap
     # token_shingles documents)
-    sh = shingle_frame(tagged, 3, "is_eval").persist(
+    sh = shingle_frame(tagged, DECONTAM_K, "is_eval").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     train_inv = sh.where(~F.col("is_eval")).select(
@@ -238,9 +245,9 @@ def contamination_stats(docs: DataFrame) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
-    word-3-gram with the held-out eval slice — the n-gram-overlap
-    hygiene pass every pretraining pipeline runs so eval answers don't
-    leak into training data.
+    word-DECONTAM_K-gram (8-gram) with the held-out eval slice — the
+    n-gram-overlap hygiene pass every pretraining pipeline runs so
+    eval answers don't leak into training data.
 
     The eval slice is the deterministic md5-bucket < EVAL_PCT % of
     docs (same hash-mod membership as q_deterministic_sample, so the

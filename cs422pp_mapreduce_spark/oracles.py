@@ -661,7 +661,7 @@ ORACLES: dict[str, str] = {
         )
         WHERE rn = 1
     """,
-    # Benchmark decontamination: same shingling as dedup_ngram, same
+    # Benchmark decontamination: 8-gram shingles (DECONTAM_K), same
     # md5-bucket eval membership as deterministic_sample.
     "decontaminate": """
         WITH toks AS (
@@ -673,9 +673,12 @@ ORACLES: dict[str, str] = {
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
                        % 100 < 2 AS is_eval,
                    list_distinct(
-                       CASE WHEN len(t) >= 3
-                            THEN list_transform(generate_series(1, len(t) - 2),
-                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(generate_series(1, len(t) - 7),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      || ' ' || t[i+3] || ' ' || t[i+4]
+                                      || ' ' || t[i+5] || ' ' || t[i+6]
+                                      || ' ' || t[i+7])
                             ELSE t END) AS shingles
             FROM toks
         ), train_inv AS (
@@ -1481,9 +1484,12 @@ ORACLES["corpus_to_sequences"] = _CORPUS_FRONT + """
             SELECT doc_id,
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
                        % 100 < 2 AS is_eval,
-                   list_distinct(CASE WHEN len(t) >= 3 THEN
-                        list_transform(generate_series(1, len(t) - 2),
-                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   list_distinct(CASE WHEN len(t) >= 8 THEN
+                        list_transform(generate_series(1, len(t) - 7),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4]
+                                  || ' ' || t[i+5] || ' ' || t[i+6]
+                                  || ' ' || t[i+7])
                         ELSE t END) AS shingles
             FROM (SELECT doc_id,
                          list_filter(string_split(text, ' '),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs422pp_mapreduce_spark.operators.dedup import (
+    DECONTAM_K,
     EVAL_PCT,
     q_decontaminate,
     word_shingles,
@@ -94,7 +95,9 @@ def test_decontaminate_flags_only_train_docs_with_real_overlap(spark, sf_dir):
     }
     assert not (set(flagged) & eval_ids)
     # independent recompute of the overlap set via a raw shingle join
-    sh = docs.select("doc_id", word_shingles("text").alias("s"))
+    sh = docs.select(
+        "doc_id", word_shingles("text", DECONTAM_K).alias("s")
+    )
     rows = {r["doc_id"]: set(r["s"]) for r in sh.collect()}
     eval_shingles = set().union(*(rows[d] for d in eval_ids))
     expected = {
