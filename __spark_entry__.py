@@ -135,6 +135,8 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_windowed": D.q_dedup_windowed,
     "dedup_simhash": D.q_dedup_simhash,
     "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "tpch_q1": TQ.q_tpch_q1,
+    "tpch_q8": TQ.q_tpch_q8,
     "tpch_q5": TQ.q_tpch_q5,
     "tpch_q10": TQ.q_tpch_q10,
     "tpch_q14": TQ.q_tpch_q14,

@@ -347,6 +347,86 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing-summary report — THE canonical scan+wide-aggregate.
+
+    Full ten-column aggregate (the lighter q_group_agg variant predates
+    it): every sum is decimal-routed so results are partition-order
+    independent; sum_charge needs scale 6 because price(2) × disc(2) ×
+    tax(2) compounds to six fractional digits exactly. One scan, one
+    partial→final hash aggregate over a 4-ish-group key, the shipdate
+    predicate pushed to the parquet reader — the shuffle moves O(groups)
+    rows no matter the corpus size, the textbook 100 TB aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-08-06")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2, "sum_qty"),
+            exact_sum("l_extendedprice", 2, "sum_base_price"),
+            exact_sum(disc_price, 4, "sum_disc_price"),
+            exact_sum(charge, 6, "sum_charge"),
+            exact_avg("l_quantity", 2, "avg_qty"),
+            exact_avg("l_extendedprice", 2, "avg_price"),
+            exact_avg("l_discount", 2, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national-market-share: NATION_1's share of AMERICA-customer
+    ECONOMY-part revenue by order year.
+
+    Shape notes for scale: part is the selective entry point (one
+    p_type) and broadcasts; supplier/nation/region broadcast; the only
+    big-big join is lineitem⋈orders on the natural key. The share is
+    two decimal-routed sums in ONE aggregate pass (conditional sum over
+    the same rows, q14-style) and a single double division — bit-stable
+    across partitionings."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_volume = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                exact_sum(nat_volume, 4) / exact_sum(volume, 4)
+            ).alias("mkt_share"),
+            exact_sum(volume, 4, "total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape (global-sales-opportunity), adapted: nation key stands
     in for the phone country code the fixtures lack. Wealthy-but-idle

@@ -1127,6 +1127,42 @@ ORACLES: dict[str, str] = {
         FROM flat GROUP BY label, dim
     """,
     # Q22 shape: scalar avg subquery (exact-decimal) + anti join + agg.
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_xsum('l_quantity', 2)} AS sum_qty,
+               {_xsum('l_extendedprice', 2)} AS sum_base_price,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {_xsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+                   AS sum_charge,
+               {_xavg('l_quantity', 2)} AS avg_qty,
+               {_xavg('l_extendedprice', 2)} AS avg_price,
+               {_xavg('l_discount', 2)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '2001-08-06'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q8": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS mkt_share,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS total_volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+          AND o_orderdate >= '1998-01-01' AND o_orderdate < '2000-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "tpch_q22": f"""
         WITH thresh AS (
             SELECT {_xsum('c_acctbal', 2)} / COUNT(c_acctbal) AS avg_bal

@@ -135,3 +135,21 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     plan = explain_str(D.q_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_agg_and_pushed_shipdate(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import tpch as TQ
+
+    df = TQ.q_tpch_q1(spark, sf_dir)
+    assert partial_agg_count(df) > 0
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    """Only lineitem⋈orders (and at sf-scale customer) may shuffle;
+    part/supplier/nation/region must all arrive by broadcast."""
+    from cs422pp_mapreduce_spark.operators import tpch as TQ
+
+    plan = explain_str(TQ.q_tpch_q8(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "p_type" in pushed_filters(TQ.q_tpch_q8(spark, sf_dir))
