@@ -127,6 +127,7 @@ _QUERIES: dict[str, QueryFn] = {
     "token_count": TX.q_token_count,
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
+    "mixture_rebalance": TX.q_mixture_rebalance,
     "inverted_index": TX.q_inverted_index,
     "bigram_freq": TX.q_bigram_freq,
     "seq_pack": TX.q_seq_pack,

@@ -9,7 +9,7 @@ scales linearly with corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -510,4 +510,80 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf",
             F.col("rn").cast("long").alias("kw_rank"),
         )
+    )
+
+
+# Target language mixture for q_mixture_rebalance: the share of total
+# training tokens each language should contribute. en is deliberately
+# under its natural share (it dominates the raw corpus) — the op must
+# downsample it; the scarcest language relative to its target binds the
+# whole mixture (rate 1.0) and everything else scales down.
+TARGET_MIX = {"en": 0.30, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+MIX_BP = 10_000  # basis-point resolution of the hash-bucket membership
+
+
+def _bucket_bp(key: Column | str = "doc_id") -> Column:
+    """md5-bucket in [0, MIX_BP) — deterministic_sample's hash-mod
+    membership at basis-point resolution."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("bigint")
+        % MIX_BP
+    )
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample each language to hit TARGET_MIX token
+    shares — the mixture-rebalancing pass a pretraining pipeline runs
+    after cleaning and before packing.
+
+    The keep rate per language is computed FROM the data (two tiny
+    aggregates), not hard-coded: scale = min_l(tokens_l / share_l)
+    makes the most-constrained language keep rate exactly 1.0 and
+    every other language downsample proportionally, i.e. the largest
+    mixture achievable without upsampling. Membership is the md5
+    hash-mod bucket (pure function of doc_id), so the sampled corpus
+    is reproducible across engines, runs, and re-partitionings.
+
+    Scale shape: one pass computes per-doc token counts (codegen'd,
+    no Python); per-language totals are O(languages) rows; the rate
+    table broadcasts back onto the doc stream — no shuffle of document
+    content at all, exactly one wide aggregate over O(langs) groups.
+    All rate arithmetic is double-precision with a fixed expression
+    shape, so keep_bp is bit-identical in Spark and the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        token_count_ws("text").alias("n_tok"),
+        _bucket_bp("doc_id").alias("bucket_bp"),
+    )
+    share = None
+    for lang, s in TARGET_MIX.items():
+        share = (
+            F.when(F.col("lang") == lang, F.lit(s))
+            if share is None
+            else share.when(F.col("lang") == lang, F.lit(s))
+        )
+    tot = (
+        tok.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tok"))
+        .select("lang", "lang_tok", share.otherwise(F.lit(0.0)).alias("share"))
+    )
+    scale = tot.agg(
+        F.min(F.col("lang_tok").cast("double") / F.col("share")).alias("scale")
+    )
+    rates = tot.crossJoin(F.broadcast(scale)).select(
+        "lang",
+        F.floor(
+            F.col("share") * F.col("scale") / F.col("lang_tok").cast("double")
+            * MIX_BP
+        )
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "lang")
+        .where(F.col("bucket_bp") < F.col("keep_bp"))
+        .select("doc_id", "lang", "n_tok", "bucket_bp", "keep_bp")
     )

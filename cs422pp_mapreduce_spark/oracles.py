@@ -1337,6 +1337,39 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, sample_bucket, CAST(keep_pct AS BIGINT) AS keep_pct
         FROM d WHERE sample_bucket < keep_pct
     """,
+    # Mixture rebalancing: rates computed from the data with the exact
+    # double-expression shape of the Spark side (shares cast to DOUBLE
+    # up front — DuckDB decimal literals would otherwise route the
+    # arithmetic through DECIMAL and drift from Spark's doubles).
+    "mixture_rebalance": """
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 10000 AS bucket_bp
+            FROM documents
+        ), tot AS (
+            SELECT lang, SUM(n_tok) AS lang_tok,
+                   CASE lang WHEN 'en' THEN CAST(0.30 AS DOUBLE)
+                             WHEN 'de' THEN CAST(0.175 AS DOUBLE)
+                             WHEN 'es' THEN CAST(0.175 AS DOUBLE)
+                             WHEN 'fr' THEN CAST(0.175 AS DOUBLE)
+                             WHEN 'zh' THEN CAST(0.175 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END AS share
+            FROM tok GROUP BY lang
+        ), sc AS (
+            SELECT MIN(CAST(lang_tok AS DOUBLE) / share) AS scale FROM tot
+        ), rates AS (
+            SELECT lang,
+                   CAST(floor(share * scale / CAST(lang_tok AS DOUBLE) * 10000)
+                        AS BIGINT) AS keep_bp
+            FROM tot, sc
+        )
+        SELECT doc_id, tok.lang AS lang, n_tok, bucket_bp, keep_bp
+        FROM tok JOIN rates ON tok.lang = rates.lang
+        WHERE bucket_bp < keep_bp
+    """,
     "pii_redact": """
         SELECT event_id,
                'u_' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)

@@ -43,3 +43,32 @@ def test_lang_id_votes(spark):
 def test_lang_id_tiebreak_order(spark):
     # one 'the' (en) + one 'le' (fr) → tie → fixed order picks en
     assert _one(spark, "the le", lang_id_expr("text")) == "en"
+
+
+def test_mixture_rebalance_hits_target_shares(spark, sf_dir):
+    """The binding language keeps rate 1.0 (bp 10000); every kept-token
+    share lands within hash-sampling noise of TARGET_MIX; en is
+    actually downsampled (it dominates the raw corpus)."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.textops import (
+        MIX_BP,
+        TARGET_MIX,
+        q_mixture_rebalance,
+    )
+
+    kept = q_mixture_rebalance(spark, sf_dir)
+    rates = {
+        r["lang"]: r["keep_bp"]
+        for r in kept.select("lang", "keep_bp").distinct().collect()
+    }
+    assert max(rates.values()) == MIX_BP  # the scarcest lang binds at 1.0
+    assert rates["en"] < MIX_BP  # the dominant lang is downsampled
+    shares = {
+        r["lang"]: r["tok"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    total = sum(shares.values())
+    for lang, target in TARGET_MIX.items():
+        # hash-mod sampling is binomial-noisy at small n; 25% relative
+        assert abs(shares[lang] / total - target) / target < 0.25, lang
