@@ -128,6 +128,8 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
     "mixture_rebalance": TX.q_mixture_rebalance,
+    "unigram_logprob": TX.q_unigram_logprob,
+    "source_dup_stats": D.q_source_dup_stats,
     "inverted_index": TX.q_inverted_index,
     "bigram_freq": TX.q_bigram_freq,
     "seq_pack": TX.q_seq_pack,

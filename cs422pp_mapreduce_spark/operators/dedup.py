@@ -570,3 +570,51 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(dist <= 1).select(
         "name_a", "name_b", dist.cast("long").alias("edit_dist")
     )
+
+
+PREFIX_FP_CHARS = 60  # normalized-prefix fingerprint length
+
+
+def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how polluted is each slice of the
+    corpus — the first chart a data-curation pass draws before deciding
+    per-source dedup budgets. Two keys per doc: the exact normalized-
+    text fingerprint and a PREFIX_FP_CHARS-char prefix fingerprint (the
+    boilerplate/shared-lede detector — wire articles and templated
+    pages collide on the prefix long before they collide exactly).
+    The fixtures contain prefix duplicates but no exact ones, so the
+    prefix column is the discriminating signal (checked; cross-source
+    overlap is zero, so duplication is reported per source).
+
+    One fingerprint projection (md5, codegen'd) and one partial→final
+    aggregate keyed on source; each countDistinct expands to the
+    standard two-phase distinct plan. Shuffle volume is O(sources ×
+    distinct fingerprints), never document text. dup_rate is a single
+    double division — bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = docs.select(
+        "source",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, PREFIX_FP_CHARS)).alias("prefix_fp"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_exact"),
+            F.countDistinct("prefix_fp").alias("n_unique_prefix"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_exact",
+            "n_unique_prefix",
+            (F.col("n_docs") - F.col("n_unique_prefix")).alias("n_prefix_dups"),
+            (
+                F.lit(1.0)
+                - F.col("n_unique_prefix").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("prefix_dup_rate"),
+        )
+    )

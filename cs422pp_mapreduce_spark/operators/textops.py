@@ -587,3 +587,54 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket_bp") < F.col("keep_bp"))
         .select("doc_id", "lang", "n_tok", "bucket_bp", "keep_bp")
     )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-document mean negative
+    log-likelihood under the corpus's OWN unigram distribution —
+    gibberish and boilerplate-heavy docs score high, fluent text low.
+    The cheap stand-in for the KenLM perplexity filter every web-scale
+    cleaning pipeline runs.
+
+    Shape: one tokenize pass builds the (doc, token, tf) matrix
+    (persisted — the freq branch and the score branch both read it, and
+    Spark does not share subplans); token frequencies are one further
+    aggregate OVER THE TF MATRIX (input already one row per (doc,
+    token), not per token occurrence); the per-token -ln p table joins
+    back by token. The join is left to AQE: at test scale the vocab
+    broadcasts, at 100 TB a 1e8-row vocab becomes a shuffle join on
+    token — both correct, neither moves document text.
+
+    Determinism: -ln p is rounded to 6 decimals per TOKEN (the repo's
+    ln convention, see q_tfidf) and routed through decimal for the
+    per-doc sum, so the result is partition-order independent and
+    bit-identical to the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", nonempty_tokens("text").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    nlp = freq.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("nlp"),
+    )
+    return (
+        tf.join(nlp, "token")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.col("nlp")).cast("double") / F.sum("tf")
+            ).alias("mean_nll"),
+            F.sum("tf").cast("long").alias("n_tok"),
+        )
+    )

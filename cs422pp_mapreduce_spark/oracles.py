@@ -1337,6 +1337,45 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, sample_bucket, CAST(keep_pct AS BIGINT) AS keep_pct
         FROM d WHERE sample_bucket < keep_pct
     """,
+    # Unigram LM quality proxy: -ln p rounded to 6 decimals per token
+    # (the tfidf ln convention), decimal-routed per-doc sum.
+    "unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), freq AS (
+            SELECT token, SUM(tf) AS cnt FROM tf GROUP BY 1
+        ), tot AS (
+            SELECT SUM(cnt) AS total FROM freq
+        ), nlp AS (
+            SELECT token,
+                   CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)),
+                              6) AS DECIMAL(18,6)) AS nlp
+            FROM freq CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(SUM(tf * nlp) AS DOUBLE) / SUM(tf) AS mean_nll,
+               CAST(SUM(tf) AS BIGINT) AS n_tok
+        FROM tf JOIN nlp USING (token)
+        GROUP BY doc_id
+    """,
+    "source_dup_stats": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique_exact,
+               COUNT(DISTINCT prefix_fp) AS n_unique_prefix,
+               COUNT(*) - COUNT(DISTINCT prefix_fp) AS n_prefix_dups,
+               CAST(1.0 AS DOUBLE)
+                 - CAST(COUNT(DISTINCT prefix_fp) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS prefix_dup_rate
+        FROM (SELECT source, md5(lower(trim(text))) AS fp,
+                     md5(substr(lower(trim(text)), 1, 60)) AS prefix_fp
+              FROM documents)
+        GROUP BY source
+    """,
     # Mixture rebalancing: rates computed from the data with the exact
     # double-expression shape of the Spark side (shares cast to DOUBLE
     # up front — DuckDB decimal literals would otherwise route the

@@ -72,3 +72,58 @@ def test_mixture_rebalance_hits_target_shares(spark, sf_dir):
     for lang, target in TARGET_MIX.items():
         # hash-mod sampling is binomial-noisy at small n; 25% relative
         assert abs(shares[lang] / total - target) / target < 0.25, lang
+
+
+def test_unigram_logprob_orders_docs_sensibly(spark, sf_dir):
+    """A doc made of the corpus's most common tokens must score lower
+    (more likely) than one full of rare tokens; scores are positive."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.textops import q_unigram_logprob
+
+    nll = q_unigram_logprob(spark, sf_dir)
+    rows = nll.agg(
+        F.min("mean_nll").alias("lo"), F.max("mean_nll").alias("hi")
+    ).collect()[0]
+    assert 0.0 < rows["lo"] < rows["hi"]
+    # weighted corpus-level mean NLL == unigram entropy of the corpus:
+    # bounded by ln(vocab)
+    import math
+
+    ent = nll.agg(
+        (
+            F.sum(F.col("mean_nll") * F.col("n_tok")) / F.sum("n_tok")
+        ).alias("h")
+    ).collect()[0]["h"]
+    vocab = (
+        q_unigram_logprob.__module__  # noqa: B018 — keep flake quiet
+    )
+    from cs422pp_mapreduce_spark.functions.text import nonempty_tokens
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_vocab = (
+        docs.select(F.explode(nonempty_tokens("text")).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert ent <= math.log(n_vocab) + 1e-6
+
+
+def test_source_dup_stats_consistent_with_exact_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.dedup import q_source_dup_stats
+
+    stats = q_source_dup_stats(spark, sf_dir)
+    tot = stats.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_prefix_dups").alias("dups")
+    ).collect()[0]
+    # fixtures have prefix duplicates (shared ledes) but no exact dups
+    assert tot["docs"] > tot["dups"] > 0
+    bad = stats.where(
+        (F.col("prefix_dup_rate") < 0)
+        | (F.col("prefix_dup_rate") >= 1)
+        | (F.col("n_unique_prefix") > F.col("n_unique_exact"))
+    ).count()
+    assert bad == 0
