@@ -110,6 +110,7 @@ _QUERIES: dict[str, QueryFn] = {
     "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
     "rolling_active_users": EV.q_rolling_active_users,
+    "retention_cohorts": EV.q_retention_cohorts,
     "outlier_events": EV.q_outlier_events,
     "stratified_sample": TX.q_stratified_sample,
     "pii_redact": TX.q_pii_redact,

@@ -298,3 +298,45 @@ def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z, 6) + 0.0).alias("z"),
         )
     )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-seen week
+    (their cohort), then per (cohort, week-offset) the distinct users
+    still active — the classic product-analytics triangle chart.
+
+    Shape: one distinct over (user, week) [first shuffle, output
+    O(users × weeks)], per-user min week [second, O(users)], then the
+    activity matrix joins users to their cohort ON user_id — a
+    co-partitioned join (both sides were just shuffled by user_id, AQE
+    sees the shared partitioning) — and aggregates to O(weeks²) cells.
+    Cohort sizes re-aggregate the O(users) first-seen table, then
+    broadcast onto the matrix. Nothing after the first distinct is
+    proportional to raw events. retention is one double division —
+    bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    user_week = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = user_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("long")
+    act = (
+        user_week.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return act.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -449,6 +449,31 @@ ORACLES: dict[str, str] = {
                {_xsum('value', 2)} AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # Weekly retention cohorts. DuckDB's date_trunc('week') yields DATE
+    # (unlike 'hour' → TIMESTAMP), so both week columns re-cast to
+    # TIMESTAMP to match Spark.
+    "retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
+        ), first AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+        ), act AS (
+            SELECT cohort_week,
+                   CAST((epoch(week) - epoch(cohort_week)) / 604800 AS BIGINT)
+                       AS week_offset,
+                   COUNT(DISTINCT uw.user_id) AS n_active
+            FROM uw JOIN first USING (user_id)
+            GROUP BY 1, 2
+        ), sz AS (
+            SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY 1
+        )
+        SELECT cohort_week, week_offset, n_active, cohort_size,
+               CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+                   AS retention
+        FROM act JOIN sz USING (cohort_week)
+    """,
     "event_sliding": f"""
         WITH assigned AS (
             SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, value

@@ -153,3 +153,17 @@ def test_stream_dedup_exactly_once(spark, sf_dir, dup_stream_dir):
     # doubled input, exactly-once output, no key seen twice
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
+
+
+def test_retention_cohort_week_zero_is_full(spark, sf_dir):
+    """Every cohort is 100% retained at offset 0 (its own first week),
+    and retention never exceeds 1."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.events import q_retention_cohorts
+
+    ret = q_retention_cohorts(spark, sf_dir)
+    w0 = ret.where(F.col("week_offset") == 0)
+    assert w0.where(F.col("n_active") != F.col("cohort_size")).count() == 0
+    assert ret.where(F.col("retention") > 1.0).count() == 0
+    assert ret.count() > 0
