@@ -48,14 +48,59 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 # Registration order is part of the contract: the driver's correctness
-# budget may only cover a prefix (round 1 recorded exactly the first 50 of 68),
-# so the first ~50 slots hold ONE representative of EVERY operator
-# family — core relational, joins, set ops, top-k, windows, aggregate
-# variants, profiling, scalar functions, SQL surface, reshaping,
-# event-time, text/LLM pipeline, dedup, similarity, multimodal,
-# maintenance, graph, time-series joins, TPC-H — and the long tail of
-# within-family variants follows.
+# budget covers a ~50-slot prefix per round. Rounds 1-2 banked green rows
+# for 78 queries; round 3 ROTATES the prefix so the 43 queries that have
+# never had a driver row come first, followed by the two queries whose
+# semantics changed this round (dedup_clusters now consumes the
+# MinHash-LSH candidate graph; embedding_neardup gains a planted
+# near-dup slice) and this round's new operators. The long tail holds
+# the queries already verified by CORRECTNESS_r01/r02.
 _QUERIES: dict[str, QueryFn] = {
+    "fuzzy_name_match": D.q_fuzzy_name_match,
+    "gap_fill": EV.q_gap_fill,
+    "funnel": EV.q_funnel,
+    "rolling_active_users": EV.q_rolling_active_users,
+    "retention_cohorts": EV.q_retention_cohorts,
+    "outlier_events": EV.q_outlier_events,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
+    "scd2_apply": MT.q_scd2_apply,
+    "ann_ivf": S.q_ann_ivf,
+    "media_frames": MM.q_media_frames,
+    "event_session_native": EV.q_event_session_native,
+    "event_sliding": EV.q_event_sliding,
+    "window_range": EV.q_event_window_range,
+    "quality_score": TX.q_quality_score,
+    "doc_repetition": TX.q_doc_repetition,
+    "quality_deciles": TX.q_quality_deciles,
+    "token_count": TX.q_token_count,
+    "doc_fingerprint": TX.q_doc_fingerprint,
+    "deterministic_sample": TX.q_deterministic_sample,
+    "mixture_rebalance": TX.q_mixture_rebalance,
+    "unigram_logprob": TX.q_unigram_logprob,
+    "source_dup_stats": D.q_source_dup_stats,
+    "inverted_index": TX.q_inverted_index,
+    "bigram_freq": TX.q_bigram_freq,
+    "seq_pack": TX.q_seq_pack,
+    "dedup_fingerprint": D.q_dedup_fingerprint,
+    "decontaminate": D.q_decontaminate,
+    "dedup_windowed": D.q_dedup_windowed,
+    "dedup_simhash": D.q_dedup_simhash,
+    "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "tpch_q1": TQ.q_tpch_q1,
+    "tpch_q8": TQ.q_tpch_q8,
+    "tpch_q14": TQ.q_tpch_q14,
+    "tpch_q18": TQ.q_tpch_q18,
+    "tpch_q7": TQ.q_tpch_q7,
+    "tpch_q13": TQ.q_tpch_q13,
+    "tpch_q15": TQ.q_tpch_q15,
+    "tpch_q17": TQ.q_tpch_q17,
+    "tpch_q19": TQ.q_tpch_q19,
+    "tpch_q22": TQ.q_tpch_q22,
+    "exact_distinct_agg": R.q_exact_distinct_agg,
+    "map_funcs": R.q_map_funcs,
+    "dedup_clusters": D.q_dedup_clusters,
+    "embedding_neardup": S.q_embedding_neardup,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,
@@ -98,66 +143,22 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_ngram": D.q_dedup_ngram,
     "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
-    "dedup_clusters": D.q_dedup_clusters,
     "topk_similarity": S.q_topk_similarity,
     "ann_lsh": S.q_ann_lsh,
-    "embedding_neardup": S.q_embedding_neardup,
     "label_centroid": S.q_label_centroid,
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
-    "fuzzy_name_match": D.q_fuzzy_name_match,
-    "gap_fill": EV.q_gap_fill,
-    "funnel": EV.q_funnel,
-    "rolling_active_users": EV.q_rolling_active_users,
-    "retention_cohorts": EV.q_retention_cohorts,
-    "outlier_events": EV.q_outlier_events,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
-    "scd2_apply": MT.q_scd2_apply,
     "range_join": AJ.q_range_join,
     "tpch_q6": TQ.q_tpch_q6,
-    "ann_ivf": S.q_ann_ivf,
-    "media_frames": MM.q_media_frames,
-    "event_session_native": EV.q_event_session_native,
-    "event_sliding": EV.q_event_sliding,
-    "window_range": EV.q_event_window_range,
-    "quality_score": TX.q_quality_score,
-    "doc_repetition": TX.q_doc_repetition,
-    "quality_deciles": TX.q_quality_deciles,
-    "token_count": TX.q_token_count,
-    "doc_fingerprint": TX.q_doc_fingerprint,
-    "deterministic_sample": TX.q_deterministic_sample,
-    "mixture_rebalance": TX.q_mixture_rebalance,
-    "unigram_logprob": TX.q_unigram_logprob,
-    "source_dup_stats": D.q_source_dup_stats,
-    "inverted_index": TX.q_inverted_index,
-    "bigram_freq": TX.q_bigram_freq,
-    "seq_pack": TX.q_seq_pack,
-    "dedup_fingerprint": D.q_dedup_fingerprint,
-    "decontaminate": D.q_decontaminate,
-    "dedup_windowed": D.q_dedup_windowed,
-    "dedup_simhash": D.q_dedup_simhash,
-    "embedding_neardup_exact": S.q_embedding_neardup_exact,
-    "tpch_q1": TQ.q_tpch_q1,
-    "tpch_q8": TQ.q_tpch_q8,
     "tpch_q5": TQ.q_tpch_q5,
     "tpch_q10": TQ.q_tpch_q10,
-    "tpch_q14": TQ.q_tpch_q14,
-    "tpch_q18": TQ.q_tpch_q18,
-    "tpch_q7": TQ.q_tpch_q7,
-    "tpch_q13": TQ.q_tpch_q13,
-    "tpch_q15": TQ.q_tpch_q15,
-    "tpch_q17": TQ.q_tpch_q17,
-    "tpch_q19": TQ.q_tpch_q19,
-    "tpch_q22": TQ.q_tpch_q22,
     "sql_cte_topnation": SQ.q_sql_cte_topnation,
     "event_rollup": SQ.q_event_rollup,
     "pivot_status": SQ.q_pivot_status,
     "window_running": R.q_window_running,
     "window_lag": R.q_window_lag,
     "window_misc": R.q_window_misc,
-    "exact_distinct_agg": R.q_exact_distinct_agg,
     "cube_agg": R.q_cube_agg,
     "stats_agg": R.q_stats_agg,
     "approx_agg": R.q_approx_agg,
@@ -176,7 +177,6 @@ _QUERIES: dict[str, QueryFn] = {
     "date_funcs2": R.q_date_funcs2,
     "math_funcs": R.q_math_funcs,
     "json_funcs": R.q_json_funcs,
-    "map_funcs": R.q_map_funcs,
 }
 
 

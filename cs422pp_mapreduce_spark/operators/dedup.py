@@ -510,16 +510,24 @@ def connected_components(
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: connected components over
-    the exact n-gram-Jaccard near-dup graph, labeling every clustered
-    document with the minimum doc_id of its component (the canonical
+    the MinHash-LSH near-dup graph, labeling every clustered document
+    with the minimum doc_id of its component (the canonical
     representative a dedup pass would keep).
 
     Pairwise near-dup output under-describes duplication: if A~B and
     B~C, keeping "one of each pair" retains 2 of 3 copies. Components
     give the keep-one-per-cluster semantics every corpus dedup
-    actually wants. Exact input graph + deterministic min labels make
-    this oracle-checkable (DuckDB WITH RECURSIVE twin)."""
-    pairs = q_dedup_ngram(spark, sf_dir)
+    actually wants.
+
+    The edge graph comes from ``q_dedup_minhash`` — the banded
+    candidates-then-verify pipeline whose join cost is O(docs × bands),
+    never the quadratic-in-hot-shingle worst case of the exact
+    inverted-index self-join. That exact graph (``q_dedup_ngram``) is
+    kept as the verification twin: the DuckDB oracle runs WITH
+    RECURSIVE over it, and because every LSH edge is exact-Jaccard-
+    verified (LSH edges ⊆ exact edges, equality on the fixtures —
+    asserted in tests), the deterministic min labels agree."""
+    pairs = q_dedup_minhash(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

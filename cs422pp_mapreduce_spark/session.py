@@ -44,6 +44,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # converted to a microsecond timestamp in the loader (catalog.py) —
     # the same ns→us truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP (LTZ),
+    # not TIMESTAMP_NTZ. With the UTC session timezone above the two are
+    # numerically identical, but the engine's event-time operators use
+    # unix_micros()/RANGE frames, which require the LTZ type; the
+    # testdata's ts column has shipped as both int64-nanos and
+    # timestamp[us], and this pins one read type for both layouts.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

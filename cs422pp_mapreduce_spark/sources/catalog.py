@@ -136,7 +136,8 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_dtype == "bigint":
         # TIMESTAMP(NANOS) surfaced as long nanos (nanosAsLong conf):
         # truncate to microseconds exactly like DuckDB's ns→us read.
         from pyspark.sql import functions as F
@@ -144,6 +145,13 @@ def load_table(
         # integer `div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's
         # 2^53 exact-integer range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Session built without our runtime confs (inferTimestampNTZ
+        # still on): normalize to TIMESTAMP. Under the UTC session
+        # timezone the cast is a type change only, no value shift.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if validate:
         expected = {f.name: f.dataType for f in TABLE_SCHEMAS[name].fields}
         actual = {f.name: f.dataType for f in df.schema.fields}

@@ -32,6 +32,51 @@ def test_cc_direction_and_duplicates_irrelevant(spark):
     assert got == {(1, 1), (3, 1), (5, 1)}
 
 
+def test_dedup_clusters_consume_lsh_candidates(spark, sf_dir, monkeypatch):
+    # the contract/scale path runs components over the BANDED candidate
+    # graph (q_dedup_minhash), not the exact inverted-index self-join —
+    # substitute a sentinel pair set and the clustering must follow it.
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    sentinel = spark.createDataFrame(
+        [(101, 102, 1.0), (102, 103, 1.0), (200, 201, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    monkeypatch.setattr(D, "q_dedup_minhash", lambda s, d: sentinel)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert got == {
+        (101, 101), (102, 101), (103, 101), (200, 200), (201, 200),
+    }
+
+
+def test_lsh_clusters_refine_exact_clusters(spark, sf_dir):
+    # LSH edges ⊆ exact edges, so every LSH cluster must sit inside one
+    # exact-graph cluster (refinement); on the fixtures the pair sets
+    # coincide, so the labelings are identical — assert both.
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    lsh = {
+        r.doc_id: r.cluster_id
+        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    exact_pairs = D.q_dedup_ngram(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    exact = {
+        r.node: r.comp for r in connected_components(exact_pairs).collect()
+    }
+    assert set(lsh) <= set(exact)
+    # each LSH cluster maps into exactly one exact cluster
+    mapping = {}
+    for doc, cl in lsh.items():
+        mapping.setdefault(cl, set()).add(exact[doc])
+    assert all(len(targets) == 1 for targets in mapping.values())
+    assert lsh == exact  # pair-set equality on fixtures ⇒ same labels
+
+
 def test_merge_upsert_invariants(spark, sf_dir):
     from cs422pp_mapreduce_spark.sources.catalog import load_table
 
