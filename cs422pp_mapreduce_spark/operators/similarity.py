@@ -310,17 +310,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-dup slice for the contract queries. The shared
+# embeddings fixture is uniform random — its maximum pairwise cosine is
+# ~0.51, so a 0.95-threshold near-dup query over the raw table is
+# vacuously empty and the driver row proves only that nothing crashes.
+# The contract queries therefore augment the table with ONE
+# deterministic perturbed twin per PLANT_MOD-th vector (first component
+# scaled by 0.9 → cos ≈ 0.999 to its original): the pair set the query
+# must recover is known, non-empty, and identical across engines, so
+# the driver row carries real recall signal. Both the Spark side and
+# the DuckDB oracle (oracles.py "embedding_neardup_exact") apply the
+# same planting in double precision.
+PLANT_MOD = 25
+PLANT_OFFSET = 1_000_000
+
+
+def contract_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec double[]) — embeddings plus the planted twin slice."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    twins = vecs.where(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("vec", 1) * F.lit(0.9)),
+            F.slice("vec", 2, EMBED_DIM - 1),
+        ).alias("vec"),
+    )
+    return vecs.unionAll(twins)
+
+
 def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (round(cos,4) ≥ 0.95)
-    via all-pairs self-join — the oracle-checkable baseline twin of
-    q_embedding_neardup. O(n²): verification-scale only; the LSH variant
-    is the 100 TB path."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), _as_double("embedding").alias("va")
+    via all-pairs self-join over the planted contract vectors — the
+    oracle-checkable baseline twin of q_embedding_neardup. O(n²):
+    verification-scale only; the LSH variant is the 100 TB path."""
+    vecs = contract_vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), _as_double("embedding").alias("vb")
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
     )
     sim = cosine(F.col("va"), F.col("vb"))
     return (
@@ -340,9 +369,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band w.h.p. so recall stays high (asserted in tests on planted
     near-dups, alongside a candidate-fraction bound). This is the plan
     that survives 100 TB; q_embedding_neardup_exact is its
-    verification-scale oracle twin."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _as_double("embedding").alias("vec")).persist(
+    verification-scale oracle twin. Runs over the planted contract
+    vectors (see ``contract_vectors``) so the recovered pair set is
+    non-empty and known."""
+    vecs = contract_vectors(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )  # scanned by the bucket pipeline and both sides of the verify join
     bb = sign_band_buckets(spark, vecs).persist(StorageLevel.MEMORY_AND_DISK)

@@ -872,16 +872,25 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # Same planting as similarity.contract_vectors: one perturbed twin
+    # (first component × 0.9, double precision) per 25th vector, ids
+    # offset by 1e6 — the raw fixture is uniform random with max
+    # pairwise cos ≈ 0.51, so without planting this query is vacuous.
     "embedding_neardup_exact": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat([d[1] * 0.9], d[2:])
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+                  FROM embeddings WHERE vec_id % 25 = 0)
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])),
-                     4) AS sim
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])),
-                    4) >= 0.95
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM vecs a
+        JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.95
     """,
     "tpch_q14": f"""
         SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
