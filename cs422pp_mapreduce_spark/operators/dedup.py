@@ -454,24 +454,114 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- duplicate clusters (connected components) -----------------------------
 
 
+# Above this many edges, connected_components switches from min-label
+# propagation (rounds = graph diameter) to large-star/small-star
+# (rounds = O(log² n) regardless of diameter). Near-dup graphs are
+# unions of tiny cliques where propagation wins on constant factors;
+# a 100 TB similarity graph can contain long chains where it loses
+# catastrophically.
+CC_STAR_EDGE_THRESHOLD = 100_000
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond", Alg. Large-Star): every node connects its
+    strictly-larger neighbors to its minimum neighborhood member.
+    Input is the symmetrized (u, v) edge frame; output a deduplicated
+    undirected edge list."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge max→min, then every node
+    connects its (all smaller) neighbors — and itself — to the minimum
+    one."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return (
+        relinked.union(self_links)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — O(log² n) rounds independent of graph diameter (the
+    public Kiveris et al. 2014 algorithm), vs. rounds = diameter for
+    min-label propagation. Each round is two (groupBy + join) stages
+    over the current edge list; at convergence the edge set is exactly
+    the star {(node, component-min)}, which IS the labeling.
+
+    Per-round localCheckpoint keeps lineage O(1); convergence = the
+    edge set reaching a fixed point (count equal + no new edges, two
+    cheap actions on checkpointed frames)."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = e.count()
+    rounds = 0
+    for _ in range(max_iterations):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        new_e = _small_star(_large_star(sym)).localCheckpoint()
+        rounds += 1
+        n_new = new_e.count()
+        converged = n_new == n_prev and new_e.exceptAll(e).isEmpty()
+        e = new_e
+        n_prev = n_new
+        if converged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = e.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    return e.select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    ).union(roots)
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation over an
-    (src, dst) edge frame; returns (node, comp) with comp = the minimum
-    node id in the component.
+    """Connected components over an (src, dst) edge frame; returns
+    (node, comp) with comp = the minimum node id in the component.
 
-    This is the engine's iterative-algorithm shape: a DataFrame loop
-    with an action per round to test convergence, `localCheckpoint()`
-    each round so lineage (and thus plan size) stays O(1) in the
-    iteration count instead of compounding. Rounds needed = graph
+    Small graphs run iterative min-label propagation (rounds = graph
     diameter — near-dup graphs are unions of tiny cliques, so 2-3
-    rounds in practice. At 100 TB you'd swap the loop body for the
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"), which contracts components
-    in O(log²) rounds independent of diameter; the per-round plan —
-    join labels to edges, min-aggregate, compare — is identical.
+    rounds); beyond CC_STAR_EDGE_THRESHOLD edges the call dispatches to
+    ``connected_components_star`` (O(log²) rounds independent of
+    diameter — the shape that survives a 100 TB similarity graph with
+    long chains). Both paths share the engine's iterative-algorithm
+    conventions: an action per round to test convergence and
+    `localCheckpoint()` so lineage (and thus plan size) stays O(1) in
+    the iteration count instead of compounding.
     """
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    if edges.limit(CC_STAR_EDGE_THRESHOLD + 1).count() > CC_STAR_EDGE_THRESHOLD:
+        out = connected_components_star(edges)
+        edges.unpersist()
+        return out
     sym = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -505,6 +595,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -32,6 +32,60 @@ def test_cc_direction_and_duplicates_irrelevant(spark):
     assert got == {(1, 1), (3, 1), (5, 1)}
 
 
+def _cc_star(spark, edges, stats=None):
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r.node, r.comp)
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+
+
+def test_cc_star_long_chain_in_log_rounds(spark):
+    # a 256-node chain has diameter 255: min-label propagation needs
+    # ~255 rounds, large-star/small-star must collapse it in O(log²) —
+    # well under 12 rounds in practice.
+    n = 256
+    stats = {}
+    got = _cc_star(spark, [(i, i + 1) for i in range(1, n)], stats)
+    assert got == {(i, 1) for i in range(1, n + 1)}
+    assert stats["rounds"] <= 12
+
+
+def test_cc_star_matches_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(1, n + 1), rng.randrange(1, n + 1))
+            for _ in range(40 + trial * 20)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_cc_dispatches_to_star_above_threshold(spark, monkeypatch):
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    calls = []
+    real = D.connected_components_star
+
+    def spy(edges, max_iterations=50, stats=None):
+        calls.append(1)
+        return real(edges, max_iterations, stats)
+
+    monkeypatch.setattr(D, "connected_components_star", spy)
+    monkeypatch.setattr(D, "CC_STAR_EDGE_THRESHOLD", 2)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert calls, "edge count above threshold must dispatch to star CC"
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+
+
 def test_dedup_clusters_consume_lsh_candidates(spark, sf_dir, monkeypatch):
     # the contract/scale path runs components over the BANDED candidate
     # graph (q_dedup_minhash), not the exact inverted-index self-join —
