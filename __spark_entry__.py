@@ -27,6 +27,7 @@ from cs422pp_mapreduce_spark.operators import relational as R
 from cs422pp_mapreduce_spark.operators import similarity as S
 from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 from cs422pp_mapreduce_spark.operators import textops as TX
+from cs422pp_mapreduce_spark.operators import tokenize as TK
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -101,6 +102,7 @@ _QUERIES: dict[str, QueryFn] = {
     "map_funcs": R.q_map_funcs,
     "dedup_clusters": D.q_dedup_clusters,
     "embedding_neardup": S.q_embedding_neardup,
+    "token_count_bpe": TK.q_token_count_bpe,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -1,0 +1,71 @@
+"""Tokenizer-aware token counting (real BPE) over ``documents``.
+
+textops.q_token_count counts whitespace tokens and a BPE-ish regex
+approximation — both pure JVM expressions, right for oracle-checked
+stats. A pretraining pipeline, though, budgets and packs by *tokenizer*
+tokens; this module runs the engine's pure-Python BPE
+(functions/bpe.py) inside Arrow-batched ``mapInPandas`` — the declared
+slow-path pattern (same shape as multimodal.py's decode kernels):
+batch-columnar transfer, per-executor encoder with an LRU word cache,
+never a per-row Python UDF.
+
+Scale posture: the encode is embarrassingly parallel per document; the
+explicit repartition buys full-core parallelism when the input layout
+is coarser than compute wants (one cheap shuffle of raw text), and no
+stage here shuffles anything wider than (doc_id, counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import default_parallelism
+from ..sources.catalog import load_table
+
+BPE_COUNT_SCHEMA = "doc_id long, n_ws_tokens long, n_bpe_tokens long"
+
+
+def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # import inside the worker so the encoder (and its merge table)
+    # is constructed once per executor process, not shipped per task
+    from ..functions.bpe import DEFAULT_ENCODER
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_ws_tokens": pdf["text"]
+                .str.split()
+                .str.len()
+                .astype("int64"),
+                "n_bpe_tokens": pdf["text"]
+                .map(DEFAULT_ENCODER.count)
+                .astype("int64"),
+            }
+        )
+
+
+def add_bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) for any (doc_id, text) frame
+    — the alternate-column feed for seq_pack / mixture_rebalance when
+    budgeting by tokenizer tokens instead of whitespace words."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _count_batches, BPE_COUNT_SCHEMA
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token count next to the whitespace count.
+
+    Rows-only contract query (a learned subword segmentation is not
+    SQL-expressible); tests pin the Spark output to a driver-side
+    pure-Python replica and the encoder itself to round-trip/
+    determinism invariants."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), "doc_id"
+    )
+    return add_bpe_token_counts(docs)

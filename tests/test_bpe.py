@@ -1,0 +1,68 @@
+"""BPE encoder invariants + the Spark token-count integration."""
+
+from __future__ import annotations
+
+from cs422pp_mapreduce_spark.functions.bpe import (
+    DEFAULT_ENCODER,
+    BPEEncoder,
+    _SEED_TEXT,
+    pretokenize,
+    train_bpe,
+)
+from cs422pp_mapreduce_spark.operators.tokenize import q_token_count_bpe
+
+TRICKY = [
+    "the quick brown fox",
+    "  leading spaces and   runs",
+    "punctuation, yes! (and-parens) ... 42 times",
+    "tabs\tand\nnewlines\n\nmixed",
+    "off-vocab zzxqj glyphs @#$%",
+    "",
+    "a",
+]
+
+
+def test_pretokenize_covers_everything():
+    for t in TRICKY + [_SEED_TEXT]:
+        assert "".join(pretokenize(t)) == t
+
+
+def test_encode_decode_roundtrip():
+    for t in TRICKY + [_SEED_TEXT]:
+        pieces = DEFAULT_ENCODER.encode_pieces(t)
+        assert DEFAULT_ENCODER.decode_pieces(pieces) == t
+
+
+def test_training_and_encoding_deterministic():
+    merges_a = train_bpe(_SEED_TEXT)
+    merges_b = train_bpe(_SEED_TEXT)
+    assert merges_a == merges_b
+    enc = BPEEncoder(merges_a)
+    sample = "the scheduler assigns tasks to workers"
+    assert enc.encode(sample) == BPEEncoder(merges_b).encode(sample)
+    assert enc.encode(sample) == DEFAULT_ENCODER.encode(sample)
+
+
+def test_merges_compress_common_english():
+    # learned merges must beat character-level segmentation on text
+    # resembling the seed distribution, and a common word collapses far
+    sample = "the pipeline reads the records and writes the results"
+    n = DEFAULT_ENCODER.count(sample)
+    n_chars = len([c for c in sample])
+    assert n < n_chars / 2
+    assert len(DEFAULT_ENCODER._encode_word("the")) <= 2
+
+
+def test_spark_counts_match_python_replica(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in q_token_count_bpe(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for row in docs.collect():
+        ws = len(row.text.split())
+        bpe = DEFAULT_ENCODER.count(row.text)
+        assert got[row.doc_id] == (ws, bpe), row.doc_id
+    assert len(got) == docs.count()
