@@ -103,6 +103,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": D.q_dedup_clusters,
     "embedding_neardup": S.q_embedding_neardup,
     "token_count_bpe": TK.q_token_count_bpe,
+    "dedup_substring": D.q_dedup_substring,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

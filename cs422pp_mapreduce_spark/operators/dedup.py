@@ -671,6 +671,84 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- substring-level dedup (repeated spans) -------------------------------
+
+SUBSTR_K = 5  # shingle width for span detection
+MIN_SPAN_TOKENS = 30  # report spans at least this many tokens long
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection: maximal ≥MIN_SPAN_TOKENS-token spans
+    whose every SUBSTR_K-token shingle occurs more than once in the
+    corpus — the DataFrame-expressible shingle-run approximation of the
+    suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"). Whole-doc dedup
+    misses boilerplate ledes and quoted passages embedded in otherwise
+    unique documents; this pass is what catches them.
+
+    Shape: positionally shingle every document (map-only explode), mark
+    shingles with corpus count ≥ 2 via one partial→final aggregate +
+    an equi-join back on the 64-bit shingle hash (never strings — the
+    shuffle carries 8-byte keys), then gaps-and-islands per document
+    (pos − row_number over a per-doc window, bounded by doc length) to
+    collapse consecutive duplicated positions into maximal spans. Every
+    stage is O(total positions); no self-join, no all-pairs anywhere —
+    a run of R consecutive duplicated shingles certifies a repeated
+    span of R+K−1 tokens without ever materializing pairs.
+
+    Returns (doc_id, span_start, span_tokens): 1-based token position
+    and token length of each qualifying span."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", nonempty_tokens("text").alias("t")
+    )
+    n = F.size("t")
+    idx = F.when(
+        n >= SUBSTR_K,
+        F.sequence(F.lit(1), n - (SUBSTR_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.xxhash64(
+                            F.array_join(F.slice("t", i, SUBSTR_K), " ")
+                        ).alias("sh"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # read by the count aggregate and the join back
+    dup_sh = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("sh")
+    )
+    dup_pos = sh.join(dup_sh, "sh").select("doc_id", "pos")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(by_pos)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + SUBSTR_K).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= MIN_SPAN_TOKENS)
+        .select("doc_id", "span_start", "span_tokens")
+    )
+
+
 PREFIX_FP_CHARS = 60  # normalized-prefix fingerprint length
 
 

@@ -872,6 +872,33 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # Shingle-run substring dedup twin: same single-space tokenization
+    # as nonempty_tokens, string shingles where Spark joins on their
+    # xxhash64 (injective up to 64-bit collisions).
+    "dedup_substring": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i:i+4], ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        ), dup AS (
+            SELECT doc_id, pos FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) >= 2)
+        ), runs AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup
+        )
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) - MIN(pos) + 5 AS span_tokens
+        FROM runs GROUP BY doc_id, grp
+        HAVING MAX(pos) - MIN(pos) + 5 >= 30
+    """,
     # Same planting as similarity.contract_vectors: one perturbed twin
     # (first component × 0.9, double precision) per 25th vector, ids
     # offset by 1e6 — the raw fixture is uniform random with max

@@ -54,6 +54,36 @@ def test_simhash_pairs_verified_by_python(spark, sf_dir):
         assert r["doc_a"] < r["doc_b"]
 
 
+def test_dedup_substring_finds_planted_spans(spark, tmp_path):
+    # two docs share a 40-token passage at different offsets; a third
+    # doc repeats a 35-token passage internally; a fourth is unique.
+    passage = " ".join(f"shared{i}" for i in range(40))
+    internal = " ".join(f"loop{i}" for i in range(35))
+    rows = [
+        (1, "padA " * 20 + passage, "s", "en", 0.5),
+        (2, passage + " padB" * 20, "s", "en", 0.5),
+        (3, internal + " mid3 " + internal, "s", "en", 0.5),
+        (4, " ".join(f"uniq{i}" for i in range(80)), "s", "en", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, "
+        "quality_score double"
+    )
+    d = str(tmp_path / "substr")
+    df.write.parquet(f"{d}/documents.parquet")
+    spans = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in D.q_dedup_substring(spark, d).collect()
+    }
+    # doc 1: passage starts at token 21 → 36 duplicated positions
+    # doc 2: passage at token 1; doc 3: both copies of the internal
+    # passage (positions 1 and 37); doc 4: nothing.
+    assert (1, 21, 40) in spans
+    assert (2, 1, 40) in spans
+    assert (3, 1, 35) in spans and (3, 37, 35) in spans
+    assert not any(doc == 4 for doc, _, _ in spans)
+
+
 def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
     rows = D.q_dedup_exact(spark, sf_dir).collect()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
