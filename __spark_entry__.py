@@ -104,6 +104,7 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": S.q_embedding_neardup,
     "token_count_bpe": TK.q_token_count_bpe,
     "dedup_substring": D.q_dedup_substring,
+    "audio_meta": MM.q_audio_meta,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

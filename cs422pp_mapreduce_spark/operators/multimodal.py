@@ -175,6 +175,154 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- audio (WAV/RIFF) ------------------------------------------------------
+# Same pattern as the image path, one modality over: a synthetic but
+# SPEC-CONFORMANT canonical PCM WAV header (RIFF/WAVE/fmt/data — the
+# public Microsoft RIFF layout), derived arithmetically from doc_id so
+# the DuckDB oracle can recompute expected metadata without parsing
+# bytes. The parse kernel reads real offsets with struct.unpack — a
+# genuine WAV file with this canonical chunk order parses identically;
+# only the payload bytes are truncated (decode uses the declared
+# data-chunk size, as header inspection tools do).
+
+SAMPLE_RATES = (8000, 16000, 22050, 44100)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav_stub(blob: bytes) -> dict | None:
+    """Parse a canonical-layout PCM WAV header (RIFF + fmt + data)."""
+    if blob is None or len(blob) < 44:
+        return None
+    riff, _size, wave = struct.unpack("<4sI4s", blob[:12])
+    if riff != b"RIFF" or wave != b"WAVE":
+        return None
+    fmt_id, fmt_size, audio_fmt, ch, sr, _br, _ba, bits = struct.unpack(
+        "<4sIHHIIHH", blob[12:36]
+    )
+    if fmt_id != b"fmt " or fmt_size != 16 or audio_fmt != 1:
+        return None
+    data_id, data_size = struct.unpack("<4sI", blob[36:44])
+    if data_id != b"data" or ch == 0 or bits == 0:
+        return None
+    n_samples = data_size // (ch * (bits // 8))
+    return {
+        "n_channels": ch,
+        "sample_rate": sr,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sr if sr else None,
+    }
+
+
+def decode_audio_real(blob: bytes):
+    """Real decode path (not available in this container)."""
+    raise NotImplementedError(
+        "full audio decode requires soundfile/librosa: "
+        "sf.read(io.BytesIO(blob)); swap into extract_audio_meta via "
+        "decode=decode_audio_real"
+    )
+
+
+def extract_audio_meta(media: DataFrame, decode=decode_wav_stub) -> DataFrame:
+    """Audio metadata extraction over Arrow batches (mapInPandas) —
+    identical batch-iteration contract to extract_image_meta."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_channels": [m["n_channels"] if m else None for m in metas],
+                    "sample_rate": [m["sample_rate"] if m else None for m in metas],
+                    "bits_per_sample": [
+                        m["bits_per_sample"] if m else None for m in metas
+                    ],
+                    "n_samples": [m["n_samples"] if m else None for m in metas],
+                    "duration_us": [m["duration_us"] if m else None for m in metas],
+                    "ok": [m is not None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic WAV table from ``documents``: one
+    canonical PCM header per doc, built JVM-side as hex → ``unhex``.
+    sample rate, channel count, and sample count are fixed arithmetic
+    functions of doc_id (see the oracle twin)."""
+    did = F.col("doc_id")
+    sr = F.element_at(
+        F.array(*[F.lit(s) for s in SAMPLE_RATES]),
+        (did % 4).cast("int") + 1,
+    )
+    ch = (F.lit(1) + did % 2).cast("int")
+    n_samples = (F.lit(100) + did % 50).cast("int")
+    data_size = n_samples * ch * 2  # 16-bit PCM
+    byte_rate = sr * ch * 2
+    block_align = ch * 2
+
+    def _u8(col):
+        return F.lpad(F.hex(col.cast("bigint") % 256), 2, "0")
+
+    def _u16le(col):
+        c = col.cast("bigint")
+        return F.concat(_u8(c), _u8((c / 256).cast("bigint")))
+
+    def _u32le(col):
+        c = col.cast("bigint")
+        return F.concat(
+            _u8(c),
+            _u8((c / 256).cast("bigint")),
+            _u8((c / 65536).cast("bigint")),
+            _u8((c / 16777216).cast("bigint")),
+        )
+
+    blob_hex = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        _u32le(data_size + 36),       # riff chunk size
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666D7420"),            # "fmt "
+        _u32le(F.lit(16)),            # fmt chunk size
+        _u16le(F.lit(1)),             # PCM
+        _u16le(ch),
+        _u32le(sr),
+        _u32le(byte_rate),
+        _u16le(block_align),
+        _u16le(F.lit(16)),            # bits per sample
+        F.lit("64617461"),            # "data"
+        _u32le(data_size),
+        F.substring(F.md5(did.cast("string")), 1, 16),  # truncated payload
+    )
+    return docs.select(
+        did.alias("media_id"),
+        F.unhex(blob_hex).alias("blob"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the audio surface: synthesize canonical WAV
+    blobs, then parse them back through the Arrow-batched mapInPandas
+    kernel. The oracle recomputes channels/rate/samples/duration
+    arithmetically from doc_id, so a hash match proves the little-endian
+    header build + struct parse round-trips exactly."""
+    media = synth_audio(load_table(spark, sf_dir, "documents"))
+    return extract_audio_meta(media)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query for the multimodal surface: synthesize the media
     table, then extract image metadata through the real Arrow-batched

@@ -872,6 +872,23 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # Audio twin: multimodal.synth_audio derives every WAV header field
+    # arithmetically from doc_id; recompute them here without parsing
+    # bytes, so a hash match proves the header build + struct parse
+    # round-trip.
+    "audio_meta": """
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 2 AS INT) AS n_channels,
+               CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+                    AS INT) AS sample_rate,
+               CAST(16 AS INT) AS bits_per_sample,
+               CAST(100 + doc_id % 50 AS INT) AS n_samples,
+               CAST((100 + doc_id % 50) * 1000000 //
+                    [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+                    AS BIGINT) AS duration_us,
+               TRUE AS ok
+        FROM documents
+    """,
     # Shingle-run substring dedup twin: same single-space tokenization
     # as nonempty_tokens, string shingles where Spark joins on their
     # xxhash64 (injective up to 64-bit collisions).

@@ -119,3 +119,48 @@ def test_media_to_embedding_to_similarity(spark):
     sims = [r["sim"] for r in ranked]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_wav_decode_parses_python_built_header():
+    # build a canonical PCM WAV header with struct (independent of the
+    # Spark-side hex builder) and require exact field recovery
+    import struct
+
+    from cs422pp_mapreduce_spark.operators.multimodal import decode_wav_stub
+
+    ch, sr, bits, n_samples = 2, 22050, 16, 123
+    data_size = n_samples * ch * (bits // 8)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                sr * ch * bits // 8, ch * bits // 8, bits)
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * 8
+    )
+    got = decode_wav_stub(blob)
+    assert got == {
+        "n_channels": ch, "sample_rate": sr, "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sr,
+    }
+    assert decode_wav_stub(b"RIFX" + blob[4:]) is None
+    assert decode_wav_stub(blob[:40]) is None
+    assert decode_wav_stub(None) is None
+
+
+def test_synth_audio_roundtrip_through_spark(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators.multimodal import q_audio_meta
+
+    rows = q_audio_meta(spark, sf_dir).collect()
+    assert rows and all(r.ok for r in rows)
+    for r in rows[:50]:
+        assert r.n_channels == 1 + r.media_id % 2
+        assert r.sample_rate == (8000, 16000, 22050, 44100)[r.media_id % 4]
+        assert r.n_samples == 100 + r.media_id % 50
+        assert r.duration_us == r.n_samples * 1_000_000 // r.sample_rate
+
+
+def test_audio_real_decoder_is_explicit_stub():
+    from cs422pp_mapreduce_spark.operators.multimodal import decode_audio_real
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"RIFF")
