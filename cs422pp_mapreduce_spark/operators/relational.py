@@ -578,12 +578,13 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the mergeable, bounded-memory forms that
     replace exact distinct/percentile at 100 TB: HyperLogLog++ distinct
-    counts and quantile sketches. Approximate ⇒ rows-only driver check;
-    the test asserts HLL error vs the exact count."""
+    counts and quantile sketches. Sketch results are engine-specific ⇒
+    rows-only driver check; the EXACT formulation of the same distinct
+    count lives in q_exact_distinct_agg (full oracle row), and the test
+    asserts HLL error against it."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median_price"
         ),

@@ -8,8 +8,12 @@ from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 
 
 def test_approx_agg_error_bounded(spark, sf_dir):
+    exact_by_flag = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in R.q_exact_distinct_agg(spark, sf_dir).collect()
+    }
     for r in R.q_approx_agg(spark, sf_dir).collect():
-        exact, approx = r["exact_parts"], r["approx_parts"]
+        exact, approx = exact_by_flag[r["l_returnflag"]], r["approx_parts"]
         assert abs(approx - exact) <= max(3, 0.1 * exact)
         assert r["approx_median_price"] > 0
 
