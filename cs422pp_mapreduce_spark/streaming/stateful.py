@@ -10,8 +10,11 @@ This module implements a per-user *running activity profile*:
 
 By default profiles never expire (``NoTimeout``) — correct when the key
 cardinality is bounded (users), and what the batch-equivalence test
-asserts. For unbounded key spaces, pass ``ttl_minutes`` to enable
-ProcessingTimeTimeout-based expiry: idle keys' state is removed when
+asserts. For unbounded key spaces, pass ``ttl_minutes`` to expire idle
+keys: ProcessingTimeTimeout (wall-clock idle) by default, or
+EventTimeTimeout (``event_time=True``; watermark-driven — the flavor a
+replayed backfill needs, since expiry is then a function of the data,
+not of replay speed). Either way the idle key's state is removed when
 the timeout fires, so state stays bounded on an unbounded stream.
 
 The state is a tuple of scalars per key: memory is O(active users),
@@ -49,7 +52,7 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_update_profile(ttl_minutes: int | None):
+def _make_update_profile(ttl_minutes: int | None, event_time: bool = False):
     def _update_profile(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
@@ -70,7 +73,19 @@ def _make_update_profile(ttl_minutes: int | None):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
         state.update((n, s, mx, last_us))
         if ttl_minutes is not None:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            if event_time:
+                # expiry pinned to EVENT time: the key dies when the
+                # watermark passes last-event + TTL. Unlike the
+                # processing-time flavor this is replay-stable — a
+                # backfill at 100× speed expires exactly the same keys.
+                # Spark requires the timeout to sit beyond the current
+                # watermark; clamp for late-arriving keys.
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(last_us // 1000 + ttl_minutes * 60 * 1000, wm_ms + 1)
+                )
+            else:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -85,21 +100,37 @@ def _make_update_profile(ttl_minutes: int | None):
 
 
 def user_activity_profile(
-    events: DataFrame, ttl_minutes: int | None = None
+    events: DataFrame,
+    ttl_minutes: int | None = None,
+    *,
+    event_time: bool = False,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming per-user profile with arbitrary state. Works on a
     streaming DataFrame (micro-batch incremental) — on a batch frame
     use ``user_activity_profile_batch`` (same result, one pass).
 
-    ``ttl_minutes=None`` keeps state forever (bounded key space);
-    setting it enables ProcessingTimeTimeout expiry of idle keys."""
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if ttl_minutes is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+    ``ttl_minutes=None`` keeps state forever (bounded key space).
+    With a TTL, idle keys expire via:
+
+    - ``event_time=False``: ProcessingTimeTimeout — wall-clock idle
+      time. Right for live serving, WRONG for replays: a backfill
+      replayed at 100× speed never leaves a key idle long enough.
+    - ``event_time=True``: EventTimeTimeout — a key expires when the
+      stream's WATERMARK passes its last event + TTL, so expiry is a
+      pure function of the data and identical live or replayed. The
+      input gets ``withWatermark("ts", watermark_delay)`` applied
+      (required by the timeout mode, and what bounds state for late
+      data generally)."""
+    if ttl_minutes is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        events = events.withWatermark("ts", watermark_delay)
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _make_update_profile(ttl_minutes),
+        _make_update_profile(ttl_minutes, event_time),
         outputStructType=PROFILE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

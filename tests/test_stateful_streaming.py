@@ -48,3 +48,56 @@ def test_stateful_profile_converges_to_batch(spark, sf_dir, stream_dir):
         for _, r in batch.iterrows()
     }
     assert got == want
+
+
+def test_event_time_ttl_expires_idle_keys_under_skew(spark, tmp_path):
+    """EventTimeTimeout expiry: a key idle past TTL *in event time* is
+    dropped once the watermark (advanced by other keys' events) passes
+    its last event + TTL — regardless of how fast the replay runs."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, uid, val):
+        return (eid, ts, uid, "click", val, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d = str(tmp_path / "src")
+    batches = [
+        # batch 1: user 1 twice at t0
+        [ev(1, t0, 1, 1.0), ev(2, t0, 1, 2.0)],
+        # batch 2: user 2 at t0+3h → watermark → t0+3h−10min, far past
+        # user 1's timeout (t0 + 60min TTL)
+        [ev(3, t0 + dt.timedelta(hours=3), 2, 1.0)],
+        # batch 3: user 3 at t0+3h → user 1's timeout fires this batch
+        [ev(4, t0 + dt.timedelta(hours=3), 3, 1.0)],
+        # batch 4: user 1 returns at t0+4h — state must have been
+        # removed, so the profile restarts at n_events=1
+        [ev(5, t0 + dt.timedelta(hours=4), 1, 5.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    from cs422pp_mapreduce_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    run_stream_to_memory(
+        user_activity_profile(stream, ttl_minutes=60, event_time=True),
+        "t_profiles_ettl",
+        mode="update",
+    )
+    user1_counts = {
+        r.n_events
+        for r in spark.table("t_profiles_ettl").where("user_id = 1").collect()
+    }
+    # without expiry the return visit would emit n_events=3
+    assert 1 in user1_counts and 2 in user1_counts
+    assert 3 not in user1_counts
