@@ -54,7 +54,7 @@ def transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(
     edges_sym: DataFrame,
     n_iterations: int = N_ITERATIONS,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """PageRank over a symmetric (src, dst) edge frame: returns
     (node, pagerank). Dangling nodes cannot occur (every node in a
@@ -64,10 +64,13 @@ def pagerank(
     ``checkpoint_interval`` trades lineage depth for job count: rounds
     between checkpoints chain lazily into one job (2 shuffles/round),
     and every k-th round cuts lineage with an eager
-    ``localCheckpoint()``. Interval 2 halves the per-round fixed cost
-    (job launch + eager materialization) that dominates at small
-    scale, while keeping the analyzed plan shallow enough that
-    Catalyst cost stays flat; per-round data cost is unchanged."""
+    ``localCheckpoint()``. The per-round fixed cost (job launch +
+    eager materialization) dominates at small scale: measured at
+    sf0.1/local[32], interval 4 runs the 8 rounds ~1.8× faster than
+    interval 2, while interval 8 (one 8-round-deep plan) gives part of
+    the win back to Catalyst analysis cost. Values are identical for
+    any interval — checkpointing never changes arithmetic — so the
+    NumPy replica test stays exact."""
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     out_edges = edges_sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
