@@ -105,6 +105,7 @@ _QUERIES: dict[str, QueryFn] = {
     "token_count_bpe": TK.q_token_count_bpe,
     "dedup_substring": D.q_dedup_substring,
     "audio_meta": MM.q_audio_meta,
+    "seq_pack_bpe": TK.q_seq_pack_bpe,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

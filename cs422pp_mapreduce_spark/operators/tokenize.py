@@ -58,6 +58,47 @@ def add_bpe_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_BPE_SCHEMA = "doc_id long, chunk_id long, n_chunk_tokens long"
+
+
+def _chunk_count_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from ..functions.bpe import DEFAULT_ENCODER
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "chunk_id": pdf["chunk_id"],
+                "n_chunk_tokens": pdf["chunk_text"]
+                .map(DEFAULT_ENCODER.count)
+                .astype("int64"),
+            }
+        )
+
+
+def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops.q_seq_pack's tokenizer-aware twin: identical chunking
+    and range-exchange prefix-sum packing, but the global token axis
+    counts REAL BPE tokens per chunk instead of whitespace words — what
+    a pretraining pipeline actually packs context windows by. The BPE
+    count runs in one Arrow-batched mapInPandas between the map-only
+    chunker and the packer; the packing plan (no one-task window, tiny
+    O(partitions) offset aggregate) is unchanged."""
+    from .textops import chunk_docs, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), "doc_id"
+    )
+    counted = (
+        chunk_docs(docs)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .mapInPandas(_chunk_count_batches, CHUNK_BPE_SCHEMA)
+    )
+    return pack_sequences(counted)
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token count next to the whitespace count.
 

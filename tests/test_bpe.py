@@ -66,3 +66,30 @@ def test_spark_counts_match_python_replica(spark, sf_dir):
         bpe = DEFAULT_ENCODER.count(row.text)
         assert got[row.doc_id] == (ws, bpe), row.doc_id
     assert len(got) == docs.count()
+
+
+def test_seq_pack_bpe_matches_python_replica(spark, sf_dir):
+    # the BPE-packed layout must equal a driver-side naive prefix sum
+    # over the same chunks in (doc_id, chunk_id) order
+    from cs422pp_mapreduce_spark.operators.textops import (
+        SEQ_LEN,
+        chunk_docs,
+    )
+    from cs422pp_mapreduce_spark.operators.tokenize import q_seq_pack_bpe
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    chunks = sorted(
+        (r.doc_id, r.chunk_id, DEFAULT_ENCODER.count(r.chunk_text))
+        for r in chunk_docs(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect()
+    )
+    want, start = {}, 0
+    for doc_id, chunk_id, n in chunks:
+        want[(doc_id, chunk_id)] = (n, start // SEQ_LEN, start % SEQ_LEN)
+        start += n
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.seq_id, r.seq_off)
+        for r in q_seq_pack_bpe(spark, sf_dir).collect()
+    }
+    assert got == want
