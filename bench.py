@@ -88,6 +88,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Per-query cache isolation: each query's 3 runs may reuse the
+        # persisted intermediates ITS OWN plan creates (CacheManager
+        # plan matching — the steady-state cost of a resident query),
+        # but nothing leaks across queries. Without this, dozens of
+        # earlier queries' persisted frames thrash the block manager
+        # and late queries in the list measure eviction pressure, not
+        # their own plan.
+        spark.catalog.clearCache()
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
