@@ -106,6 +106,8 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_substring": D.q_dedup_substring,
     "audio_meta": MM.q_audio_meta,
     "seq_pack_bpe": TK.q_seq_pack_bpe,
+    "tpch_q4": TQ.q_tpch_q4,
+    "tpch_q12": TQ.q_tpch_q12,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -82,6 +82,65 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking), adapted: the fixtures lack
+    l_commitdate/l_receiptdate, so "late" is a lineitem shipped more
+    than 60 days after the order date. Per-priority count of one
+    quarter's orders having at least one late line.
+
+    The defining physical piece is the EXISTS → LEFT SEMI join: orders
+    never duplicate however many lines are late, and the date window
+    pushes to the orders scan. At 100 TB both scans prune columns to
+    keys+dates; the semi join shuffles keys only."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1999-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority histogram), adapted: the
+    fixtures lack l_shipmode, so l_linestatus stands in as the grouping
+    dimension and "late" is shipped >90 days after the order date.
+    Counts urgent (1-URGENT/2-HIGH) vs lower-priority orders among one
+    year's late lines.
+
+    One key-only join (lineitem keys+dates against orders
+    keys+priority) and one conditional partial→final aggregate — the
+    plan the real Q12 wants: no wide columns move, the date filter
+    reaches the lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(urgent.cast("long")).alias("high_line_count"),
+        F.sum((~urgent).cast("long")).alias("low_line_count"),
+    )
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape: forecast revenue change — a pure scan-filter-agg whose
     predicates must ALL reach the parquet reader."""

@@ -330,6 +330,29 @@ ORACLES: dict[str, str] = {
           AND o_orderdate <  DATE '2000-01-01'
         GROUP BY n_name
     """,
+    # Q4/Q12 adapted to the fixture schema: "late" is defined on
+    # l_shipdate vs o_orderdate (no commit/receipt dates), and Q12
+    # groups by l_linestatus (no l_shipmode).
+    "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= '1999-01-01' AND o_orderdate < '1999-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q12": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+    """,
     "tpch_q6": f"""
         SELECT {_xsum('l_extendedprice * l_discount', 4)} AS revenue,
                COUNT(*) AS n_items
