@@ -153,3 +153,41 @@ def test_q8_broadcasts_all_dims(spark, sf_dir):
     plan = explain_str(TQ.q_tpch_q8(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "p_type" in pushed_filters(TQ.q_tpch_q8(spark, sf_dir))
+
+
+def test_dedup_substring_no_cartesian_and_key_only_shuffle(spark, sf_dir):
+    # repeated-span detection must never materialize pairs: no
+    # cartesian/nested-loop join anywhere, and the candidate join runs
+    # on the 64-bit shingle hash, not shingle text
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    df = D.q_dedup_substring(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan.lower() or "xxhash" in plan.lower()
+
+
+def test_tpch_q4_is_semi_join(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators import tpch as TQ
+
+    plan = explain_str(TQ.q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # date window reaches the orders scan
+    assert "o_orderdate" in plan
+
+
+def test_audio_pipeline_prunes_before_decode(spark, sf_dir):
+    # metadata predicate must precede the Python decode stage: the
+    # blob-length filter is evaluated JVM-side under the scan, so
+    # mapInPandas only sees survivors
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators import multimodal as MM
+
+    media = MM.synth_audio(load_table(spark, sf_dir, "documents"))
+    df = MM.extract_audio_meta(media.where(F.length("blob") >= 44))
+    plan = explain_str(df)
+    py = plan.find("MapInPandas")
+    flt = plan.find("Filter")
+    assert py != -1 and flt != -1 and flt > py  # physical tree prints top-down
