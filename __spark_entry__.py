@@ -108,6 +108,7 @@ _QUERIES: dict[str, QueryFn] = {
     "seq_pack_bpe": TK.q_seq_pack_bpe,
     "tpch_q4": TQ.q_tpch_q4,
     "tpch_q12": TQ.q_tpch_q12,
+    "dedup_keep": D.q_dedup_keep,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -627,6 +627,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list materialization of the near-dup stack — the frame a
+    downstream training pipeline actually consumes: every document
+    except non-representative members of a near-dup cluster
+    (representative = component-minimum doc_id, q_dedup_clusters'
+    labeling).
+
+    One anti join of the corpus against the (small) drop list; at
+    100 TB the drop list is keys-only and the corpus scan carries just
+    the projected columns. The cluster labels come from the banded LSH
+    path; the oracle recomputes them from the exact n-gram graph
+    (identical on the fixtures — see q_dedup_clusters)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    clusters = q_dedup_clusters(spark, sf_dir)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: customer-name pairs within edit distance 1, via
     FastSS deletion-neighborhood blocking (Bocek et al. 2007) — the

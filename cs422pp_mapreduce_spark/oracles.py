@@ -24,6 +24,49 @@ def _xavg(expr: str, scale: int = 4) -> str:
     return f"{_xsum(expr, scale)} / COUNT({expr})"
 
 
+# Exact near-dup connected-components CTE chain (shared by
+# dedup_clusters and dedup_keep): word-3-gram Jaccard ≥ 0.5 pairs →
+# symmetric edges → recursive reachability walk. Callers prepend
+# `WITH RECURSIVE ` and aggregate `walk` themselves.
+_NEARDUP_CC_CTE = """toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), pairs AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), walk AS (
+            SELECT src AS node, src AS comp FROM edges
+            UNION
+            SELECT e.dst AS node, w.comp
+            FROM walk w JOIN edges e ON e.src = w.node
+        )"""
+
 ORACLES: dict[str, str] = {
     # --- wordcount family -------------------------------------------------
     "wordcount": """
@@ -748,47 +791,25 @@ ORACLES: dict[str, str] = {
     # walk enumerates every (node, reachable-comp seed) pair; MIN over
     # the walk = the component's minimum id — identical semantics to
     # the Spark side's min-label propagation fixpoint.
-    "dedup_clusters": """
-        WITH RECURSIVE toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> x <> '') AS t
-            FROM documents
-        ), sh AS (
-            SELECT doc_id, list_distinct(
-                CASE WHEN len(t) >= 3
-                     THEN list_transform(generate_series(1, len(t) - 2),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                     ELSE t END) AS shingles
-            FROM toks
-        ), inv AS (
-            SELECT doc_id, unnest(shingles) AS shingle FROM sh
-        ), common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   COUNT(*) AS n_common
-            FROM inv a JOIN inv b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), sizes AS (
-            SELECT doc_id, len(shingles) AS n_sh FROM sh
-        ), pairs AS (
-            SELECT doc_a, doc_b
-            FROM common
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(n_common AS DOUBLE)
-                      / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-        ), edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ), walk AS (
-            SELECT src AS node, src AS comp FROM edges
-            UNION
-            SELECT e.dst AS node, w.comp
-            FROM walk w JOIN edges e ON e.src = w.node
-        )
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_NEARDUP_CC_CTE}
         SELECT node AS doc_id, MIN(comp) AS cluster_id
         FROM walk GROUP BY node
+    """,
+    # Keep-list twin: every document except non-representative members
+    # of a near-dup cluster (representative = the component minimum,
+    # exactly dedup_clusters' labeling).
+    "dedup_keep": f"""
+        WITH RECURSIVE {_NEARDUP_CC_CTE},
+        clusters AS (
+            SELECT node AS doc_id, MIN(comp) AS cluster_id
+            FROM walk GROUP BY node
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+        )
     """,
     "corpus_prep": """
         WITH base AS (
