@@ -54,8 +54,12 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # never had a driver row come first, followed by the two queries whose
 # semantics changed this round (dedup_clusters now consumes the
 # MinHash-LSH candidate graph; embedding_neardup gains a planted
-# near-dup slice) and this round's new operators. The long tail holds
-# the queries already verified by CORRECTNESS_r01/r02.
+# near-dup slice) and five of this round's new operators
+# (token_count_bpe, dedup_substring, audio_meta, seq_pack_bpe,
+# tpch_q4) — exactly 50. The two round-3 additions that didn't fit
+# (tpch_q12, dedup_keep) sit at slots 51-52 for the next rotation;
+# both are green in the local gate replica. The long tail holds the
+# queries already verified by CORRECTNESS_r01/r02.
 _QUERIES: dict[str, QueryFn] = {
     "fuzzy_name_match": D.q_fuzzy_name_match,
     "gap_fill": EV.q_gap_fill,
