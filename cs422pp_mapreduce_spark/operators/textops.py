@@ -75,6 +75,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fp"))
 
 
+WINNOW_K = 5  # k-gram width for winnowing
+WINNOW_W = 4  # winnow window: guarantees a match on any ≥ K+W-1-token overlap
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every WINNOW_K-token shingle, slide a WINNOW_W
+    window over the hash sequence, keep each window's minimum. The
+    selected set is position-independent and guarantees any shared run
+    of ≥ K+W−1 tokens contributes at least one common fingerprint —
+    the classic sub-document containment/overlap index (a denser
+    cousin of MinHash that preserves locality).
+
+    Entirely within-row array expressions — map-only, zero shuffle
+    before the final distinct; at 100 TB this chains onto the scan.
+    The shingle hash is the engine's cross-engine convention
+    (md5-prefix → bigint, as q_deterministic_sample), so the DuckDB
+    oracle reproduces fingerprints exactly."""
+    from ..session import default_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", nonempty_tokens("text").alias("t")
+    ).where(F.size("t") >= WINNOW_K)
+    shingle_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("t", i, WINNOW_K), " ")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (WINNOW_K - 1)), shingle_hash
+    )
+    toks = toks.select("doc_id", hashes.alias("hs"))
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+    )
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% deterministic sample of documents via hash-mod bucketing
     (md5 of the key → bucket 0..99, keep < 10).

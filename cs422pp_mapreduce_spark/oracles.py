@@ -916,6 +916,30 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # Winnowing twin: same single-space tokenization, same md5-prefix
+    # 60-bit shingle hash, same W-window minima — fingerprints match
+    # bit-for-bit.
+    "doc_winnow": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(t) - 4),
+                       i -> ('0x' || substr(md5(
+                                array_to_string(t[i:i+4], ' ')), 1, 15)
+                            )::BIGINT) AS hs
+            FROM toks WHERE len(t) >= 5
+        ), wins AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 1)),
+                       j -> list_min(hs[j:j+3]))) AS fps
+            FROM h
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
     # Audio twin: multimodal.synth_audio derives every WAV header field
     # arithmetically from doc_id; recompute them here without parsing
     # bytes, so a hash match proves the header build + struct parse

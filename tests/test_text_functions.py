@@ -127,3 +127,46 @@ def test_source_dup_stats_consistent_with_exact_dedup(spark, sf_dir):
         | (F.col("n_unique_prefix") > F.col("n_unique_exact"))
     ).count()
     assert bad == 0
+
+
+def test_winnow_matches_python_replica_and_guarantee(spark, sf_dir):
+    """Winnowing invariants: Spark fingerprints equal a hashlib-based
+    Python replica, and every W-window of k-gram hashes contributes
+    its minimum (the ≥K+W−1-token shared-run guarantee)."""
+    import hashlib
+
+    from cs422pp_mapreduce_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        q_doc_winnow,
+    )
+
+    got = {}
+    for r in q_doc_winnow(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_checked = 0
+    for row in docs.collect():
+        t = [x for x in row.text.split(" ") if x != ""]
+        if len(t) < WINNOW_K:
+            assert row.doc_id not in got
+            continue
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(t[i : i + WINNOW_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        want = {
+            min(hs[j : j + WINNOW_W])
+            for j in range(max(len(hs) - WINNOW_W + 1, 1))
+        }
+        assert got.get(row.doc_id) == want, row.doc_id
+        n_checked += 1
+    assert n_checked > 0
