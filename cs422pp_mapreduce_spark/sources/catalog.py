@@ -183,6 +183,19 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     _REGISTERED[key] = sf_dir
 
 
+def load_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC source — the other columnar format Spark ships natively.
+    Same scan properties as parquet (column pruning + predicate
+    pushdown reach the reader); pass a schema to pin types, else ORC's
+    embedded schema is authoritative (self-describing, unlike CSV)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def load_csv(
     spark: SparkSession,
     path: str,

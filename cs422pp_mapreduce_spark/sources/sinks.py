@@ -52,6 +52,12 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native columnar; zlib by default) — same
+    pushdown/pruning properties as parquet on re-read."""
+    df.write.mode(mode).orc(path)
+
+
 def write_kv_text(
     df: DataFrame, path: str, key_col: str, value_col: str,
     num_partitions: int | None = None, mode: str = "overwrite",

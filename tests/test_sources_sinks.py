@@ -156,3 +156,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from cs422pp_mapreduce_spark.plans.explain import explain_str
+    from cs422pp_mapreduce_spark.sources.catalog import load_orc, load_table
+    from cs422pp_mapreduce_spark.sources.sinks import write_orc
+
+    src = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_orc(src, p)
+    back = load_orc(spark, p)
+    assert back.count() == src.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in src.schema.fields
+    }
+    # values survive the round trip
+    a = {tuple(r) for r in src.orderBy("o_orderkey").limit(100).collect()}
+    b = {tuple(r) for r in back.orderBy("o_orderkey").limit(100).collect()}
+    assert a == b
+    # predicate + projection reach the ORC reader like parquet
+    q = back.where(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = explain_str(q)
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
