@@ -114,6 +114,7 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q12": TQ.q_tpch_q12,
     "dedup_keep": D.q_dedup_keep,
     "doc_winnow": TX.q_doc_winnow,
+    "video_meta": MM.q_video_meta,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -323,6 +323,120 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_meta(media)
 
 
+# --- video ----------------------------------------------------------------
+# Third modality, same contract: a synthetic container header
+# (b"VID0" + u16le width + u16le height + u8 fps + u16le n_frames +
+# truncated payload), every field an arithmetic function of doc_id.
+# Frame extraction itself is demonstrated by sample_frames/media_frames;
+# this adds the typed video metadata surface (resolution, fps, frame
+# count, duration) a curation pass filters on before any decode.
+
+VIDEO_MAGIC = b"VID0"
+VIDEO_FPS_CHOICES = (24, 25, 30)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_video_stub(blob: bytes) -> dict | None:
+    """Parse the synthetic VID0 container header."""
+    if blob is None or len(blob) < 11 or blob[:4] != VIDEO_MAGIC:
+        return None
+    w, h, fps, n_frames = struct.unpack("<HHBH", blob[4:11])
+    if fps == 0:
+        return None
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // fps,
+    }
+
+
+def decode_video_real(blob: bytes):
+    """Real decode path (not available in this container)."""
+    raise NotImplementedError(
+        "real video decode requires PyAV/ffmpeg: av.open(io.BytesIO(blob)); "
+        "swap into extract_video_meta via decode=decode_video_real"
+    )
+
+
+def extract_video_meta(media: DataFrame, decode=decode_video_stub) -> DataFrame:
+    """Video metadata extraction over Arrow batches (mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                    "fps": [m["fps"] if m else None for m in metas],
+                    "n_frames": [m["n_frames"] if m else None for m in metas],
+                    "duration_ms": [
+                        m["duration_ms"] if m else None for m in metas
+                    ],
+                    "ok": [m is not None for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_META_SCHEMA)
+
+
+def synth_video(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic video table from ``documents`` (hex →
+    unhex, same builder conventions as synth_media/synth_audio)."""
+    did = F.col("doc_id")
+    w = (F.lit(64) + (did % 16) * 16).cast("int")
+    h = (F.lit(48) + (did % 9) * 16).cast("int")
+    fps = F.element_at(
+        F.array(*[F.lit(x) for x in VIDEO_FPS_CHOICES]),
+        (did % 3).cast("int") + 1,
+    )
+    n_frames = (F.lit(100) + did % 200).cast("int")
+
+    def _u8(col):
+        return F.lpad(F.hex(col.cast("bigint") % 256), 2, "0")
+
+    def _u16le(col):
+        c = col.cast("bigint")
+        return F.concat(_u8(c), _u8((c / 256).cast("bigint")))
+
+    blob_hex = F.concat(
+        F.lit("56494430"),  # "VID0"
+        _u16le(w),
+        _u16le(h),
+        _u8(fps),
+        _u16le(n_frames),
+        F.substring(F.md5(did.cast("string")), 1, 16),  # truncated payload
+    )
+    return docs.select(
+        did.alias("media_id"),
+        F.unhex(blob_hex).alias("blob"),
+        F.lit("video/synthetic").alias("mime"),
+    )
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for the video surface: synthesize VID0 containers,
+    parse them back through the Arrow-batched kernel; the oracle
+    recomputes resolution/fps/frames/duration arithmetically from
+    doc_id."""
+    media = synth_video(load_table(spark, sf_dir, "documents"))
+    return extract_video_meta(media)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query for the multimodal surface: synthesize the media
     table, then extract image metadata through the real Arrow-batched

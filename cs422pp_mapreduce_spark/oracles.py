@@ -940,6 +940,19 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, unnest(fps) AS fp FROM wins
     """,
+    # Video twin: synth_video's arithmetic header fields.
+    "video_meta": """
+        SELECT doc_id AS media_id,
+               CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+               CAST(48 + (doc_id % 9) * 16 AS INT) AS height,
+               CAST([24, 25, 30][CAST(doc_id % 3 AS INT) + 1] AS INT) AS fps,
+               CAST(100 + doc_id % 200 AS INT) AS n_frames,
+               CAST((100 + doc_id % 200) * 1000 //
+                    [24, 25, 30][CAST(doc_id % 3 AS INT) + 1]
+                    AS BIGINT) AS duration_ms,
+               TRUE AS ok
+        FROM documents
+    """,
     # Audio twin: multimodal.synth_audio derives every WAV header field
     # arithmetically from doc_id; recompute them here without parsing
     # bytes, so a hash match proves the header build + struct parse

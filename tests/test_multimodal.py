@@ -164,3 +164,31 @@ def test_audio_real_decoder_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_audio_real(b"RIFF")
+
+
+def test_video_decode_parses_struct_built_header():
+    import struct
+
+    from cs422pp_mapreduce_spark.operators.multimodal import decode_video_stub
+
+    blob = b"VID0" + struct.pack("<HHBH", 320, 240, 25, 500) + b"\x01" * 8
+    assert decode_video_stub(blob) == {
+        "width": 320, "height": 240, "fps": 25, "n_frames": 500,
+        "duration_ms": 500 * 1000 // 25,
+    }
+    assert decode_video_stub(b"IMG0" + blob[4:]) is None
+    assert decode_video_stub(blob[:10]) is None
+    assert decode_video_stub(None) is None
+
+
+def test_synth_video_roundtrip_through_spark(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators.multimodal import q_video_meta
+
+    rows = q_video_meta(spark, sf_dir).collect()
+    assert rows and all(r.ok for r in rows)
+    for r in rows[:50]:
+        assert r.width == 64 + (r.media_id % 16) * 16
+        assert r.height == 48 + (r.media_id % 9) * 16
+        assert r.fps == (24, 25, 30)[r.media_id % 3]
+        assert r.n_frames == 100 + r.media_id % 200
+        assert r.duration_ms == r.n_frames * 1000 // r.fps
