@@ -64,6 +64,16 @@ HEADLINE = [
     "doc_repetition",
     "dedup_windowed",
     "corpus_to_sequences",
+    # round-3 additions: substring dedup, winnowing, BPE counting +
+    # packing, keep-list materialization, audio/video metadata, Q4
+    "dedup_substring",
+    "doc_winnow",
+    "token_count_bpe",
+    "seq_pack_bpe",
+    "dedup_keep",
+    "audio_meta",
+    "video_meta",
+    "tpch_q4",
 ]
 
 RUNS = 3
