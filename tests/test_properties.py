@@ -83,3 +83,70 @@ def test_dedup_keeps_min_id_per_key(spark, ids):
     for i, t in rows:
         want[t] = min(want.get(t, i), i)
     assert got == want
+
+
+# --- BPE encoder properties (pure Python — fast, many examples) -----------
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=ascii_text)
+def test_bpe_roundtrip_any_ascii(t):
+    from cs422pp_mapreduce_spark.functions.bpe import DEFAULT_ENCODER
+
+    pieces = DEFAULT_ENCODER.encode_pieces(t)
+    assert DEFAULT_ENCODER.decode_pieces(pieces) == t
+
+
+@settings(max_examples=100, deadline=None)
+@given(t=st.text(max_size=120))  # arbitrary unicode incl. surrogateless
+def test_bpe_pretokenize_partition_any_unicode(t):
+    from cs422pp_mapreduce_spark.functions.bpe import pretokenize
+
+    assert "".join(pretokenize(t)) == t
+
+
+# --- winnowing properties (pure-Python replica of the operator) -----------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_winnow_guarantee_shared_run_shares_fingerprint(toks):
+    """Two docs sharing a run of ≥ K+W−1 tokens must share ≥1
+    fingerprint — winnowing's defining guarantee (Schleimer et al.)."""
+    import hashlib
+
+    from cs422pp_mapreduce_spark.operators.textops import WINNOW_K, WINNOW_W
+
+    def fps(t):
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(t[i : i + WINNOW_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        return {
+            min(hs[j : j + WINNOW_W])
+            for j in range(max(len(hs) - WINNOW_W + 1, 1))
+        }
+
+    run_len = WINNOW_K + WINNOW_W - 1
+    if len(toks) < run_len:
+        return
+    shared = toks[:run_len]
+    doc_a = shared + ["pad%d" % i for i in range(7)]
+    doc_b = ["alt%d" % i for i in range(7)] + shared
+    assert fps(doc_a) & fps(doc_b)
