@@ -190,11 +190,17 @@ IVF_K = 16       # coarse centroids
 IVF_NPROBE = 4   # centroids searched per query
 IVF_ITERS = 3    # Lloyd iterations (deterministic init → stable fast)
 
-# (session id, sf_dir) → (centroids, persisted (vec_id, arr, cell) frame).
+# session → {sf_dir: (centroids, persisted (vec_id, arr, cell) frame)}.
 # The index is built once per dataset and reused by every query — the
 # IVF contract; re-fitting per query was profiled at >60 s of pure
-# overhead at sf0.01.
-_IVF_CACHE: dict[tuple[int, str], tuple[list[list[float]], DataFrame]] = {}
+# overhead at sf0.01. Keyed by a WEAK reference to the session (not
+# id(spark)): a dead session's entries vanish with it, so a recycled
+# object id can never alias a stale index.
+import weakref
+
+_IVF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _sqdist(a: Column | str, b: Column | str) -> Column:
@@ -221,9 +227,9 @@ def build_ivf_index(
     only K×dim averaged components (bounded, index metadata — the
     standard IVF layout keeps centroids driver/coordinator-side).
     Deterministic init (first K vec_ids) → the index is reproducible."""
-    key = (id(spark), sf_dir)
-    if key in _IVF_CACHE:
-        return _IVF_CACHE[key]
+    per_session = _IVF_CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("arr")).persist(
@@ -272,8 +278,8 @@ def build_ivf_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     assigned.count()  # materialize so queries never re-run the fit
-    _IVF_CACHE[key] = (centroids, assigned)
-    return _IVF_CACHE[key]
+    per_session[sf_dir] = (centroids, assigned)
+    return per_session[sf_dir]
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

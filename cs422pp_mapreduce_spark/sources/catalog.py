@@ -163,10 +163,16 @@ def load_table(
     return df
 
 
-# (session id, sf_dir) most recently registered — registration is
+# session → sf_dir most recently registered — registration is
 # idempotent but re-running it on every spark.sql query churns the
-# catalog for nothing; temp views are session-scoped, so key by both.
-_REGISTERED: dict[int, str] = {}
+# catalog for nothing; temp views are session-scoped, so key by the
+# session. Weakly referenced: a dead session's entry dies with it (a
+# recycled object id can never alias a stale registration).
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
@@ -175,12 +181,11 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     Cached per (session, sf_dir): repeat calls with the same directory
     are no-ops; a different directory re-registers (views are
     createOrReplace, so switching scale factors is safe)."""
-    key = id(spark)
-    if not force and _REGISTERED.get(key) == sf_dir:
+    if not force and _REGISTERED.get(spark) == sf_dir:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[spark] = sf_dir
 
 
 def load_orc(
