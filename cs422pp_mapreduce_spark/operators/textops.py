@@ -79,27 +79,13 @@ WINNOW_K = 5  # k-gram width for winnowing
 WINNOW_W = 4  # winnow window: guarantees a match on any ≥ K+W-1-token overlap
 
 
-def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al. 2003, "Winnowing:
-    Local Algorithms for Document Fingerprinting" — the MOSS
-    algorithm): hash every WINNOW_K-token shingle, slide a WINNOW_W
-    window over the hash sequence, keep each window's minimum. The
-    selected set is position-independent and guarantees any shared run
-    of ≥ K+W−1 tokens contributes at least one common fingerprint —
-    the classic sub-document containment/overlap index (a denser
-    cousin of MinHash that preserves locality).
-
-    Entirely within-row array expressions — map-only, zero shuffle
-    before the final distinct; at 100 TB this chains onto the scan.
-    The shingle hash is the engine's cross-engine convention
-    (md5-prefix → bigint, as q_deterministic_sample), so the DuckDB
-    oracle reproduces fingerprints exactly."""
-    from ..session import default_parallelism
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.repartition(default_parallelism(), "doc_id").select(
-        "doc_id", nonempty_tokens("text").alias("t")
-    ).where(F.size("t") >= WINNOW_K)
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing core over any (doc_id, text) frame — batch or
+    streaming (stateless map-only expressions, so the identical plan
+    runs under readStream in append mode, like chunk_docs)."""
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("t")).where(
+        F.size("t") >= WINNOW_K
+    )
     shingle_hash = lambda i: F.conv(  # noqa: E731
         F.substring(
             F.md5(F.array_join(F.slice("t", i, WINNOW_K), " ")), 1, 15
@@ -120,6 +106,29 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
     )
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every WINNOW_K-token shingle, slide a WINNOW_W
+    window over the hash sequence, keep each window's minimum. The
+    selected set is position-independent and guarantees any shared run
+    of ≥ K+W−1 tokens contributes at least one common fingerprint —
+    the classic sub-document containment/overlap index (a denser
+    cousin of MinHash that preserves locality).
+
+    Entirely within-row array expressions — map-only, zero shuffle
+    before the final distinct; at 100 TB this chains onto the scan.
+    The shingle hash is the engine's cross-engine convention
+    (md5-prefix → bigint, as q_deterministic_sample), so the DuckDB
+    oracle reproduces fingerprints exactly."""
+    from ..session import default_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), "doc_id"
+    )
+    return winnow_fingerprints(docs)
 
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
