@@ -96,3 +96,39 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.option("path", path).format("parquet").saveAsTable(table)
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingestion needs: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer cost
+    eventually dominates scans. Rewrites ``src`` into
+    ceil(bytes / target_file_mb) files at ``dst`` and returns that
+    file count.
+
+    The partition count comes from the ACTUAL input byte size (driver
+    fs listing — metadata only, no data pass); `coalesce` avoids a
+    shuffle when reducing file count (the common case), `repartition`
+    only when growing it. Row contents are unchanged; parquet blocks
+    re-encode at the new layout.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

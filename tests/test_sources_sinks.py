@@ -179,3 +179,26 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     q = back.where(F.col("o_totalprice") > 100000.0).select("o_orderkey")
     plan = explain_str(q)
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_compact_parquet_dir_reduces_files(spark, sf_dir, tmp_path):
+    import os
+
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from cs422pp_mapreduce_spark.sources.sinks import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(src)  # 16 tiny files
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src >= 16
+
+    dst = str(tmp_path / "compact")
+    n_target = compact_parquet_dir(spark, src, dst, target_file_mb=128)
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_target == 1 and n_dst == 1
+    # contents unchanged
+    assert spark.read.parquet(dst).count() == orders.count()
+    a = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    b = {tuple(r) for r in orders.collect()}
+    assert a == b
