@@ -115,6 +115,9 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_keep": D.q_dedup_keep,
     "doc_winnow": TX.q_doc_winnow,
     "video_meta": MM.q_video_meta,
+    "tpch_q11": TQ.q_tpch_q11,
+    "tpch_q16": TQ.q_tpch_q16,
+    "tpch_q21": TQ.q_tpch_q21,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

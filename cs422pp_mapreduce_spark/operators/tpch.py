@@ -141,6 +141,116 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important-stock identification), adapted: the
+    fixtures have no partsupp, so lineitem revenue stands in for
+    supply value — per-part revenue from nation-1 suppliers, keeping
+    parts above 0.1% of that nation's total.
+
+    The classic pieces: group-agg per part, a 1-row scalar total
+    (broadcast), and the threshold filter. Per-part sums are
+    decimal-routed; the grand total re-sums the per-part doubles
+    through a wide decimal so the threshold is partitioning-invariant
+    on both engines."""
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 1)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pv = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "part_value",
+            )
+        )
+    )
+    total = pv.agg(
+        F.sum(F.col("part_value").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship count), adapted: distinct
+    supplier count per (p_type, p_size) for selected sizes, with
+    lineitem as the part↔supplier relation (no partsupp in the
+    fixtures). The size filter pushes to the part scan; the distinct
+    count expands to Spark's two-phase distinct aggregation."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): top-20 suppliers
+    by the number of multi-supplier orders where THEY were the only
+    late supplier ("late" = shipped >90 days after order date, per the
+    fixture adaptation).
+
+    The spec's EXISTS/NOT-EXISTS pair is expressed as two key-only
+    aggregates — per-order supplier count and per-order late-supplier
+    count — joined back to the late set: exactly the decorrelation
+    Catalyst would want, with no per-row correlated subquery and no
+    wide columns in any shuffle. Equivalent because "some other
+    supplier in the order" ⟺ n_suppliers ≥ 2 and "no other late
+    supplier" ⟺ n_late = 1."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = li.select("l_orderkey", "l_suppkey").distinct().groupBy(
+        "l_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n_supp"))
+    n_late = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape: forecast revenue change — a pure scan-filter-agg whose
     predicates must ALL reach the parquet reader."""

@@ -373,6 +373,49 @@ ORACLES: dict[str, str] = {
           AND o_orderdate <  DATE '2000-01-01'
         GROUP BY n_name
     """,
+    # Q11/Q16/Q21 adapted: lineitem stands in for partsupp (the
+    # fixtures lack it); "late" is shipdate-based as in Q4/Q12.
+    "tpch_q11": """
+        WITH nat AS (
+            SELECT s_suppkey FROM supplier WHERE s_nationkey = 1
+        ), pv AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+            FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value FROM pv
+        WHERE part_value > 0.001 *
+              (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,4))) AS DOUBLE)
+               FROM pv)
+    """,
+    "tpch_q16": """
+        SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 5, 9, 13)
+        GROUP BY p_type, p_size
+    """,
+    "tpch_q21": """
+        WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        ), os AS (
+            SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_orderkey
+        ), nl AS (
+            SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late
+        JOIN os USING (l_orderkey)
+        JOIN nl USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+    """,
     # Q4/Q12 adapted to the fixture schema: "late" is defined on
     # l_shipdate vs o_orderdate (no commit/receipt dates), and Q12
     # groups by l_linestatus (no l_shipmode).
