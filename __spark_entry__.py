@@ -118,6 +118,9 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q11": TQ.q_tpch_q11,
     "tpch_q16": TQ.q_tpch_q16,
     "tpch_q21": TQ.q_tpch_q21,
+    "tpch_q2": TQ.q_tpch_q2,
+    "tpch_q9": TQ.q_tpch_q9,
+    "tpch_q20": TQ.q_tpch_q20,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -82,6 +82,142 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier), adapted: unit price
+    (l_extendedprice/l_quantity) from lineitem stands in for the
+    missing ps_supplycost. For size-9 parts, the ASIA-region suppliers
+    achieving the per-part minimum unit cost, top-100 by account
+    balance.
+
+    The defining piece is the correlated-min: per-(part, supplier)
+    MIN(unit price), then per-part MIN over suppliers, then the
+    equality join back — the decorrelated two-aggregate form of the
+    spec's correlated subquery. Dims (region-filtered suppliers, the
+    size-9 part slice) broadcast; only lineitem keys move."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == 2
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("u"),
+    )
+    cost = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("u").alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    part9 = load_table(spark, sf_dir, "part").where(
+        F.col("p_size") == 9
+    ).select("p_partkey")
+    return (
+        cost.join(best, "l_partkey")
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(part9), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year), adapted:
+    profit = l_extendedprice × (1 − l_discount) (no ps_supplycost to
+    subtract) for parts whose name contains 'gear', grouped by
+    supplier nation × order year. The classic 5-table star join: both
+    dims broadcast, lineitem shuffles once for the final aggregate,
+    profit sums decimal-routed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "profit",
+            )
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (excess-inventory suppliers), adapted: suppliers whose
+    total shipped quantity of 'small…' parts exceeds the cross-supplier
+    average (no ps_availqty to compare against). Scalar threshold =
+    decimal-routed mean of the per-supplier sums, broadcast as one row
+    — the same 1-row-scalar-subquery physical shape as Q22/Q11."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    ship = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(exact_sum("l_quantity", 2, "qty"))
+    )
+    thr = ship.agg(
+        (
+            F.sum(F.col("qty").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        ship.crossJoin(F.broadcast(thr))
+        .where(F.col("qty") > F.col("avg_qty"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "qty")
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape (order-priority checking), adapted: the fixtures lack
     l_commitdate/l_receiptdate, so "late" is a lineitem shipped more

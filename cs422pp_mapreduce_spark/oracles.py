@@ -373,6 +373,53 @@ ORACLES: dict[str, str] = {
           AND o_orderdate <  DATE '2000-01-01'
         GROUP BY n_name
     """,
+    # Q2/Q9/Q20 adapted: lineitem unit price / shipped quantity stand
+    # in for the missing partsupp columns.
+    "tpch_q2": """
+        WITH rs AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 2
+        ), cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        ), best AS (
+            SELECT l_partkey, MIN(unit_cost) AS best_cost
+            FROM cost GROUP BY 1
+        )
+        SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+        FROM cost
+        JOIN best USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        JOIN rs ON cost.l_suppkey = rs.s_suppkey
+        WHERE unit_cost = best_cost AND p_size = 9
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    "tpch_q9": f"""
+        SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, o_year
+    """,
+    "tpch_q20": f"""
+        WITH ship AS (
+            SELECT l_suppkey, {_xsum('l_quantity', 2)} AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, qty
+        FROM ship JOIN supplier ON l_suppkey = s_suppkey
+        WHERE qty > (SELECT CAST(SUM(CAST(qty AS DECIMAL(28,2))) AS DOUBLE)
+                            / COUNT(*) FROM ship)
+    """,
     # Q11/Q16/Q21 adapted: lineitem stands in for partsupp (the
     # fixtures lack it); "late" is shipdate-based as in Q4/Q12.
     "tpch_q11": """
