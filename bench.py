@@ -74,6 +74,14 @@ HEADLINE = [
     "audio_meta",
     "video_meta",
     "tpch_q4",
+    # round-3 wave 2: remaining TPC-H shapes (all 22 now covered)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
 ]
 
 RUNS = 3
