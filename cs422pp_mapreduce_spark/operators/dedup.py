@@ -363,26 +363,43 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash --------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig) 64-bit SimHash signatures via the fully long-form
-    plan: explode tokens × bit positions, vote ±1 per (doc_id, bit),
-    then OR the winning bits back into one long.
+SIMHASH_BITS = 60  # md5-prefix hash convention: 15 hex chars, sign-safe
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // 4
 
-    Deliberately NOT 64 per-bit vote aggregates + a 64-term shiftleft
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) SIMHASH_BITS-bit SimHash signatures via the fully
+    long-form plan: explode tokens × bit positions, vote ±1 per
+    (doc_id, bit), then OR the winning bits back into one long.
+
+    Deliberately NOT 60 per-bit vote aggregates + a 60-term shiftleft
     chain: that generated a pathologically large whole-stage-codegen
     function (cold Janino compile dominated runtime). Here every
-    generated function is tiny; map-side partial sum collapses the ×64
-    row blowup to 64 rows per doc before the shuffle."""
+    generated function is tiny; map-side partial sum collapses the ×60
+    row blowup to 60 rows per doc before the shuffle.
+
+    The token hash is the engine's cross-engine convention (md5 prefix
+    → 60-bit positive bigint, as q_deterministic_sample/doc_winnow),
+    NOT xxhash64 — which is what lets the DuckDB oracle reproduce the
+    signatures bit-for-bit and makes the whole SimHash pipeline
+    hash-verifiable instead of rows-only."""
     toks = (
         docs.repartition(default_parallelism(), "doc_id")
         .select("doc_id", F.explode(nonempty_tokens("text")).alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
     votes = (
         toks.select(
             "doc_id",
             "h",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+            ).alias("b"),
         )
         .groupBy("doc_id", "b")
         .agg(
@@ -393,8 +410,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             ).alias("v")
         )
     )
-    # bit_or, not sum: bit 63's shiftleft is the sign bit and must be
-    # combined bitwise, never arithmetically.
+    # bits 0..59 only — the sign bit is never set, so bit_or and sum
+    # would agree; bit_or states the intent.
     return votes.groupBy("doc_id").agg(
         F.bit_or(
             F.expr(
@@ -406,13 +423,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from per-token hash bit
-    votes; candidates = pairs sharing one of four 16-bit chunks
+    """SimHash near-dup pairs: 60-bit signature from per-token hash bit
+    votes; candidates = pairs sharing one of four 15-bit chunks
     (pigeonhole guarantees recall for hamming ≤ 3); verified with
     bit_count(xor) ≤ 3. Returns (doc_a, doc_b, hamming)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
 
+    chunk_mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -421,8 +439,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("sig", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("sig", c * SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("ck"),
                     )
                     for c in range(4)

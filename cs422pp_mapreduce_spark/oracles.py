@@ -1006,6 +1006,38 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # SimHash twin: same md5-prefix 60-bit token hash, same ±1 bit
+    # votes, same 4×15-bit chunk blocking and bit_count(xor) verify —
+    # the full pipeline reproduces bit-for-bit.
+    "dedup_simhash": """
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS tok
+                  FROM documents)
+        ), votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM toks, UNNEST(generate_series(0, 59)) AS u(b)
+            GROUP BY doc_id, b
+        ), sigs AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS sig
+            FROM votes GROUP BY doc_id
+        ), chunks AS (
+            SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS ck
+            FROM sigs, UNNEST(generate_series(0, 3)) AS u(c)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+                     AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     # Winnowing twin: same single-space tokenization, same md5-prefix
     # 60-bit shingle hash, same W-window minima — fingerprints match
     # bit-for-bit.
