@@ -281,13 +281,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape (important-stock identification), adapted: the
     fixtures have no partsupp, so lineitem revenue stands in for
     supply value — per-part revenue from nation-1 suppliers, keeping
-    parts above 0.1% of that nation's total.
+    parts above 2× the nation's mean part value. (The spec scales its
+    fraction by 1/SF; a mean-relative cut is the scale-invariant form
+    — selective and non-vacuous at every fixture scale.)
 
-    The classic pieces: group-agg per part, a 1-row scalar total
-    (broadcast), and the threshold filter. Per-part sums are
-    decimal-routed; the grand total re-sums the per-part doubles
-    through a wide decimal so the threshold is partitioning-invariant
-    on both engines."""
+    The classic pieces: group-agg per part, a 1-row scalar threshold
+    (broadcast), and the filter. Per-part sums are decimal-routed; the
+    grand total re-sums the per-part doubles through a wide decimal so
+    the threshold is partitioning-invariant on both engines."""
     sup = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") == 1)
@@ -307,14 +308,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = pv.agg(
-        F.sum(F.col("part_value").cast("decimal(28,4)"))
-        .cast("double")
-        .alias("total_value")
+    thr = pv.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value")
     )
     return (
-        pv.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        pv.crossJoin(F.broadcast(thr))
+        .where(F.col("part_value") > 2.0 * F.col("mean_value"))
         .select("l_partkey", "part_value")
     )
 

@@ -433,8 +433,9 @@ ORACLES: dict[str, str] = {
             GROUP BY l_partkey
         )
         SELECT l_partkey, part_value FROM pv
-        WHERE part_value > 0.001 *
+        WHERE part_value > 2.0 *
               (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,4))) AS DOUBLE)
+                      / COUNT(*)
                FROM pv)
     """,
     "tpch_q16": """
