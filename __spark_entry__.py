@@ -121,6 +121,7 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q2": TQ.q_tpch_q2,
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
+    "curation_report": CP.q_curation_report,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

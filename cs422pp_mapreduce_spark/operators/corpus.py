@@ -179,3 +179,76 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return pack_sequences(chunk_docs(clean))
+
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the one-page summary a data
+    team reads before setting per-source dedup/filter budgets,
+    composing the round-3 dedup surface: document counts, token mass,
+    exact-duplicate membership (docs sharing a normalized-text
+    fingerprint with any other doc), repeated-span incidence
+    (documents containing a ≥30-token span duplicated anywhere in the
+    corpus, per q_dedup_substring), and decimal-routed mean quality.
+
+    Shape: one fingerprint/quality projection (codegen'd), one count
+    aggregate per branch keyed on source, and two key-only joins
+    (duplicated fingerprints; span doc ids). Shuffle volume is
+    O(sources + fingerprints + span docs) — document text never
+    shuffles."""
+    from .dedup import q_dedup_substring
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        fingerprint_md5("text").alias("fp"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+    ).persist()
+    # fingerprints held by >1 doc
+    dup_fps = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("fp")
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(38,18)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            + 0.0
+        ).alias("mean_quality"),
+    )
+    exact_dup = (
+        base.join(dup_fps, "fp")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact_dup_docs"))
+    )
+    span_docs = q_dedup_substring(spark, sf_dir).select("doc_id").distinct()
+    span = (
+        base.select("doc_id", "source")
+        .join(span_docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_span_docs"))
+    )
+    out = (
+        per_source.join(exact_dup, "source", "left")
+        .join(span, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            F.coalesce("n_exact_dup_docs", F.lit(0)).alias("n_exact_dup_docs"),
+            F.coalesce("n_span_docs", F.lit(0)).alias("n_span_docs"),
+        )
+    )
+    base.unpersist()
+    return out

@@ -1007,6 +1007,73 @@ ORACLES: dict[str, str] = {
             WHERE vec_id <> 0
         ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
+    # Per-source curation dashboard twin: fingerprint dup membership,
+    # repeated-span incidence (same CTE chain as dedup_substring), and
+    # the quality_score expression replica, aggregated per source.
+    "curation_report": """
+        WITH base AS (
+            SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+                                              'g')) AS BIGINT) AS n_punct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+                       AS stop_hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, source, fp, n_tokens,
+                   LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (CAST(stop_hits AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)) * 0.4
+                   + (1.0 - CAST(n_punct AS DOUBLE)
+                            / CAST(n_chars AS DOUBLE)) * 0.2
+                       AS quality_score
+            FROM base
+        ), dup_fps AS (
+            SELECT fp FROM base GROUP BY fp HAVING COUNT(*) > 1
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i:i+4], ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        ), dup AS (
+            SELECT doc_id, pos FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) >= 2)
+        ), spanruns AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup
+        ), span_docs AS (
+            SELECT DISTINCT doc_id FROM spanruns
+            GROUP BY doc_id, grp
+            HAVING MAX(pos) - MIN(pos) + 5 >= 30
+        ), per_source AS (
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+                   ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38,18)))
+                              AS DOUBLE) / COUNT(*), 6) + 0.0
+                       AS mean_quality
+            FROM scored GROUP BY source
+        ), ed AS (
+            SELECT source, COUNT(*) AS n_exact_dup_docs FROM scored
+            WHERE fp IN (SELECT fp FROM dup_fps) GROUP BY source
+        ), sp AS (
+            SELECT source, COUNT(*) AS n_span_docs FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM span_docs) GROUP BY source
+        )
+        SELECT p.source, n_docs, n_tokens, mean_quality,
+               COALESCE(n_exact_dup_docs, 0) AS n_exact_dup_docs,
+               COALESCE(n_span_docs, 0) AS n_span_docs
+        FROM per_source p
+        LEFT JOIN ed USING (source)
+        LEFT JOIN sp USING (source)
+    """,
     # SimHash twin: same md5-prefix 60-bit token hash, same ±1 bit
     # votes, same 4×15-bit chunk blocking and bit_count(xor) verify —
     # the full pipeline reproduces bit-for-bit.
