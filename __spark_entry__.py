@@ -56,10 +56,12 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # MinHash-LSH candidate graph; embedding_neardup gains a planted
 # near-dup slice) and five of this round's new operators
 # (token_count_bpe, dedup_substring, audio_meta, seq_pack_bpe,
-# tpch_q4) — exactly 50. The two round-3 additions that didn't fit
-# (tpch_q12, dedup_keep) sit at slots 51-52 for the next rotation;
-# both are green in the local gate replica. The long tail holds the
-# queries already verified by CORRECTNESS_r01/r02.
+# tpch_q4) — exactly 50. The ELEVEN round-3 additions that didn't fit
+# sit at slots 51-61 for the next rotation: tpch_q12, dedup_keep,
+# doc_winnow, video_meta, tpch_q11/q16/q21/q2/q9/q20, and
+# curation_report — every one green in the local gate replica at both
+# sf0.01 and sf0.1. The long tail holds the queries already verified
+# by CORRECTNESS_r01/r02.
 _QUERIES: dict[str, QueryFn] = {
     "fuzzy_name_match": D.q_fuzzy_name_match,
     "gap_fill": EV.q_gap_fill,

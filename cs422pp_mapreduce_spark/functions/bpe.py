@@ -158,10 +158,18 @@ class BPEEncoder:
         return out
 
     def encode(self, text: str) -> list[int]:
-        # unseen single chars hash to a stable negative id (open-vocab
+        # unseen pieces get a stable negative id derived from a content
+        # hash — NOT Python's hash(), which is salted per process and
+        # would differ between driver and executors (open-vocab
         # fallback; a production byte-level table has no unknowns)
+        import hashlib
+
+        def fallback(p: str) -> int:
+            digest = hashlib.md5(p.encode("utf-8", "surrogatepass")).digest()
+            return -(int.from_bytes(digest[:4], "big") & 0x7FFFFFFF) - 1
+
         return [
-            self.piece_to_id.get(p, -(hash(p) & 0x7FFFFFFF))
+            self.piece_to_id.get(p, fallback(p))
             for p in self.encode_pieces(text)
         ]
 

@@ -205,7 +205,11 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("fp"),
         q["n_tokens"].alias("n_tokens"),
         q["quality_score"].alias("quality_score"),
-    ).persist()
+    ).persist()  # 4 consumers (dup_fps, per_source, exact_dup, span);
+    # the cache populates on first materialization WITHIN the returned
+    # plan's execution — no unpersist here, which would unmark it
+    # before any action ran (the caller/session owns cache lifetime,
+    # as with q_dedup_minhash)
     # fingerprints held by >1 doc
     dup_fps = (
         base.groupBy("fp")
@@ -250,5 +254,4 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_span_docs", F.lit(0)).alias("n_span_docs"),
         )
     )
-    base.unpersist()
     return out

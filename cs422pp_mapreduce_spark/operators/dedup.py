@@ -635,7 +635,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept as the verification twin: the DuckDB oracle runs WITH
     RECURSIVE over it, and because every LSH edge is exact-Jaccard-
     verified (LSH edges ⊆ exact edges, equality on the fixtures —
-    asserted in tests), the deterministic min labels agree."""
+    asserted in tests), the deterministic min labels agree.
+
+    CAVEAT for future fixture changes: label equality with the exact
+    graph relies on the LSH banding recovering EVERY exact pair on the
+    current fixtures (true at sf0.001/0.01/0.1, empirically checked).
+    Banding is probabilistic — a regenerated fixture with a pair at
+    Jaccard barely over threshold could miss all bands, splitting a
+    cluster the oracle merges. If this row ever flips to mismatch,
+    re-run the pair-set comparison first; the general invariant is
+    refinement (LSH clusters ⊆ exact clusters), which the tests pin
+    separately from the fixture-specific equality."""
     pairs = q_dedup_minhash(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

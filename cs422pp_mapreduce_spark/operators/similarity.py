@@ -193,14 +193,24 @@ IVF_ITERS = 3    # Lloyd iterations (deterministic init → stable fast)
 # session → {sf_dir: (centroids, persisted (vec_id, arr, cell) frame)}.
 # The index is built once per dataset and reused by every query — the
 # IVF contract; re-fitting per query was profiled at >60 s of pure
-# overhead at sf0.01. Keyed by a WEAK reference to the session (not
-# id(spark)): a dead session's entries vanish with it, so a recycled
+# overhead at sf0.01. NOT a WeakKeyDictionary: the cached DataFrame
+# strongly references its SparkSession, so a weak KEY whose value
+# points back at it would never die (the classic weakref cycle). A
+# plain id-keyed dict + weakref.finalize gives the intended semantics:
+# the finalizer (which holds only a weak ref to the session) removes
+# the entry when the session is garbage-collected, so a recycled
 # object id can never alias a stale index.
 import weakref
 
-_IVF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+_IVF_CACHE: dict[int, dict] = {}
+
+
+def _ivf_session_cache(spark: SparkSession) -> dict:
+    key = id(spark)
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = {}
+        weakref.finalize(spark, _IVF_CACHE.pop, key, None)
+    return _IVF_CACHE[key]
 
 
 def _sqdist(a: Column | str, b: Column | str) -> Column:
@@ -227,7 +237,7 @@ def build_ivf_index(
     only K×dim averaged components (bounded, index metadata — the
     standard IVF layout keeps centroids driver/coordinator-side).
     Deterministic init (first K vec_ids) → the index is reproducible."""
-    per_session = _IVF_CACHE.setdefault(spark, {})
+    per_session = _ivf_session_cache(spark)
     if sf_dir in per_session:
         return per_session[sf_dir]
 

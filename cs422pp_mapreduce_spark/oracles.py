@@ -1023,13 +1023,17 @@ ORACLES: dict[str, str] = {
                        AS stop_hits
             FROM documents
         ), scored AS (
+            -- same zero-token/zero-char guards as the Spark side:
+            -- quality is NULL (skipped by SUM, counted by COUNT) for
+            -- empty docs, never NaN
             SELECT doc_id, source, fp, n_tokens,
-                   LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-                   + (CAST(stop_hits AS DOUBLE)
-                      / CAST(n_tokens AS DOUBLE)) * 0.4
-                   + (1.0 - CAST(n_punct AS DOUBLE)
-                            / CAST(n_chars AS DOUBLE)) * 0.2
-                       AS quality_score
+                   CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+                       LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + (CAST(stop_hits AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE)) * 0.4
+                       + (1.0 - CAST(n_punct AS DOUBLE)
+                                / CAST(n_chars AS DOUBLE)) * 0.2
+                   END AS quality_score
             FROM base
         ), dup_fps AS (
             SELECT fp FROM base GROUP BY fp HAVING COUNT(*) > 1
