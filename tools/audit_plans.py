@@ -1,0 +1,142 @@
+"""Automated scale-anti-pattern audit over EVERY registered query.
+
+Walks ``__spark_entry__.queries()``, builds each DataFrame (analysis
+and planning only — nothing executes), and greps the physical plan for
+the shapes that kill 100 TB jobs:
+
+- ``CartesianProduct``           — all-pairs join, O(n²) rows moved
+- ``BroadcastNestedLoopJoin``    — non-equi fallback; fine only for a
+                                   deliberately tiny broadcast side
+- unpartitioned data-sized ``Window`` — funnels the whole input
+                                   through ONE task
+- ``BatchEvalPython``            — row-at-a-time Python UDF in the
+                                   plan (Arrow ``mapInPandas`` shows
+                                   as MapInPandas and is allowed)
+
+Queries that intentionally carry one of these carry an allowlist entry
+with the reason printed next to the hit. Exit code 1 on any
+unexpected hit — wire-able as a CI gate.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# query → {pattern: reason} for deliberate exceptions
+ALLOW: dict[str, dict[str, str]] = {
+    # the cross-join demo query IS the pattern, on a 10-row broadcast side
+    "cross_join": {
+        "BroadcastNestedLoopJoin": "deliberate tiny-dims cross join demo"
+    },
+    # scalar 1-row threshold/total broadcasts: crossJoin(broadcast(1 row))
+    "revenue_share": {"BroadcastNestedLoopJoin": "1-row scalar broadcast"},
+    "tpch_q11": {"BroadcastNestedLoopJoin": "1-row scalar threshold"},
+    "tpch_q14": {"BroadcastNestedLoopJoin": "1-row scalar total"},
+    "tpch_q17": {"BroadcastNestedLoopJoin": "1-row scalar avg"},
+    "tpch_q20": {"BroadcastNestedLoopJoin": "1-row scalar threshold"},
+    "tpch_q22": {"BroadcastNestedLoopJoin": "1-row scalar avg"},
+    "outlier_events": {"BroadcastNestedLoopJoin": "1-row moments broadcast"},
+    "rolling_active_users": {
+        "BroadcastNestedLoopJoin": "1-row max-day broadcast"
+    },
+    "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
+    "ann_lsh": {"BroadcastNestedLoopJoin": "1-row query vector"},
+    "ann_ivf": {"BroadcastNestedLoopJoin": "1-row query vector"},
+    "quality_deciles": {"BroadcastNestedLoopJoin": "1-row count broadcast"},
+    "mixture_rebalance": {
+        "BroadcastNestedLoopJoin": "1-row totals broadcast feeding rates"
+    },
+    "unigram_logprob": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
+    },
+    "tfidf": {"BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"},
+    "keyword_extract": {
+        "BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"
+    },
+    "kmeans_clusters": {
+        "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
+    },
+    "embedding_neardup": {
+        "BroadcastNestedLoopJoin":
+            "64-row hyperplane broadcast in the signature pipeline; "
+            "candidates themselves join equi on (band, bucket)"
+    },
+    "embedding_neardup_exact": {
+        "BroadcastNestedLoopJoin":
+            "documented O(n²) oracle twin — verification scale only"
+    },
+}
+
+# windows whose input is O(partitions) or O(groups), not data-sized
+WINDOW_OK = {
+    "global_rank": "offset frame is O(partitions) rows",
+    "quality_deciles": "offset frame is O(partitions) rows",
+    "seq_pack": "offset frame is O(partitions) rows",
+    "seq_pack_bpe": "offset frame is O(partitions) rows",
+    "corpus_to_sequences": "offset frame is O(partitions) rows",
+    "retention_cohorts": "window over O(cohorts) aggregate",
+    "revenue_share": "window over O(nations) aggregate",
+}
+
+UNPARTITIONED_WINDOW = re.compile(
+    r"windowspecdefinition\((?!\w+#\d+L?,\s*\w+#\d+)"
+)
+
+
+def audit(sf_dir: str) -> int:
+    import __spark_entry__ as E
+    from cs422pp_mapreduce_spark.plans.explain import explain_str
+    from cs422pp_mapreduce_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, fn in E.queries().items():
+        try:
+            plan = explain_str(fn(spark, sf_dir), mode="simple")
+        except Exception as exc:  # analysis failure is itself a finding
+            print(f"FAIL {name}: plan build error: {exc}")
+            failures += 1
+            continue
+        hits: list[str] = []
+        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython"):
+            if pat in plan:
+                reason = ALLOW.get(name, {}).get(pat)
+                if reason:
+                    hits.append(f"allowed:{pat} ({reason})")
+                else:
+                    hits.append(f"HIT:{pat}")
+        # unpartitioned window: windowspecdefinition whose first arg is
+        # already an ordering spec (no partition columns). Textual
+        # heuristic: "windowspecdefinition(" directly followed by a
+        # "... ASC NULLS FIRST" ordering token before any comma-space
+        # separated partition list. Conservative: flag only when the
+        # query isn't in WINDOW_OK.
+        if "Window" in plan and "windowspecdefinition(" in plan:
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+                args = m.group(1)
+                first = args.split(",")[0]
+                if ("ASC" in first or "DESC" in first) and name not in WINDOW_OK:
+                    hits.append("HIT:unpartitioned-window")
+                    break
+        bad = [h for h in hits if h.startswith("HIT:")]
+        status = "FAIL" if bad else "ok"
+        if bad or hits:
+            print(f"{status:4s} {name}: {'; '.join(hits)}")
+        if bad:
+            failures += 1
+    print(f"\n{failures} unexpected anti-pattern hit(s)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    raise SystemExit(audit(sf))
