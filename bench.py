@@ -82,6 +82,7 @@ HEADLINE = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    "curation_report",
 ]
 
 RUNS = 3
