@@ -234,3 +234,47 @@ def test_write_sorted_parquet_global_order(spark, sf_dir, tmp_path):
     # nothing lost
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == load_table(spark, sf_dir, "orders").count()
+
+
+def test_events_ts_reads_as_ltz_for_every_physical_layout(spark, tmp_path):
+    """The driver has shipped events.ts as int64-nanos AND as
+    timestamp[us] (NTZ) across rounds; load_table must yield TIMESTAMP
+    (LTZ) with identical values for every layout."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    t0 = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    micros = int(t0.timestamp() * 0) + (
+        int(dt.datetime(2024, 3, 1, 12, 30, 45).replace(
+            tzinfo=dt.timezone.utc).timestamp()) * 1_000_000 + 123456
+    )
+    base = {
+        "event_id": [1], "user_id": [7], "event_type": ["click"],
+        "value": [1.5], "props": ["{}"],
+    }
+
+    def write(dirname, ts_array):
+        d = tmp_path / dirname
+        d.mkdir()
+        cols = dict(base)
+        cols["ts"] = ts_array
+        pq.write_table(pa.table(cols), str(d / "events.parquet"))
+        return str(d)
+
+    layouts = {
+        "us_ntz": pa.array([micros], pa.timestamp("us")),
+        "ns": pa.array([micros * 1000], pa.timestamp("ns")),
+    }
+    got = {}
+    for name, arr in layouts.items():
+        df = load_table(spark, write(name, arr), "events")
+        field = {f.name: f.dataType for f in df.schema.fields}["ts"]
+        assert isinstance(field, T.TimestampType), (name, field)
+        got[name] = df.select("ts").collect()[0][0]
+    assert got["us_ntz"] == got["ns"], got
