@@ -797,9 +797,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: build a map from columns (create_map),
     merge in a JSON-parsed map (from_json → map<string,string>,
-    map_concat), then interrogate it (size, sorted map_keys,
-    element_at lookups). Maps stay JVM-side expressions end-to-end;
-    the oracle recomputes the fixed-key layout directly."""
+    map_concat), then interrogate it (size, sorted map_keys serialized
+    to one comma-joined string per the collection-output convention —
+    the driver's canonicalizer cannot sort raw array cells, r03 red
+    row — and element_at lookups). Maps stay JVM-side expressions
+    end-to-end; the oracle recomputes the fixed-key layout directly."""
     ev = load_table(spark, sf_dir, "events")
     m = F.map_concat(
         F.create_map(
@@ -811,7 +813,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.size(m).cast("long").alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
         F.element_at(m, F.lit("type")).alias("type_val"),
         F.element_at(m, F.lit("k")).cast("bigint").alias("k_val"),
     )

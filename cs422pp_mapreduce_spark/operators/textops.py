@@ -528,10 +528,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency — the retrieval-index build as one aggregation.
 
     collect_set's order is partitioning-dependent; array_sort
-    canonicalizes it so the result is deterministic (the engine-wide
-    convention for collection outputs). At scale the skew risk is
-    stopword tokens with corpus-sized postings; production would cap
-    or tier those (they carry no retrieval signal) — here the 31-word
+    canonicalizes it, and the sorted list is serialized to one
+    comma-joined string — the engine-wide convention for
+    collection-valued outputs (q_collect_agg, relational.py): the
+    driver's canonicalizer hashes scalar cells and cannot sort raw
+    array columns (r03 red row). At scale the skew risk is stopword
+    tokens with corpus-sized postings; production would cap or tier
+    those (they carry no retrieval signal) — here the 31-word
     vocabulary makes every posting list corpus-wide, the worst case,
     which the plan survives because the set is built by partial
     aggregation before the single shuffle."""
@@ -540,7 +543,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(nonempty_tokens("text")).alias("token")
     )
     return toks.groupBy("token").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.array_sort(F.collect_set("doc_id")).cast("array<string>"), ","
+        ).alias("postings"),
         F.count_distinct("doc_id").alias("df"),
     )
 

@@ -20,6 +20,18 @@ def _xsum(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def _isum(expr: str) -> str:
+    """Integer SUM that survives the driver's dtype-sensitive hash.
+
+    DuckDB's SUM(integer) returns HUGEINT, which pandas materializes as
+    float64 (785 → 785.0); Spark's sum(long) stays int64. The driver
+    hashes serialized values, so the two diverge (r03 funnel red row).
+    Every integral SUM that reaches a final SELECT must route through
+    this (tools/sweep_dtypes.py lints the convention).
+    """
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
 def _xavg(expr: str, scale: int = 4) -> str:
     return f"{_xsum(expr, scale)} / COUNT({expr})"
 
@@ -478,10 +490,10 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q12": """
         SELECT l_linestatus,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'
           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -784,7 +796,8 @@ ORACLES: dict[str, str] = {
                 FROM documents
             )
         )
-        SELECT token, list_sort(list(doc_id)) AS postings,
+        SELECT token,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings,
                CAST(COUNT(doc_id) AS BIGINT) AS df
         FROM toks GROUP BY token
     """,
@@ -1059,7 +1072,8 @@ ORACLES: dict[str, str] = {
             GROUP BY doc_id, grp
             HAVING MAX(pos) - MIN(pos) + 5 >= 30
         ), per_source AS (
-            SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38,18)))
                               AS DOUBLE) / COUNT(*), 6) + 0.0
                        AS mean_quality
@@ -1443,7 +1457,7 @@ ORACLES: dict[str, str] = {
     "map_funcs": """
         SELECT event_id,
                CAST(3 AS BIGINT) AS n_keys,
-               ['k', 'type', 'uid'] AS keys,
+               'k,type,uid' AS keys,
                event_type AS type_val,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
@@ -1859,10 +1873,12 @@ ORACLES: dict[str, str] = {
             GROUP BY user_id
         )
         SELECT COUNT(*) AS n_users,
-               SUM(CAST(t_signup IS NOT NULL AS BIGINT)) AS n_signup,
-               SUM(CAST(t_signup < t_click AS BIGINT)) AS n_signup_then_click,
-               SUM(CAST(t_signup < t_click AND t_click < t_purchase AS BIGINT))
-                   AS n_full_funnel
+               CAST(SUM(CAST(t_signup IS NOT NULL AS BIGINT)) AS BIGINT)
+                   AS n_signup,
+               CAST(SUM(CAST(t_signup < t_click AS BIGINT)) AS BIGINT)
+                   AS n_signup_then_click,
+               CAST(SUM(CAST(t_signup < t_click AND t_click < t_purchase
+                             AS BIGINT)) AS BIGINT) AS n_full_funnel
         FROM f
     """,
     "price_histogram": f"""

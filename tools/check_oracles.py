@@ -1,10 +1,20 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — DRIVER-EXACT.
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` twin on DuckDB at the given sf dir, then compares
-row count, (name-sorted) column names, and values order-insensitively
-— exact equality, no tolerance: the engine's determinism conventions
-(oracles.py) are supposed to make results bit-identical.
+``oracle_sql()`` twin on DuckDB at the given sf dir, then compares the
+way the driver does (r03 lesson, VERDICT.md "What's wrong" §5):
+
+- columns name-sorted, rows sorted on the RAW frame (the driver's
+  ``_canon`` does ``sort_values`` before serializing — a raw
+  collection-typed column crashes it, so we flag those as FAIL
+  instead of silently stringifying them);
+- values compared SERIALIZED and dtype-sensitively: int64 785 and
+  float64 785.0 are DIFFERENT (the driver hashes serialized values;
+  the old numeric-tolerant compare green-lit r03's funnel/tpch_q12/
+  curation_report float-vs-int drift).
+
+No tolerance anywhere: the engine's determinism conventions
+(oracles.py) are supposed to make results serialize bit-identically.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -28,55 +38,56 @@ TABLES = (
 ).split()
 
 
-def canonical(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
+def collection_columns(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells are unhashable collections (ndarray/list/
+    dict) — the driver's raw-frame sort crashes on these
+    (r03 inverted_index/map_funcs: ``unhashable type: numpy.ndarray``)."""
+    bad = []
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == np.float32:
-            df[c] = df[c].astype(np.float64)
-        elif str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
-            df[c] = df[c].astype("int64")
-        if df[c].dtype == np.float64:
-            # normalize IEEE -0.0 → +0.0: numerically equal values must
-            # stringify identically or the row sort diverges per engine
-            df[c] = df[c] + 0.0
+        if df[c].dtype == object:
+            head = df[c].dropna().head(20)
+            if any(isinstance(v, (np.ndarray, list, dict, set)) for v in head):
+                bad.append(c)
+    return bad
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-like canonical form: name-sorted columns, raw row sort,
+    then per-cell string serialization (dtype-sensitive — no numeric
+    coercion, so int-vs-float drift survives to the comparison)."""
+    df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        key = df.astype(str)
-        order = key.sort_values(by=list(df.columns)).index
+        order = df.sort_values(by=list(df.columns), kind="mergesort").index
         df = df.loc[order].reset_index(drop=True)
-    return df
+    return df.astype(str)
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
-    a, b = canonical(spark_df), canonical(duck_df)
-    if list(a.columns) != list(b.columns):
-        problems.append(f"columns spark={list(a.columns)} duck={list(b.columns)}")
-        return problems
+    for side, frame in (("spark", spark_df), ("duck", duck_df)):
+        bad = collection_columns(frame)
+        if bad:
+            problems.append(
+                f"{side} emits collection-typed column(s) {bad} — the "
+                "driver's canonicalizer crashes on these; serialize via "
+                "array_join (q_collect_agg convention, relational.py)"
+            )
     if problems:
         return problems
+    a, b = canonical(spark_df), canonical(duck_df)
+    if list(a.columns) != list(b.columns):
+        return [f"columns spark={list(a.columns)} duck={list(b.columns)}"]
     for c in a.columns:
         av, bv = a[c], b[c]
-        if av.dtype == np.float64 or bv.dtype == np.float64:
-            an, bn = av.isna(), bv.isna()
-            if not an.equals(bn):
-                problems.append(f"{c}: null mask differs")
-                continue
-            diff = (av.fillna(0) - bv.fillna(0)).abs()
-            mx = float(diff.max()) if len(diff) else 0.0
-            if mx != 0.0:
-                problems.append(f"{c}: max abs diff {mx:.3e}")
-        else:
-            if not av.equals(bv):
-                neq = (av.astype(str) != bv.astype(str))
-                idx = int(neq.idxmax())
-                problems.append(
-                    f"{c}: values differ, first at row {idx}: "
-                    f"spark={av.iloc[idx]!r} duck={bv.iloc[idx]!r}"
-                )
+        if not av.equals(bv):
+            neq = av != bv
+            idx = int(neq.idxmax())
+            problems.append(
+                f"{c}: serialized values differ, first at row {idx}: "
+                f"spark={av.iloc[idx]!r} duck={bv.iloc[idx]!r}"
+            )
     return problems
 
 
@@ -105,8 +116,12 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         t1 = time.time()
         if name not in oracles:
+            # rows-only queries still must not crash the driver's
+            # canonicalizer wholesale; warn on collection outputs
+            bad = collection_columns(sdf)
+            note = f"  !! collection cols {bad}" if bad else ""
             rows_only.append(name)
-            print(f"  {name:20s} rows-only: {len(sdf)} rows ({t1 - t0:.1f}s)")
+            print(f"  {name:20s} rows-only: {len(sdf)} rows ({t1 - t0:.1f}s){note}")
             continue
         ddf = con.sql(oracles[name]).df()
         problems = compare(name, sdf, ddf)
