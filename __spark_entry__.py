@@ -29,6 +29,7 @@ from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 from cs422pp_mapreduce_spark.operators import textops as TX
 from cs422pp_mapreduce_spark.operators import tokenize as TK
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
+from cs422pp_mapreduce_spark.streaming.events import q_stream_event_tumbling
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -49,71 +50,32 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 # Registration order is part of the contract: the driver's correctness
-# budget covers a ~50-slot prefix per round. Rounds 1-2 banked green rows
-# for 78 queries; round 3 ROTATES the prefix so the 43 queries that have
-# never had a driver row come first, followed by the two queries whose
-# semantics changed this round (dedup_clusters now consumes the
-# MinHash-LSH candidate graph; embedding_neardup gains a planted
-# near-dup slice) and five of this round's new operators
-# (token_count_bpe, dedup_substring, audio_meta, seq_pack_bpe,
-# tpch_q4) — exactly 50. The ELEVEN round-3 additions that didn't fit
-# sit at slots 51-61 for the next rotation: tpch_q12, dedup_keep,
-# doc_winnow, video_meta, tpch_q11/q16/q21/q2/q9/q20, and
-# curation_report — every one green in the local gate replica at both
-# sf0.01 and sf0.1. The long tail holds the queries already verified
-# by CORRECTNESS_r01/r02.
+# budget covers a ~50-slot prefix per round. Round-4 rotation:
+# 1. slots 1-5: the r03 red rows, now FIXED (funnel/tpch_q12/
+#    curation_report oracle dtype casts; inverted_index/map_funcs
+#    array outputs serialized) — these must bank green rows;
+# 2. slots 6-14: the nine remaining queries that have never had a
+#    driver row (r03's slot-51+ tail minus the two above);
+# 3. slot 15: stream_event_tumbling — NEW, puts a hash-verified driver
+#    row on the Structured Streaming path (r03 verdict ask #6);
+# 4. slots 16-17: ann_lsh + embedding_neardup, whose signature kernel
+#    changed this round (vectorized matmul pandas_udf) — rows-only by
+#    nature, but the row should reflect the shipped code;
+#    slot 18: dedup_clusters_exact — NEW, carries the hash-verified CC
+#    row on the exact graph (dedup_clusters itself is rows-only now:
+#    its LSH-graph equality with the exact oracle was
+#    fixture-dependent, ADVICE r03);
+# 5. the rest: oldest-verified first (the r01/r02-banked block), so
+#    the driver refreshes the stalest rows with its remaining budget,
+#    then the r03-verified block. Every ordering decision is
+#    validated locally by tools/check_oracles.py (driver-exact since
+#    r04) + tools/sweep_dtypes.py, full-surface green at sf0.01.
 _QUERIES: dict[str, QueryFn] = {
-    "fuzzy_name_match": D.q_fuzzy_name_match,
-    "gap_fill": EV.q_gap_fill,
     "funnel": EV.q_funnel,
-    "rolling_active_users": EV.q_rolling_active_users,
-    "retention_cohorts": EV.q_retention_cohorts,
-    "outlier_events": EV.q_outlier_events,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
-    "scd2_apply": MT.q_scd2_apply,
-    "ann_ivf": S.q_ann_ivf,
-    "media_frames": MM.q_media_frames,
-    "event_session_native": EV.q_event_session_native,
-    "event_sliding": EV.q_event_sliding,
-    "window_range": EV.q_event_window_range,
-    "quality_score": TX.q_quality_score,
-    "doc_repetition": TX.q_doc_repetition,
-    "quality_deciles": TX.q_quality_deciles,
-    "token_count": TX.q_token_count,
-    "doc_fingerprint": TX.q_doc_fingerprint,
-    "deterministic_sample": TX.q_deterministic_sample,
-    "mixture_rebalance": TX.q_mixture_rebalance,
-    "unigram_logprob": TX.q_unigram_logprob,
-    "source_dup_stats": D.q_source_dup_stats,
     "inverted_index": TX.q_inverted_index,
-    "bigram_freq": TX.q_bigram_freq,
-    "seq_pack": TX.q_seq_pack,
-    "dedup_fingerprint": D.q_dedup_fingerprint,
-    "decontaminate": D.q_decontaminate,
-    "dedup_windowed": D.q_dedup_windowed,
-    "dedup_simhash": D.q_dedup_simhash,
-    "embedding_neardup_exact": S.q_embedding_neardup_exact,
-    "tpch_q1": TQ.q_tpch_q1,
-    "tpch_q8": TQ.q_tpch_q8,
-    "tpch_q14": TQ.q_tpch_q14,
-    "tpch_q18": TQ.q_tpch_q18,
-    "tpch_q7": TQ.q_tpch_q7,
-    "tpch_q13": TQ.q_tpch_q13,
-    "tpch_q15": TQ.q_tpch_q15,
-    "tpch_q17": TQ.q_tpch_q17,
-    "tpch_q19": TQ.q_tpch_q19,
-    "tpch_q22": TQ.q_tpch_q22,
-    "exact_distinct_agg": R.q_exact_distinct_agg,
     "map_funcs": R.q_map_funcs,
-    "dedup_clusters": D.q_dedup_clusters,
-    "embedding_neardup": S.q_embedding_neardup,
-    "token_count_bpe": TK.q_token_count_bpe,
-    "dedup_substring": D.q_dedup_substring,
-    "audio_meta": MM.q_audio_meta,
-    "seq_pack_bpe": TK.q_seq_pack_bpe,
-    "tpch_q4": TQ.q_tpch_q4,
     "tpch_q12": TQ.q_tpch_q12,
+    "curation_report": CP.q_curation_report,
     "dedup_keep": D.q_dedup_keep,
     "doc_winnow": TX.q_doc_winnow,
     "video_meta": MM.q_video_meta,
@@ -123,7 +85,10 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q2": TQ.q_tpch_q2,
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
-    "curation_report": CP.q_curation_report,
+    "stream_event_tumbling": q_stream_event_tumbling,
+    "ann_lsh": S.q_ann_lsh,
+    "embedding_neardup": S.q_embedding_neardup,
+    "dedup_clusters_exact": D.q_dedup_clusters_exact,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,
@@ -167,7 +132,6 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
     "topk_similarity": S.q_topk_similarity,
-    "ann_lsh": S.q_ann_lsh,
     "label_centroid": S.q_label_centroid,
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
@@ -200,6 +164,53 @@ _QUERIES: dict[str, QueryFn] = {
     "date_funcs2": R.q_date_funcs2,
     "math_funcs": R.q_math_funcs,
     "json_funcs": R.q_json_funcs,
+    # --- r03-verified block (freshest green rows, re-checked last) ---
+    "fuzzy_name_match": D.q_fuzzy_name_match,
+    "gap_fill": EV.q_gap_fill,
+    "rolling_active_users": EV.q_rolling_active_users,
+    "retention_cohorts": EV.q_retention_cohorts,
+    "outlier_events": EV.q_outlier_events,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
+    "scd2_apply": MT.q_scd2_apply,
+    "ann_ivf": S.q_ann_ivf,
+    "media_frames": MM.q_media_frames,
+    "event_session_native": EV.q_event_session_native,
+    "event_sliding": EV.q_event_sliding,
+    "window_range": EV.q_event_window_range,
+    "quality_score": TX.q_quality_score,
+    "doc_repetition": TX.q_doc_repetition,
+    "quality_deciles": TX.q_quality_deciles,
+    "token_count": TX.q_token_count,
+    "doc_fingerprint": TX.q_doc_fingerprint,
+    "deterministic_sample": TX.q_deterministic_sample,
+    "mixture_rebalance": TX.q_mixture_rebalance,
+    "unigram_logprob": TX.q_unigram_logprob,
+    "source_dup_stats": D.q_source_dup_stats,
+    "bigram_freq": TX.q_bigram_freq,
+    "seq_pack": TX.q_seq_pack,
+    "dedup_fingerprint": D.q_dedup_fingerprint,
+    "decontaminate": D.q_decontaminate,
+    "dedup_windowed": D.q_dedup_windowed,
+    "dedup_simhash": D.q_dedup_simhash,
+    "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "tpch_q1": TQ.q_tpch_q1,
+    "tpch_q8": TQ.q_tpch_q8,
+    "tpch_q14": TQ.q_tpch_q14,
+    "tpch_q18": TQ.q_tpch_q18,
+    "tpch_q7": TQ.q_tpch_q7,
+    "tpch_q13": TQ.q_tpch_q13,
+    "tpch_q15": TQ.q_tpch_q15,
+    "tpch_q17": TQ.q_tpch_q17,
+    "tpch_q19": TQ.q_tpch_q19,
+    "tpch_q22": TQ.q_tpch_q22,
+    "exact_distinct_agg": R.q_exact_distinct_agg,
+    "dedup_clusters": D.q_dedup_clusters,
+    "token_count_bpe": TK.q_token_count_bpe,
+    "dedup_substring": D.q_dedup_substring,
+    "audio_meta": MM.q_audio_meta,
+    "seq_pack_bpe": TK.q_seq_pack_bpe,
+    "tpch_q4": TQ.q_tpch_q4,
 }
 
 

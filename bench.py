@@ -113,8 +113,15 @@ def main() -> None:
         # but nothing leaks across queries. Without this, dozens of
         # earlier queries' persisted frames thrash the block manager
         # and late queries in the list measure eviction pressure, not
-        # their own plan.
+        # their own plan. Session-level index memos (IVF) are evicted
+        # too — clearCache alone unpersists their frames while the memo
+        # still claims "built", which would mis-time index-backed
+        # queries as warm (ADVICE r03).
         spark.catalog.clearCache()
+        from cs422pp_mapreduce_spark.operators.similarity import (
+            evict_index_caches,
+        )
+        evict_index_caches(spark)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

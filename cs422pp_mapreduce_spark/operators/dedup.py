@@ -637,16 +637,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified (LSH edges ⊆ exact edges, equality on the fixtures —
     asserted in tests), the deterministic min labels agree.
 
-    CAVEAT for future fixture changes: label equality with the exact
-    graph relies on the LSH banding recovering EVERY exact pair on the
-    current fixtures (true at sf0.001/0.01/0.1, empirically checked).
-    Banding is probabilistic — a regenerated fixture with a pair at
-    Jaccard barely over threshold could miss all bands, splitting a
-    cluster the oracle merges. If this row ever flips to mismatch,
-    re-run the pair-set comparison first; the general invariant is
-    refinement (LSH clusters ⊆ exact clusters), which the tests pin
-    separately from the fixture-specific equality."""
+    Declared rows-only for the driver (r04): banding is probabilistic,
+    so label equality with the exact-graph oracle holds only because
+    LSH recovers every exact pair on the current fixtures — a
+    regenerated fixture with a pair at Jaccard barely over threshold
+    could miss all bands and flip the row spuriously (ADVICE r03).
+    The general invariant — LSH clusters refine exact clusters — is
+    pinned in tests, and the hash-verified driver row for the CC
+    operator itself lives on ``q_dedup_clusters_exact``, whose input
+    graph is definitionally the oracle's."""
     pairs = q_dedup_minhash(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT word-3-gram Jaccard ≥ 0.5
+    graph (q_dedup_ngram) — the deterministic, fixture-independent
+    hash-verified twin of q_dedup_clusters: its edge set is by
+    construction the same graph the DuckDB oracle's recursive walk
+    explores, so label equality is an identity, not an empirical
+    property of the fixtures.
+
+    Scale posture: the exact inverted-index self-join is the
+    verification-scale path (hot shingles make it quadratic in the
+    worst case); the LSH-graph q_dedup_clusters is what runs at
+    100 TB. Both feed the same min-label-propagation CC."""
+    pairs = q_dedup_ngram(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

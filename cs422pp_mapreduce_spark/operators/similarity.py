@@ -25,6 +25,7 @@ bounded 1-row query fetch and the K×dim centroid table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve by name
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,36 +98,39 @@ def sign_band_buckets(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     """(vec_id, band, bucket) banded sign-LSH buckets of a
     (vec_id, vec: array<double>) frame.
 
-    Long-form plan: the 64 planes are a tiny broadcast table
-    (band, weight=2^bit, plane), each vector×plane row computes ONE
-    dot-product HOF, and the per-band bucket is the weighted sum of
-    sign bits. 64 stacked zip_with/aggregate HOFs in one projection
-    would blow up Janino codegen (profiled); the ×64 row form keeps
-    every generated function tiny, and map-side partial aggregation
-    collapses it back to `bands` rows per vector before the shuffle.
+    The signature build is MAP-ONLY: a vectorized Arrow pandas_udf
+    stacks each batch into an (n × dim) matrix and computes all 64
+    plane dot products as ONE BLAS matmul, packs sign bits into the 8
+    per-band bucket ints, and posexplode flattens to long form. No
+    crossJoin, no groupBy, no shuffle — the per-vector cost is pure
+    SIMD arithmetic, which is the kernel shape a 1000-executor run
+    needs (each task matmuls its own partition; band-join shuffles
+    happen downstream on the tiny (vec_id, band, bucket) rows only).
+
+    History: a ×64-row long form (broadcast plane table + HOF dot +
+    partial agg) was correct but re-paid ~2 s of join/agg overhead per
+    cold run at sf0.1 (BENCH_r03 ann_lsh regression under per-query
+    cache isolation); 64 stacked zip_with/aggregate HOFs in one
+    projection is no better — Janino codegen blow-up (profiled). The
+    matmul kernel is ~10× the throughput of either and is the
+    documented "vectorized Pandas UDF" slot for embedding math.
     """
-    planes = hyperplanes()
-    plane_rows = [
-        (i // BITS_PER_BAND, 1 << (i % BITS_PER_BAND), planes[i])
-        for i in range(LSH_PLANES)
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "band int, weight long, plane array<double>"
-    )
-    dot = F.aggregate(
-        F.zip_with("vec", "plane", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        vecs.crossJoin(F.broadcast(planes_df))
-        .select(
-            "vec_id",
-            "band",
-            F.when(dot > 0, F.col("weight")).otherwise(F.lit(0)).alias("w"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("w").alias("bucket"))
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(hyperplanes())  # (planes, dim), deterministic
+    W = (1 << np.arange(BITS_PER_BAND)).astype(np.int64)  # bit weights
+
+    @pandas_udf("array<long>")
+    def band_buckets(vec: pd.Series) -> pd.Series:
+        if not len(vec):  # empty Arrow batch from an empty partition
+            return pd.Series([], dtype=object)
+        M = np.vstack(vec.to_numpy())  # (n, dim)
+        sign = (M @ P.T) > 0  # (n, planes) — strict >0, matches oracle
+        B = sign.reshape(len(M), LSH_BANDS, BITS_PER_BAND) @ W  # (n, bands)
+        return pd.Series(list(B.astype(np.int64)))
+
+    return vecs.select(
+        "vec_id", F.posexplode(band_buckets("vec")).alias("band", "bucket")
     )
 
 
@@ -155,30 +159,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing at least one of the query's 8 band buckets; exact cosine
     re-ranks candidates only.
 
-    At scale the (band, bucket) equi-join touches ~bands/2^bits ≈ 3%
+    At scale the (band, bucket) filter touches ~bands/2^bits ≈ 3%
     of the data for a uniform corpus instead of all of it, while a
     genuinely-near vector (the ANN use case) shares a full band w.h.p.
+
+    The QUERY side is planned coordinator-side, like IVF's probe-cell
+    pick: the 1-row query vector is fetched (bounded collect, filter
+    pushed to the scan) and its 8 band buckets computed in numpy with
+    the same sign(M·Pᵀ) kernel the distributed build uses, yielding a
+    literal 8-term (band, bucket) predicate. The data side is then ONE
+    map-only job — signature matmul → bucket filter → exact-cosine
+    re-rank of survivors — with no index-side self-join, no broadcast
+    exchange, no persist. (The former two-sided plan computed the
+    query's buckets distributively and broadcast-joined them; correct,
+    but 3 jobs + a persisted index frame per cold run — measured ~2×
+    this plan's wall time under per-query cache isolation.)
     Approximate ⇒ rows-only driver check; recall vs the exact baseline
     and exactness-within-candidates are asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
-    bb = sign_band_buckets(spark, vecs).persist(StorageLevel.MEMORY_AND_DISK)
-    # ^ read twice (query row + candidate side); persisting runs the
-    # ×planes bucket pipeline once — cluster analog: materialized index
-    qb = bb.where(F.col("vec_id") == QUERY_VEC_ID).select("band", "bucket")
-    cand_ids = (
-        bb.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(qb), ["band", "bucket"])
-        .select("vec_id")
-        .distinct()
-    )
-    query = vecs.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("vec").alias("qvec")
-    )
-    sim = cosine(F.col("vec"), F.col("qvec"))
+    qvec = np.asarray(
+        vecs.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["vec"]
+    )  # 1×dim: bounded, same class of collect as IVF's query fetch
+    P = np.asarray(hyperplanes())
+    W = (1 << np.arange(BITS_PER_BAND)).astype(np.int64)
+    sign = (qvec @ P.T) > 0  # identical kernel to sign_band_buckets
+    qbuckets = sign.reshape(LSH_BANDS, BITS_PER_BAND) @ W  # (bands,)
+
+    bb = sign_band_buckets(spark, vecs.where(F.col("vec_id") != QUERY_VEC_ID))
+    hit = None
+    for band, bucket in enumerate(qbuckets):
+        term = (F.col("band") == band) & (F.col("bucket") == int(bucket))
+        hit = term if hit is None else (hit | term)
+    cand_ids = bb.where(hit).select("vec_id").distinct()
+
+    sim = cosine(F.col("vec"), F.lit(qvec.tolist()).cast("array<double>"))
     return (
         cand_ids.join(vecs, "vec_id")
-        .crossJoin(F.broadcast(query))
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
@@ -211,6 +228,24 @@ def _ivf_session_cache(spark: SparkSession) -> dict:
         _IVF_CACHE[key] = {}
         weakref.finalize(spark, _IVF_CACHE.pop, key, None)
     return _IVF_CACHE[key]
+
+
+def evict_index_caches(spark: SparkSession) -> None:
+    """Drop this session's memoized ANN indexes (IVF centroids +
+    assignment frame). Benchmark isolation MUST call this alongside
+    ``spark.catalog.clearCache()``: clearCache unpersists the cached
+    frames but leaves the memo dict claiming "built", so later queries
+    would silently re-run the assignment lineage while reporting a
+    warm index (ADVICE r03). Evicting both keeps cold timings honest —
+    an index-backed query then pays its full build inside its own
+    timed window."""
+    entry = _IVF_CACHE.pop(id(spark), None)
+    if entry:
+        for _, assigned in entry.values():
+            try:
+                assigned.unpersist()
+            except Exception:  # noqa: BLE001 — already-stopped session
+                pass
 
 
 def _sqdist(a: Column | str, b: Column | str) -> Column:

@@ -618,6 +618,15 @@ ORACLES: dict[str, str] = {
                {_xsum('value', 2)} AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # Streaming twin (streaming/events.q_stream_event_tumbling): the
+    # complete-mode end-of-stream output equals the batch aggregate,
+    # so the oracle IS the batch oracle.
+    "stream_event_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n_events,
+               {_xsum('value', 2)} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     # Weekly retention cohorts. DuckDB's date_trunc('week') yields DATE
     # (unlike 'hour' → TIMESTAMP), so both week columns re-cast to
     # TIMESTAMP to match Spark.
@@ -891,11 +900,14 @@ ORACLES: dict[str, str] = {
         FROM train_inv t JOIN eval_stats e ON t.shingle = e.shingle
         GROUP BY t.doc_id
     """,
-    # Connected components over the same near-dup graph: the recursive
+    # Connected components over the near-dup graph: the recursive
     # walk enumerates every (node, reachable-comp seed) pair; MIN over
     # the walk = the component's minimum id — identical semantics to
-    # the Spark side's min-label propagation fixpoint.
-    "dedup_clusters": f"""
+    # the Spark side's min-label propagation fixpoint. Keyed to the
+    # EXACT-graph variant since r04: the LSH-graph dedup_clusters is
+    # rows-only by declaration (banding is probabilistic; equality
+    # with this exact walk is fixture-dependent — ADVICE r03).
+    "dedup_clusters_exact": f"""
         WITH RECURSIVE {_NEARDUP_CC_CTE}
         SELECT node AS doc_id, MIN(comp) AS cluster_id
         FROM walk GROUP BY node

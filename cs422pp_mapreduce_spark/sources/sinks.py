@@ -119,6 +119,18 @@ def compact_parquet_dir(
     re-encode at the new layout.
     """
     import math
+    import os.path
+
+    # Overwrite-into-self protection: Spark's overwrite DELETES dst
+    # before the (lazy) read of src runs, so dst == src — or dst nested
+    # inside src — would destroy the input. Refuse up front.
+    nsrc = os.path.normpath(os.path.abspath(src))
+    ndst = os.path.normpath(os.path.abspath(dst))
+    if ndst == nsrc or ndst.startswith(nsrc + os.sep):
+        raise ValueError(
+            f"compact_parquet_dir: dst {dst!r} must not equal or nest "
+            f"inside src {src!r} (overwrite would delete the input)"
+        )
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

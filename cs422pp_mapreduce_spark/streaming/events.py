@@ -24,10 +24,14 @@ twin (tests assert stream result == batch result on the same data).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..sources.catalog import TABLE_SCHEMAS
+from ..functions.numeric import exact_sum
+from ..sources.catalog import TABLE_SCHEMAS, table_path
 
 
 def read_event_stream(
@@ -103,6 +107,90 @@ def run_stream_foreach_batch(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+_MEMSINK_SEQ = itertools.count()
+
+
+def read_event_stream_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the catalog's events parquet, robust to the
+    fixture's physical ``ts`` layout (it has flipped between
+    TIMESTAMP(NANOS)-as-int64 and timestamp[us] across fixture
+    regenerations — see sources/catalog.load_table, which pins the
+    same two layouts for batch scans). The layout probe reads only the
+    parquet footer via pyarrow — no Spark job."""
+    import pyarrow.parquet as pq
+
+    phys = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    nanos = str(phys).startswith(("int64", "timestamp[ns"))
+    if nanos:
+        fields = [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in TABLE_SCHEMAS["events"].fields
+        ]
+        schema = T.StructType(fields)
+    else:
+        schema = TABLE_SCHEMAS["events"]
+    # File-stream sources require a DIRECTORY basePath; the fixture is
+    # one file per table in sf_dir, so stream the dir with a glob
+    # filter selecting only the events file.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if nanos:
+        # integer div: epoch-nanos exceed double's 2^53 exact range
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def q_stream_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract streaming query: the q_event_tumbling aggregation
+    computed THROUGH Structured Streaming — readStream file source →
+    watermarked 1-hour tumbling window per event_type → complete-mode
+    memory sink, driven to completion with availableNow — then returned
+    as the sink's batch DataFrame.
+
+    Deterministic by construction: complete mode re-emits the full
+    aggregate at the last trigger, so end-of-stream output equals the
+    batch twin exactly (same window expression, same decimal-routed
+    value sum ⇒ accumulation-order-independent), and the DuckDB oracle
+    is the SAME SQL as event_tumbling's. This puts a hash-verified
+    driver row on the streaming code path (readStream → watermark →
+    windowed state → availableNow drain), which the pytest-only
+    streaming twins didn't have (VERDICT r03 ask #6).
+
+    Scale: the plan is the incremental form — per-micro-batch partial
+    aggregation into windowed state, shuffle O(windows × groups). The
+    memory sink is test-harness plumbing; production writes the same
+    stream to any writeStream target (sinks.py foreachBatch bridge)."""
+    ev = read_event_stream_auto(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_event_tumbling_{next(_MEMSINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def run_stream_to_memory(

@@ -167,3 +167,19 @@ def test_retention_cohort_week_zero_is_full(spark, sf_dir):
     assert w0.where(F.col("n_active") != F.col("cohort_size")).count() == 0
     assert ret.where(F.col("retention") > 1.0).count() == 0
     assert ret.count() > 0
+
+
+def test_q_stream_event_tumbling_equals_batch(spark, sf_dir):
+    """The registered driver-contract streaming query (readStream over
+    the fixture dir, complete-mode memory sink, availableNow) equals
+    the batch twin row-for-row — the invariant that makes its DuckDB
+    oracle the batch oracle."""
+    from cs422pp_mapreduce_spark.streaming.events import (
+        q_stream_event_tumbling,
+    )
+
+    cols = ["win_start", "event_type", "n_events", "sum_value"]
+    got = _key(q_stream_event_tumbling(spark, sf_dir).collect(), cols)
+    batch = _key(EV.q_event_tumbling(spark, sf_dir).collect(), cols)
+    assert got == batch
+    assert len(got) > 0

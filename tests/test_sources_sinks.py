@@ -249,10 +249,9 @@ def test_events_ts_reads_as_ltz_for_every_physical_layout(spark, tmp_path):
 
     from cs422pp_mapreduce_spark.sources.catalog import load_table
 
-    t0 = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
-    micros = int(t0.timestamp() * 0) + (
-        int(dt.datetime(2024, 3, 1, 12, 30, 45).replace(
-            tzinfo=dt.timezone.utc).timestamp()) * 1_000_000 + 123456
+    micros = (
+        int(dt.datetime(2024, 3, 1, 12, 30, 45, tzinfo=dt.timezone.utc)
+            .timestamp()) * 1_000_000 + 123456
     )
     base = {
         "event_id": [1], "user_id": [7], "event_type": ["click"],

@@ -85,9 +85,8 @@ WINDOW_OK = {
     "revenue_share": "window over O(nations) aggregate",
 }
 
-UNPARTITIONED_WINDOW = re.compile(
-    r"windowspecdefinition\((?!\w+#\d+L?,\s*\w+#\d+)"
-)
+# ordering token as it appears in plan text: "col#123L ASC NULLS FIRST"
+_ORDER_TOKEN = re.compile(r"\s(ASC|DESC)\sNULLS\s")
 
 
 def audit(sf_dir: str) -> int:
@@ -114,17 +113,16 @@ def audit(sf_dir: str) -> int:
                     hits.append(f"allowed:{pat} ({reason})")
                 else:
                     hits.append(f"HIT:{pat}")
-        # unpartitioned window: windowspecdefinition whose first arg is
-        # already an ordering spec (no partition columns). Textual
-        # heuristic: "windowspecdefinition(" directly followed by a
-        # "... ASC NULLS FIRST" ordering token before any comma-space
-        # separated partition list. Conservative: flag only when the
-        # query isn't in WINDOW_OK.
+        # unpartitioned window: windowspecdefinition whose FIRST arg is
+        # already an ordering spec (no partition columns). The ordering
+        # spec renders as "col#123L ASC NULLS FIRST" — match the
+        # " ASC NULLS "/" DESC NULLS " token, not a bare substring
+        # (a column named e.g. "ascent" must not false-positive).
+        # Conservative: flag only when the query isn't in WINDOW_OK.
         if "Window" in plan and "windowspecdefinition(" in plan:
             for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-                args = m.group(1)
-                first = args.split(",")[0]
-                if ("ASC" in first or "DESC" in first) and name not in WINDOW_OK:
+                first = m.group(1).split(",")[0]
+                if _ORDER_TOKEN.search(first) and name not in WINDOW_OK:
                     hits.append("HIT:unpartitioned-window")
                     break
         bad = [h for h in hits if h.startswith("HIT:")]
