@@ -31,9 +31,14 @@ BPE_COUNT_SCHEMA = "doc_id long, n_ws_tokens long, n_bpe_tokens long"
 
 def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # import inside the worker so the encoder (and its merge table)
-    # is constructed once per executor process, not shipped per task
-    from ..functions.bpe import DEFAULT_ENCODER
+    # is constructed once per executor process, not shipped per task.
+    # get_token_counter is the native-tokenizer slot: with
+    # SPARK_GRAFT_NATIVE_BPE=1 (+ the `tokenizers` wheel) the SAME
+    # kernel runs a Rust byte-level BPE — only this callable changes,
+    # the Spark plan/schema/batching stay identical (functions/bpe.py).
+    from ..functions.bpe import get_token_counter
 
+    count = get_token_counter()
     for pdf in batches:
         yield pd.DataFrame(
             {
@@ -42,9 +47,7 @@ def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 .str.split()
                 .str.len()
                 .astype("int64"),
-                "n_bpe_tokens": pdf["text"]
-                .map(DEFAULT_ENCODER.count)
-                .astype("int64"),
+                "n_bpe_tokens": pdf["text"].map(count).astype("int64"),
             }
         )
 
@@ -64,15 +67,16 @@ CHUNK_BPE_SCHEMA = "doc_id long, chunk_id long, n_chunk_tokens long"
 def _chunk_count_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from ..functions.bpe import DEFAULT_ENCODER
+    from ..functions.bpe import get_token_counter
 
+    count = get_token_counter()
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "chunk_id": pdf["chunk_id"],
                 "n_chunk_tokens": pdf["chunk_text"]
-                .map(DEFAULT_ENCODER.count)
+                .map(count)
                 .astype("int64"),
             }
         )

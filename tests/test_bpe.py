@@ -93,3 +93,28 @@ def test_seq_pack_bpe_matches_python_replica(spark, sf_dir):
         for r in q_seq_pack_bpe(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_get_token_counter_default_is_pure_python(monkeypatch):
+    from cs422pp_mapreduce_spark.functions.bpe import (
+        DEFAULT_ENCODER,
+        get_token_counter,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_NATIVE_BPE", raising=False)
+    c = get_token_counter()
+    s = "the quick brown fox"
+    assert c(s) == DEFAULT_ENCODER.count(s)
+
+
+def test_get_token_counter_native_flag_raises_without_package(monkeypatch):
+    """Asking for native throughput in an environment without the
+    `tokenizers` wheel must fail loudly, never silently run 100-1000x
+    slower."""
+    import pytest
+
+    from cs422pp_mapreduce_spark.functions.bpe import get_token_counter
+
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_BPE", "1")
+    with pytest.raises(NotImplementedError, match="tokenizers"):
+        get_token_counter()

@@ -149,3 +149,24 @@ def test_merge_upsert_invariants(spark, sf_dir):
     # merge key stays unique
     assert merged.select("o_orderkey").distinct().count() == merged.count()
     merged.unpersist()
+
+
+def test_exact_cluster_labels_match_lsh_labels_on_fixture(spark, sf_dir):
+    """Fixture canary: on the shipped fixtures LSH banding recovers
+    every exact pair, so the LSH-graph and exact-graph cluster labels
+    coincide. The driver oracle is keyed to the EXACT variant (r04), so
+    a regenerated fixture breaking this equality fails HERE, loudly,
+    instead of flipping a driver row (the refinement invariant is
+    pinned separately in test_lsh_clusters_refine_exact_clusters)."""
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    lsh = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.q_dedup_clusters_exact(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0

@@ -191,3 +191,16 @@ def test_audio_pipeline_prunes_before_decode(spark, sf_dir):
     py = plan.find("MapInPandas")
     flt = plan.find("Filter")
     assert py != -1 and flt != -1 and flt > py  # physical tree prints top-down
+
+
+def test_ann_lsh_signature_build_is_map_only_arrow(spark, sf_dir):
+    """r04 kernel: the banded-LSH signature build must be ONE
+    vectorized Arrow pandas_udf projection (no per-row Python, no
+    nested-loop join — the query side is a literal bucket predicate)."""
+    from cs422pp_mapreduce_spark.operators import similarity as S
+
+    plan = explain_str(S.q_ann_lsh(spark, sf_dir), mode="simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -277,3 +277,19 @@ def test_events_ts_reads_as_ltz_for_every_physical_layout(spark, tmp_path):
         assert isinstance(field, T.TimestampType), (name, field)
         got[name] = df.select("ts").collect()[0][0]
     assert got["us_ntz"] == got["ns"], got
+
+
+def test_compact_refuses_dst_inside_src(spark, tmp_path):
+    """Overwrite-into-self protection: dst == src (or nested in src)
+    must raise before anything is deleted."""
+    import pytest
+
+    from cs422pp_mapreduce_spark.sources.sinks import compact_parquet_dir
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    for bad in (src, src + "/", f"{src}/sub"):
+        with pytest.raises(ValueError, match="must not equal or nest"):
+            compact_parquet_dir(spark, src, bad)
+    # the input survived the refusals
+    assert spark.read.parquet(src).count() == 10

@@ -47,7 +47,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row max-day broadcast"
     },
     "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
-    "ann_lsh": {"BroadcastNestedLoopJoin": "1-row query vector"},
+    # ann_lsh/embedding_neardup: no BNLJ since r04 — the signature
+    # build is a map-only Arrow matmul and the query side is a literal
+    # predicate (ann_lsh) / equi-join (neardup); entries removed so a
+    # reintroduced nested-loop join FAILS the audit.
     "ann_ivf": {"BroadcastNestedLoopJoin": "1-row query vector"},
     "quality_deciles": {"BroadcastNestedLoopJoin": "1-row count broadcast"},
     "mixture_rebalance": {
@@ -62,11 +65,6 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "kmeans_clusters": {
         "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
-    },
-    "embedding_neardup": {
-        "BroadcastNestedLoopJoin":
-            "64-row hyperplane broadcast in the signature pipeline; "
-            "candidates themselves join equi on (band, bucket)"
     },
     "embedding_neardup_exact": {
         "BroadcastNestedLoopJoin":
