@@ -29,7 +29,10 @@ from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 from cs422pp_mapreduce_spark.operators import textops as TX
 from cs422pp_mapreduce_spark.operators import tokenize as TK
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
-from cs422pp_mapreduce_spark.streaming.events import q_stream_event_tumbling
+from cs422pp_mapreduce_spark.streaming.events import (
+    q_stream_event_session,
+    q_stream_event_tumbling,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -56,8 +59,9 @@ def _wrap(fn: QueryFn) -> QueryFn:
 #    array outputs serialized) — these must bank green rows;
 # 2. slots 6-14: the nine remaining queries that have never had a
 #    driver row (r03's slot-51+ tail minus the two above);
-# 3. slot 15: stream_event_tumbling — NEW, puts a hash-verified driver
-#    row on the Structured Streaming path (r03 verdict ask #6);
+# 3. slots 15-16: stream_event_tumbling + stream_event_session — NEW,
+#    hash-verified driver rows on the Structured Streaming windowed-
+#    and session-state paths (r03 verdict ask #6);
 # 4. slots 16-17: ann_lsh + embedding_neardup, whose signature kernel
 #    changed this round (vectorized matmul pandas_udf) — rows-only by
 #    nature, but the row should reflect the shipped code;
@@ -86,6 +90,7 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
     "stream_event_tumbling": q_stream_event_tumbling,
+    "stream_event_session": q_stream_event_session,
     "ann_lsh": S.q_ann_lsh,
     "embedding_neardup": S.q_embedding_neardup,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,

@@ -1924,6 +1924,8 @@ ORACLES: dict[str, str] = {
 
 # session_window-native variant computes the same sessions.
 ORACLES["event_session_native"] = ORACLES["event_session"]
+# Streaming session twin (complete-mode end-of-stream == batch):
+ORACLES["stream_event_session"] = ORACLES["event_session"]
 
 
 # Keyword extraction composes the tfidf oracle with a per-doc top-3

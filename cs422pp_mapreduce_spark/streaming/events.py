@@ -193,6 +193,47 @@ def q_stream_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract streaming SESSION query: per-user 30-minute-gap
+    session windows computed through Structured Streaming's merging
+    session state (readStream → watermark → session_window → complete-
+    mode memory sink, availableNow) — the stateful-window twin of
+    q_stream_event_tumbling's tumbling case, mirroring
+    operators.events.q_event_session_native column-for-column so the
+    oracle is event_session's SQL.
+
+    session_window state MERGES (a new event can bridge two open
+    sessions); complete mode re-emits the converged session set at the
+    last trigger, so end-of-stream output equals the batch aggregation
+    exactly — including the decimal-routed value sums (accumulation-
+    order-independent). Hash-verified driver row on the session-state
+    code path."""
+    ev = read_event_stream_auto(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+    name = f"stream_event_session_{next(_MEMSINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, table_name: str, mode: str = "append"
 ) -> "object":

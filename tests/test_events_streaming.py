@@ -183,3 +183,19 @@ def test_q_stream_event_tumbling_equals_batch(spark, sf_dir):
     batch = _key(EV.q_event_tumbling(spark, sf_dir).collect(), cols)
     assert got == batch
     assert len(got) > 0
+
+
+def test_q_stream_event_session_equals_batch_native(spark, sf_dir):
+    """Complete-mode session-window streaming equals the batch
+    session_window aggregation exactly (merging session state
+    converges to the batch grouping at end-of-stream)."""
+    from cs422pp_mapreduce_spark.streaming.events import (
+        q_stream_event_session,
+    )
+
+    cols = ["user_id", "session_start", "session_end", "n_events",
+            "sum_value"]
+    got = _key(q_stream_event_session(spark, sf_dir).collect(), cols)
+    batch = _key(EV.q_event_session_native(spark, sf_dir).collect(), cols)
+    assert got == batch
+    assert len(got) > 0
