@@ -94,6 +94,8 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_lsh": S.q_ann_lsh,
     "embedding_neardup": S.q_embedding_neardup,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
+    "dedup_incremental": D.q_dedup_incremental,
+    "source_cap": CP.q_source_cap,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -255,3 +255,42 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+SOURCE_CAP = 15
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing): keep at most
+    SOURCE_CAP docs per source, chosen DETERMINISTICALLY by md5(doc_id)
+    hash order with doc_id tiebreak — the standard curation step that
+    stops a single crawler domain from dominating the mixture, with a
+    selection that is reproducible across runs and engines (no
+    sample()/rand()).
+
+    Plan shape: one row_number window partitioned by source ordering by
+    the 8-hex md5 prefix; the rank<=K predicate compiles to
+    WindowGroupLimit, so each shuffle partition pre-truncates to its
+    local top-K BEFORE the exchange — shuffle volume is O(sources × K)
+    + spill-free, not corpus-sized. md5-prefix (not xxhash64) per the
+    cross-engine hash convention; the DuckDB oracle replays the same
+    ordering bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hkey.asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "lang", hkey.alias("pick_key"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= SOURCE_CAP)
+        .select(
+            "doc_id", "source", "lang", "pick_key",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -866,3 +866,35 @@ def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix_dup_rate"),
         )
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch of documents (deterministic
+    slice: doc_id % 5 == 0) is admitted only if its normalized-text
+    fingerprint (a) does not already exist in the standing corpus (the
+    other 4/5) and (b) is not a duplicate of an earlier doc within the
+    batch (keep min doc_id, report batch multiplicity).
+
+    This is the steady-state shape of corpus curation — most 100 TB
+    dedup runs are "new crawl vs existing corpus", not full-corpus
+    reclustering. The plan is the scale-right one: both sides reduce to
+    16-byte md5 keys before any shuffle (text never moves), the
+    existing side ships only its distinct fingerprint column into a
+    LEFT ANTI hash join, and the within-batch keep is one partial→final
+    aggregate. On a cluster the standing corpus's fingerprint set is
+    exactly the incremental index you'd maintain as a bucketed table,
+    making the anti join shuffle-free on the indexed side."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    existing = fps.where(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    incoming = fps.where(F.col("doc_id") % 5 == 0)
+    return (
+        incoming.join(existing, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )

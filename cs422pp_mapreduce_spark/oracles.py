@@ -814,6 +814,33 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
     """,
+    # Incremental-ingest dedup: incoming slice (doc_id % 5 == 0)
+    # admitted iff its fingerprint is absent from the standing corpus;
+    # min-doc_id keep within the batch.
+    "dedup_incremental": """
+        WITH fps AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        ),
+        existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+        incoming AS (SELECT * FROM fps WHERE doc_id % 5 = 0)
+        SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+        FROM incoming
+        WHERE fp NOT IN (SELECT fp FROM existing)
+        GROUP BY fp
+    """,
+    # Per-source deterministic cap: same md5-prefix pick order as the
+    # Spark window, replayed via QUALIFY.
+    "source_cap": """
+        SELECT doc_id, source, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS pick_key,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+        QUALIFY rk <= 15
+    """,
     "dedup_fingerprint": """
         SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id,
                COUNT(*) AS n_copies

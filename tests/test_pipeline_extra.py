@@ -177,3 +177,47 @@ def test_outlier_events_all_beyond_3_sigma(spark, sf_dir):
     rows = q_outlier_events(spark, sf_dir).collect()
     assert rows
     assert all(abs(r["z"]) > 3.0 for r in rows)
+
+
+def test_source_cap_binds_and_is_deterministic(spark, sf_dir):
+    """Per-source cap: no source exceeds SOURCE_CAP, selection is
+    reproducible run-to-run, and the plan pre-truncates per partition
+    (WindowGroupLimit) instead of shuffling the corpus."""
+    from cs422pp_mapreduce_spark.operators.corpus import (
+        SOURCE_CAP,
+        q_source_cap,
+    )
+    from cs422pp_mapreduce_spark.plans.explain import explain_str
+
+    df = q_source_cap(spark, sf_dir)
+    rows = df.collect()
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert per_src and max(per_src.values()) <= SOURCE_CAP
+    assert {tuple(r) for r in q_source_cap(spark, sf_dir).collect()} == {
+        tuple(r) for r in rows
+    }
+    assert "WindowGroupLimit" in explain_str(df, mode="simple")
+
+
+def test_dedup_incremental_admits_only_novel_fingerprints(spark, sf_dir):
+    """Every admitted doc is from the incoming slice, and its
+    fingerprint must not exist in the standing corpus."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.functions.text import fingerprint_md5
+    from cs422pp_mapreduce_spark.operators.dedup import q_dedup_incremental
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    out = q_dedup_incremental(spark, sf_dir)
+    assert out.where(F.col("doc_id") % 5 != 0).count() == 0
+    existing_fps = {
+        r["fp"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 != 0)
+        .select(fingerprint_md5("text").alias("fp"))
+        .collect()
+    }
+    admitted = {r["fp"] for r in out.collect()}
+    assert admitted and not (admitted & existing_fps)
