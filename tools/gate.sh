@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# One-shot local gate: everything the round driver checks, in order of
+# increasing cost. Exit non-zero on the first failing stage.
+#
+#   tools/gate.sh [sf_dir]          # default /root/testdata/sf0.01
+#
+# Stages:
+#   1. pytest            unit/plan/property/streaming suite
+#   2. audit_plans       scale anti-patterns over every query plan
+#   3. sweep_dtypes      driver-hash dtype/collection lint
+#   4. check_oracles     DRIVER-EXACT DuckDB comparison, full surface
+#
+# (bench.py is deliberately separate — it must run EXCLUSIVELY on an
+# otherwise-idle machine; see BASELINE.md protocol.)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+
+echo "== 1/4 pytest ==" >&2
+python -m pytest tests/ -x -q
+echo "== 2/4 plan audit ==" >&2
+python tools/audit_plans.py "$SF"
+echo "== 3/4 dtype sweep ==" >&2
+python tools/sweep_dtypes.py "$SF"
+echo "== 4/4 oracle gate ($SF) ==" >&2
+python tools/check_oracles.py "$SF"
+echo "GATE GREEN ($SF)" >&2
