@@ -62,13 +62,16 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # 3. slots 15-16: stream_event_tumbling + stream_event_session — NEW,
 #    hash-verified driver rows on the Structured Streaming windowed-
 #    and session-state paths (r03 verdict ask #6);
-# 4. slots 16-17: ann_lsh + embedding_neardup, whose signature kernel
+# 4. slots 17-18: ann_lsh + embedding_neardup, whose signature kernel
 #    changed this round (vectorized matmul pandas_udf) — rows-only by
 #    nature, but the row should reflect the shipped code;
-#    slot 18: dedup_clusters_exact — NEW, carries the hash-verified CC
+#    slot 19: dedup_clusters_exact — NEW, carries the hash-verified CC
 #    row on the exact graph (dedup_clusters itself is rows-only now:
 #    its LSH-graph equality with the exact oracle was
 #    fixture-dependent, ADVICE r03);
+#    slots 20-21: dedup_incremental + source_cap — NEW curation
+#    operators (incremental-ingest admission, per-source cap), both
+#    hash-verified;
 # 5. the rest: oldest-verified first (the r01/r02-banked block), so
 #    the driver refreshes the stalest rows with its remaining budget,
 #    then the r03-verified block. Every ordering decision is

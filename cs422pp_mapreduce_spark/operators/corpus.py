@@ -257,7 +257,8 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-SOURCE_CAP = 15
+# single source of truth shared with the oracle's QUALIFY bound
+from ..oracles import SOURCE_CAP  # noqa: E402
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

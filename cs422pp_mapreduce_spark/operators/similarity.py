@@ -178,9 +178,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exactness-within-candidates are asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
-    qvec = np.asarray(
-        vecs.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["vec"]
-    )  # 1×dim: bounded, same class of collect as IVF's query fetch
+    qrows = vecs.where(F.col("vec_id") == QUERY_VEC_ID).collect()
+    # 1×dim bounded collect, same class as IVF's query fetch. A
+    # regenerated fixture without vec_id 0 degrades to an empty top-K
+    # (as the old two-sided plan did), never a crash.
+    if not qrows:
+        return vecs.select(
+            "vec_id", F.lit(0.0).alias("sim")
+        ).limit(0)
+    qvec = np.asarray(qrows[0]["vec"])
     P = np.asarray(hyperplanes())
     W = (1 << np.arange(BITS_PER_BAND)).astype(np.int64)
     sign = (qvec @ P.T) > 0  # identical kernel to sign_band_buckets

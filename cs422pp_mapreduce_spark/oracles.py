@@ -36,6 +36,11 @@ def _xavg(expr: str, scale: int = 4) -> str:
     return f"{_xsum(expr, scale)} / COUNT({expr})"
 
 
+# Shared with operators/corpus.q_source_cap — single source of truth so
+# the Spark cap and the oracle's QUALIFY bound can never diverge.
+SOURCE_CAP = 15
+
+
 # Exact near-dup connected-components CTE chain (shared by
 # dedup_clusters and dedup_keep): word-3-gram Jaccard ≥ 0.5 pairs →
 # symmetric edges → recursive reachability walk. Callers prepend
@@ -488,12 +493,13 @@ ORACLES: dict[str, str] = {
                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
     """,
-    "tpch_q12": """
+    "tpch_q12": f"""
         SELECT l_linestatus,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+               {_isum("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                      " THEN 1 ELSE 0 END")} AS high_line_count,
+               {_isum("CASE WHEN o_orderpriority NOT IN"
+                      " ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END")}
+                   AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'
           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -613,15 +619,6 @@ ORACLES: dict[str, str] = {
     """,
     # --- event-time windows ----------------------------------------------
     "event_tumbling": f"""
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
-               COUNT(*) AS n_events,
-               {_xsum('value', 2)} AS sum_value
-        FROM events GROUP BY 1, 2
-    """,
-    # Streaming twin (streaming/events.q_stream_event_tumbling): the
-    # complete-mode end-of-stream output equals the batch aggregate,
-    # so the oracle IS the batch oracle.
-    "stream_event_tumbling": f"""
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                COUNT(*) AS n_events,
                {_xsum('value', 2)} AS sum_value
@@ -824,13 +821,16 @@ ORACLES: dict[str, str] = {
         existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
         incoming AS (SELECT * FROM fps WHERE doc_id % 5 = 0)
         SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
-        FROM incoming
-        WHERE fp NOT IN (SELECT fp FROM existing)
+        FROM incoming i
+        -- NOT EXISTS, not NOT IN: a NULL fp in `existing` would make
+        -- NOT IN return zero rows while Spark's left_anti (null-safe
+        -- non-match) still admits novel docs
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
         GROUP BY fp
     """,
     # Per-source deterministic cap: same md5-prefix pick order as the
     # Spark window, replayed via QUALIFY.
-    "source_cap": """
+    "source_cap": f"""
         SELECT doc_id, source, lang,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS pick_key,
                CAST(row_number() OVER (
@@ -839,7 +839,7 @@ ORACLES: dict[str, str] = {
                             doc_id
                ) AS BIGINT) AS rk
         FROM documents
-        QUALIFY rk <= 15
+        QUALIFY rk <= {SOURCE_CAP}
     """,
     "dedup_fingerprint": """
         SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id,
@@ -1062,7 +1062,7 @@ ORACLES: dict[str, str] = {
     # Per-source curation dashboard twin: fingerprint dup membership,
     # repeated-span incidence (same CTE chain as dedup_substring), and
     # the quality_score expression replica, aggregated per source.
-    "curation_report": """
+    "curation_report": f"""
         WITH base AS (
             SELECT doc_id, source, md5(lower(trim(text))) AS fp,
                    CAST(len(list_filter(string_split(text, ' '),
@@ -1112,7 +1112,7 @@ ORACLES: dict[str, str] = {
             HAVING MAX(pos) - MIN(pos) + 5 >= 30
         ), per_source AS (
             SELECT source, COUNT(*) AS n_docs,
-                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   {_isum('n_tokens')} AS n_tokens,
                    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38,18)))
                               AS DOUBLE) / COUNT(*), 6) + 0.0
                        AS mean_quality
@@ -1900,7 +1900,7 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT user_id) AS active_users_7d
         FROM c GROUP BY report_day
     """,
-    "funnel": """
+    "funnel": f"""
         WITH f AS (
             SELECT user_id,
                    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
@@ -1912,12 +1912,11 @@ ORACLES: dict[str, str] = {
             GROUP BY user_id
         )
         SELECT COUNT(*) AS n_users,
-               CAST(SUM(CAST(t_signup IS NOT NULL AS BIGINT)) AS BIGINT)
-                   AS n_signup,
-               CAST(SUM(CAST(t_signup < t_click AS BIGINT)) AS BIGINT)
+               {_isum("CAST(t_signup IS NOT NULL AS BIGINT)")} AS n_signup,
+               {_isum("CAST(t_signup < t_click AS BIGINT)")}
                    AS n_signup_then_click,
-               CAST(SUM(CAST(t_signup < t_click AND t_click < t_purchase
-                             AS BIGINT)) AS BIGINT) AS n_full_funnel
+               {_isum("CAST(t_signup < t_click AND t_click < t_purchase"
+                      " AS BIGINT)")} AS n_full_funnel
         FROM f
     """,
     "price_histogram": f"""
@@ -1951,8 +1950,11 @@ ORACLES: dict[str, str] = {
 
 # session_window-native variant computes the same sessions.
 ORACLES["event_session_native"] = ORACLES["event_session"]
-# Streaming session twin (complete-mode end-of-stream == batch):
+# Streaming twins: complete-mode end-of-stream output equals the batch
+# aggregate, so the oracle IS the batch oracle — aliased, not copied,
+# so a future edit to the batch SQL can never desynchronize them.
 ORACLES["stream_event_session"] = ORACLES["event_session"]
+ORACLES["stream_event_tumbling"] = ORACLES["event_tumbling"]
 
 
 # Keyword extraction composes the tfidf oracle with a per-doc top-3

@@ -122,14 +122,20 @@ def compact_parquet_dir(
     import os.path
 
     # Overwrite-into-self protection: Spark's overwrite DELETES dst
-    # before the (lazy) read of src runs, so dst == src — or dst nested
-    # inside src — would destroy the input. Refuse up front.
+    # before the (lazy) read of src runs, so dst == src, dst nested
+    # inside src, OR src nested inside dst (deleting dst recursively
+    # removes src) would all destroy the input. Refuse up front.
     nsrc = os.path.normpath(os.path.abspath(src))
     ndst = os.path.normpath(os.path.abspath(dst))
-    if ndst == nsrc or ndst.startswith(nsrc + os.sep):
+    if (
+        ndst == nsrc
+        or ndst.startswith(nsrc + os.sep)
+        or nsrc.startswith(ndst + os.sep)
+    ):
         raise ValueError(
-            f"compact_parquet_dir: dst {dst!r} must not equal or nest "
-            f"inside src {src!r} (overwrite would delete the input)"
+            f"compact_parquet_dir: dst {dst!r} must not equal, nest "
+            f"inside, or contain src {src!r} (overwrite would delete "
+            "the input)"
         )
 
     jvm = spark._jvm

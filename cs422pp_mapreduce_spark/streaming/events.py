@@ -146,6 +146,44 @@ def read_event_stream_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def stream_event_tumbling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-STARTED streaming aggregation behind
+    q_stream_event_tumbling: readStream → watermark → 1-hour tumbling
+    window per event_type. Exposed separately so analysis-only tooling
+    (tools/audit_plans.py, tools/sweep_dtypes.py) can inspect the REAL
+    streaming plan/schema without running a streaming job — the
+    contract query's returned memory-sink table would otherwise hide
+    the aggregation plan behind a trivial in-memory scan."""
+    ev = read_event_stream_auto(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _drain_to_memory(agg: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{next(_MEMSINK_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
 def q_stream_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract streaming query: the q_event_tumbling aggregation
     computed THROUGH Structured Streaming — readStream file source →
@@ -166,31 +204,28 @@ def q_stream_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation into windowed state, shuffle O(windows × groups). The
     memory sink is test-harness plumbing; production writes the same
     stream to any writeStream target (sinks.py foreachBatch bridge)."""
+    return _drain_to_memory(
+        stream_event_tumbling_plan(spark, sf_dir), "stream_event_tumbling"
+    )
+
+
+def stream_event_session_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started streaming session aggregation behind
+    q_stream_event_session (see stream_event_tumbling_plan for why)."""
     ev = read_event_stream_auto(spark, sf_dir)
-    agg = (
+    return (
         ev.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             exact_sum("value", 2, "sum_value"),
         )
         .select(
-            F.col("win.start").alias("win_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
         )
     )
-    name = f"stream_event_tumbling_{next(_MEMSINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 def q_stream_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,30 +243,19 @@ def q_stream_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — including the decimal-routed value sums (accumulation-
     order-independent). Hash-verified driver row on the session-state
     code path."""
-    ev = read_event_stream_auto(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "2 hours")
-        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            exact_sum("value", 2, "sum_value"),
-        )
-        .select(
-            "user_id", "session_start", "session_end", "n_events", "sum_value"
-        )
+    return _drain_to_memory(
+        stream_event_session_plan(spark, sf_dir), "stream_event_session"
     )
-    name = f"stream_event_session_{next(_MEMSINK_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+
+
+# name → un-started plan builder, for analysis-only tooling: executing
+# the q_stream_* contract queries runs a real streaming job AND hides
+# the aggregation plan behind the memory-sink scan; tools analyze these
+# instead.
+STREAM_PLAN_BUILDERS = {
+    "stream_event_tumbling": stream_event_tumbling_plan,
+    "stream_event_session": stream_event_session_plan,
+}
 
 
 def run_stream_to_memory(

@@ -286,10 +286,11 @@ def test_compact_refuses_dst_inside_src(spark, tmp_path):
 
     from cs422pp_mapreduce_spark.sources.sinks import compact_parquet_dir
 
-    src = str(tmp_path / "t")
+    src = str(tmp_path / "p" / "t")
     spark.range(10).write.parquet(src)
-    for bad in (src, src + "/", f"{src}/sub"):
-        with pytest.raises(ValueError, match="must not equal or nest"):
+    parent = str(tmp_path / "p")  # deleting dst would delete src too
+    for bad in (src, src + "/", f"{src}/sub", parent):
+        with pytest.raises(ValueError, match="must not equal"):
             compact_parquet_dir(spark, src, bad)
     # the input survived the refusals
     assert spark.read.parquet(src).count() == 10

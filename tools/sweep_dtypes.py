@@ -14,8 +14,11 @@ red at the driver:
    serialize via ``array_join`` (q_collect_agg, relational.py).
 
 This sweep catches both WITHOUT executing Spark: the Spark side is
-pure plan analysis (``fn(spark, sf).schema``), the DuckDB side runs
-the oracle at sf0.001 (tiny) and inspects the materialized dtypes.
+pure plan analysis (``fn(spark, sf).schema``; streaming contract
+queries are analyzed via their un-started plan builders), the DuckDB
+side runs each oracle at the given sf dir (default sf0.01 — the
+driver's comparison scale, so the nullable-int exemption below sees
+the same data the driver does) and inspects the materialized dtypes.
 
 Usage: python tools/sweep_dtypes.py [sf_dir] [query ...]
 Exit 1 on any violation — wire it into the gate next to pytest and
@@ -71,12 +74,18 @@ def sweep(sf_dir: str, only: set[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from cs422pp_mapreduce_spark.streaming.events import STREAM_PLAN_BUILDERS
+
     qs, oracles = E.queries(), E.oracle_sql()
     violations: list[str] = []
     n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # streaming contract queries: take the schema from the
+        # un-started streaming plan (identical to the sink output)
+        # instead of executing a streaming job
+        fn = STREAM_PLAN_BUILDERS.get(name, fn)
         try:
             schema = fn(spark, sf_dir).schema
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
