@@ -199,3 +199,51 @@ def test_q_stream_event_session_equals_batch_native(spark, sf_dir):
     batch = _key(EV.q_event_session_native(spark, sf_dir).collect(), cols)
     assert got == batch
     assert len(got) > 0
+
+
+def test_stream_source_handles_both_ts_layouts(spark, tmp_path):
+    """read_event_stream_auto's footer probe must yield identical
+    streaming results for int64-nanos and timestamp[us] physical
+    layouts (the fixture has shipped both across rounds — same
+    invariant the batch loader pins in test_sources_sinks)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs422pp_mapreduce_spark.streaming.events import (
+        q_stream_event_tumbling,
+    )
+
+    micros = (
+        int(dt.datetime(2024, 3, 1, 12, 30, 45, tzinfo=dt.timezone.utc)
+            .timestamp()) * 1_000_000 + 123456
+    )
+    base = {
+        "event_id": [1, 2], "user_id": [7, 8],
+        "event_type": ["click", "click"], "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+
+    def write(dirname, ts_array):
+        d = tmp_path / dirname
+        d.mkdir()
+        cols = dict(base)
+        cols["ts"] = ts_array
+        pq.write_table(pa.table(cols), str(d / "events.parquet"))
+        return str(d)
+
+    layouts = {
+        "us": pa.array([micros, micros + 1], pa.timestamp("us")),
+        "ns": pa.array(
+            [micros * 1000, (micros + 1) * 1000], pa.timestamp("ns")
+        ),
+    }
+    cols = ["win_start", "event_type", "n_events", "sum_value"]
+    got = {
+        name: _key(q_stream_event_tumbling(spark, write(name, arr)).collect(),
+                   cols)
+        for name, arr in layouts.items()
+    }
+    assert got["us"] == got["ns"]
+    assert got["us"][0][2] == 2  # both events in the one window
