@@ -868,30 +868,39 @@ def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_PREFIX_LEN = 60
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: a NEW batch of documents (deterministic
-    slice: doc_id % 5 == 0) is admitted only if its normalized-text
-    fingerprint (a) does not already exist in the standing corpus (the
-    other 4/5) and (b) is not a duplicate of an earlier doc within the
-    batch (keep min doc_id, report batch multiplicity).
+    slice: doc_id % 5 == 0) is admitted only if (a) its normalized-text
+    md5 fingerprint does not already exist in the standing corpus (the
+    other 4/5), (b) its 60-char text prefix does not either — the
+    cheap shared-lede/boilerplate filter, same prefix convention as
+    q_source_dup_stats — and (c) it is not a duplicate of an earlier
+    doc within the batch (keep min doc_id, report batch multiplicity).
 
     This is the steady-state shape of corpus curation — most 100 TB
     dedup runs are "new crawl vs existing corpus", not full-corpus
     reclustering. The plan is the scale-right one: both sides reduce to
-    16-byte md5 keys before any shuffle (text never moves), the
-    existing side ships only its distinct fingerprint column into a
-    LEFT ANTI hash join, and the within-batch keep is one partial→final
-    aggregate. On a cluster the standing corpus's fingerprint set is
-    exactly the incremental index you'd maintain as a bucketed table,
-    making the anti join shuffle-free on the indexed side."""
+    small keys before any shuffle (16-byte md5 / 60-byte prefix; full
+    text never moves), the existing side ships only its DISTINCT key
+    columns into two LEFT ANTI hash joins, and the within-batch keep
+    is one partial→final aggregate. On a cluster the standing corpus's
+    key sets are exactly the incremental index you'd maintain as
+    bucketed tables, making the anti joins shuffle-free on the indexed
+    side."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id", fingerprint_md5("text").alias("fp")
+    keyed = docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        F.substring("text", 1, INCR_PREFIX_LEN).alias("pfx"),
     )
-    existing = fps.where(F.col("doc_id") % 5 != 0).select("fp").distinct()
-    incoming = fps.where(F.col("doc_id") % 5 == 0)
+    existing = keyed.where(F.col("doc_id") % 5 != 0)
+    incoming = keyed.where(F.col("doc_id") % 5 == 0)
     return (
-        incoming.join(existing, "fp", "left_anti")
+        incoming.join(existing.select("fp").distinct(), "fp", "left_anti")
+        .join(existing.select("pfx").distinct(), "pfx", "left_anti")
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("doc_id"),

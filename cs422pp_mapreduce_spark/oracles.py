@@ -816,16 +816,19 @@ ORACLES: dict[str, str] = {
     # min-doc_id keep within the batch.
     "dedup_incremental": """
         WITH fps AS (
-            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   substr(text, 1, 60) AS pfx
+            FROM documents
         ),
-        existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0),
+        existing AS (SELECT * FROM fps WHERE doc_id % 5 <> 0),
         incoming AS (SELECT * FROM fps WHERE doc_id % 5 = 0)
         SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
         FROM incoming i
-        -- NOT EXISTS, not NOT IN: a NULL fp in `existing` would make
+        -- NOT EXISTS, not NOT IN: a NULL key in `existing` would make
         -- NOT IN return zero rows while Spark's left_anti (null-safe
         -- non-match) still admits novel docs
         WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+          AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
         GROUP BY fp
     """,
     # Per-source deterministic cap: same md5-prefix pick order as the

@@ -202,22 +202,35 @@ def test_source_cap_binds_and_is_deterministic(spark, sf_dir):
 
 
 def test_dedup_incremental_admits_only_novel_fingerprints(spark, sf_dir):
-    """Every admitted doc is from the incoming slice, and its
-    fingerprint must not exist in the standing corpus."""
+    """Every admitted doc is from the incoming slice, its exact
+    fingerprint must not exist in the standing corpus, and neither may
+    its 60-char prefix (the shared-lede filter) — and the prefix gate
+    actually rejects something on the fixture (non-vacuous)."""
     from pyspark.sql import functions as F
 
     from cs422pp_mapreduce_spark.functions.text import fingerprint_md5
-    from cs422pp_mapreduce_spark.operators.dedup import q_dedup_incremental
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        INCR_PREFIX_LEN,
+        q_dedup_incremental,
+    )
     from cs422pp_mapreduce_spark.sources.catalog import load_table
 
     out = q_dedup_incremental(spark, sf_dir)
     assert out.where(F.col("doc_id") % 5 != 0).count() == 0
-    existing_fps = {
-        r["fp"]
-        for r in load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 5 != 0)
-        .select(fingerprint_md5("text").alias("fp"))
-        .collect()
-    }
-    admitted = {r["fp"] for r in out.collect()}
-    assert admitted and not (admitted & existing_fps)
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 5 != 0).select(
+        fingerprint_md5("text").alias("fp"),
+        F.substring("text", 1, INCR_PREFIX_LEN).alias("pfx"),
+    )
+    existing_fps = {r["fp"] for r in existing.collect()}
+    existing_pfx = {r["pfx"] for r in existing.select("pfx").collect()}
+    admitted_ids = {r["doc_id"] for r in out.collect()}
+    admitted_keys = docs.where(F.col("doc_id").isin(admitted_ids)).select(
+        fingerprint_md5("text").alias("fp"),
+        F.substring("text", 1, INCR_PREFIX_LEN).alias("pfx"),
+    )
+    assert admitted_ids
+    assert not ({r["fp"] for r in admitted_keys.collect()} & existing_fps)
+    assert not ({r["pfx"] for r in admitted_keys.collect()} & existing_pfx)
+    n_incoming = docs.where(F.col("doc_id") % 5 == 0).count()
+    assert out.count() < n_incoming  # the gate rejected something
