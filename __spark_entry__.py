@@ -99,6 +99,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
     "dedup_incremental": D.q_dedup_incremental,
     "source_cap": CP.q_source_cap,
+    "ngram_novelty": D.q_ngram_novelty,
     "wordcount": wordcount,
     "scan_project": R.q_scan_project,
     "filter_pred": R.q_filter_pred,

@@ -907,3 +907,55 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
     )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty of the incoming batch (doc_id % 5
+    == 0, the same slice dedup_incremental admits) against the standing
+    corpus: fraction of the doc's DISTINCT word-trigrams absent from
+    the corpus trigram set — the freshness metric curation dashboards
+    put next to the admission gate (a batch full of seen trigrams is
+    boilerplate even when its exact fingerprints are novel).
+
+    Plan: the verified shingle machinery (_doc_shingles — same
+    len<k fallback and per-doc distinctness as the oracle CTE chain,
+    parity pinned by dedup_ngram's green row) feeds one LEFT join of
+    the incoming (doc_id, shingle) rows against the corpus's DISTINCT
+    shingle column, then a per-doc count/sum aggregate. Shuffle keys
+    are shingle strings only — document text never moves. At 100 TB
+    the standing corpus's distinct-shingle column is the persisted,
+    bucketed index this joins against (or a Bloom filter when
+    approximate novelty suffices); the per-batch side is small by
+    definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = _doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    existing = (
+        inv.where(F.col("doc_id") % 5 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    incoming = inv.where(F.col("doc_id") % 5 == 0)
+    return (
+        incoming.join(existing, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+                )
+                + 0.0
+            ).alias("novelty"),
+        )
+    )

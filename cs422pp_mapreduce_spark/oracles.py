@@ -831,6 +831,38 @@ ORACLES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
         GROUP BY fp
     """,
+    # Per-doc trigram novelty of the incoming slice vs the standing
+    # corpus: same shingle CTE semantics as the near-dup chain
+    # (len<3 fallback to the token list, per-doc distinct).
+    "ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), existing AS (
+            SELECT DISTINCT shingle FROM inv WHERE doc_id % 5 <> 0
+        ), inc AS (
+            SELECT * FROM inv WHERE doc_id % 5 = 0
+        )
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM existing e WHERE e.shingle = inc.shingle)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(CAST(SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM existing e WHERE e.shingle = inc.shingle)
+                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) + 0.0
+                   AS novelty
+        FROM inc GROUP BY doc_id
+    """,
     # Per-source deterministic cap: same md5-prefix pick order as the
     # Spark window, replayed via QUALIFY.
     "source_cap": f"""

@@ -234,3 +234,19 @@ def test_dedup_incremental_admits_only_novel_fingerprints(spark, sf_dir):
     assert not ({r["pfx"] for r in admitted_keys.collect()} & existing_pfx)
     n_incoming = docs.where(F.col("doc_id") % 5 == 0).count()
     assert out.count() < n_incoming  # the gate rejected something
+
+
+def test_ngram_novelty_bounds_and_slice(spark, sf_dir):
+    """novelty ∈ [0,1], n_novel ≤ n_shingles, only incoming-slice docs,
+    and the metric actually discriminates on the fixture (not all 1.0)."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.dedup import q_ngram_novelty
+
+    out = q_ngram_novelty(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert out.where(F.col("doc_id") % 5 != 0).count() == 0
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    assert all(r["n_novel"] <= r["n_shingles"] for r in rows)
+    assert min(r["novelty"] for r in rows) < 1.0
