@@ -118,10 +118,14 @@ def main() -> None:
         # still claims "built", which would mis-time index-backed
         # queries as warm (ADVICE r03).
         spark.catalog.clearCache()
+        from cs422pp_mapreduce_spark.operators.dedup import (
+            evict_cluster_cache,
+        )
         from cs422pp_mapreduce_spark.operators.similarity import (
             evict_index_caches,
         )
         evict_index_caches(spark)
+        evict_cluster_cache(spark)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -175,7 +175,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     but 3 jobs + a persisted index frame per cold run — measured ~2×
     this plan's wall time under per-query cache isolation.)
     Approximate ⇒ rows-only driver check; recall vs the exact baseline
-    and exactness-within-candidates are asserted in tests."""
+    and exactness-within-candidates are asserted in tests.
+
+    CONTRACT NOTE (ADVICE r04): unlike every other registered query,
+    this one runs an eager Spark job at DataFrame-CONSTRUCTION time —
+    the 1-row query-vector collect above — because the literal bucket
+    predicate (the whole point of the one-job plan) cannot be built
+    without the query vector. Analysis-only tooling that builds plans
+    without executing them (tools/audit_plans.py, tools/sweep_dtypes.py)
+    therefore pays one bounded 1-row job for this query, and a harness
+    that separates plan-build from timed execution under-times it by
+    that fetch (~0.1 s, scan filter pushed to vec_id). Declared in the
+    __spark_entry__ registration comment."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
     qrows = vecs.where(F.col("vec_id") == QUERY_VEC_ID).collect()

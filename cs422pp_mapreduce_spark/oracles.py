@@ -624,6 +624,19 @@ ORACLES: dict[str, str] = {
                {_xsum('value', 2)} AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # Partition-pruning contract: the Spark side scans a hive-layout
+    # date-partitioned copy (PartitionFilters pinned in tests); the
+    # oracle computes the identical week from raw ts, so the pruned
+    # scan is verified end-to-end against the unpartitioned truth.
+    "events_partitioned": f"""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               event_type, COUNT(*) AS n_events,
+               {_xsum('value', 2)} AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                   AND DATE '2024-01-14'
+        GROUP BY 1, 2
+    """,
     # Weekly retention cohorts. DuckDB's date_trunc('week') yields DATE
     # (unlike 'hour' → TIMESTAMP), so both week columns re-cast to
     # TIMESTAMP to match Spark.
@@ -664,6 +677,9 @@ ORACLES: dict[str, str] = {
     """,
     # Gaps-and-islands sessionization, 30-min inactivity gap, microsecond
     # precision (same arithmetic as the Spark side: unix_micros / epoch_us).
+    # Strict >: matches Spark session_window's INCLUSIVE merge boundary —
+    # an exactly-1800s gap merges; only a strictly-greater gap splits
+    # (verified empirically; pinned by test_session_gap_boundary).
     "event_session": f"""
         WITH l AS (
             SELECT user_id, ts, event_id, value,
@@ -830,6 +846,44 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
           AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
         GROUP BY fp
+    """,
+    # Two-round incremental ingest: batch 2's standing keys are the
+    # corpus's PLUS the batch-1 kept representatives' (monotone
+    # admission). Same NOT EXISTS convention as dedup_incremental.
+    "dedup_incremental_2batch": """
+        WITH fps AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   substr(text, 1, 60) AS pfx
+            FROM documents
+        ),
+        corpus AS (SELECT * FROM fps WHERE doc_id % 5 >= 2),
+        b1 AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+        b2 AS (SELECT * FROM fps WHERE doc_id % 5 = 1),
+        surv1 AS (
+            SELECT * FROM b1 i
+            WHERE NOT EXISTS (SELECT 1 FROM corpus e WHERE e.fp = i.fp)
+              AND NOT EXISTS (SELECT 1 FROM corpus e WHERE e.pfx = i.pfx)
+        ),
+        adm1 AS (
+            SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+            FROM surv1 GROUP BY fp
+        ),
+        rep1 AS (
+            SELECT s.* FROM surv1 s
+            JOIN adm1 a ON s.fp = a.fp AND s.doc_id = a.doc_id
+        ),
+        adm2 AS (
+            SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+            FROM b2 i
+            WHERE NOT EXISTS (SELECT 1 FROM corpus e WHERE e.fp = i.fp)
+              AND NOT EXISTS (SELECT 1 FROM rep1 e WHERE e.fp = i.fp)
+              AND NOT EXISTS (SELECT 1 FROM corpus e WHERE e.pfx = i.pfx)
+              AND NOT EXISTS (SELECT 1 FROM rep1 e WHERE e.pfx = i.pfx)
+            GROUP BY fp
+        )
+        SELECT doc_id, 1 AS batch, n_batch_copies FROM adm1
+        UNION ALL
+        SELECT doc_id, 2 AS batch, n_batch_copies FROM adm2
     """,
     # Per-doc trigram novelty of the incoming slice vs the standing
     # corpus: same shingle CTE semantics as the near-dup chain
@@ -1990,6 +2044,8 @@ ORACLES["event_session_native"] = ORACLES["event_session"]
 # so a future edit to the batch SQL can never desynchronize them.
 ORACLES["stream_event_session"] = ORACLES["event_session"]
 ORACLES["stream_event_tumbling"] = ORACLES["event_tumbling"]
+# the kill-and-restart sequence must converge to the same batch truth
+ORACLES["stream_event_recovery"] = ORACLES["event_tumbling"]
 
 
 # Keyword extraction composes the tfidf oracle with a per-doc top-3

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from cs422pp_mapreduce_spark.functions.bpe import (
     DEFAULT_ENCODER,
     BPEEncoder,
@@ -118,3 +120,30 @@ def test_get_token_counter_native_flag_raises_without_package(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NATIVE_BPE", "1")
     with pytest.raises(NotImplementedError, match="tokenizers"):
         get_token_counter()
+
+
+def test_native_path_activates_when_available(monkeypatch, tmp_path):
+    """When the `tokenizers` package IS installed (not in this
+    container — then this skips), the native slot must activate end to
+    end: train a minimal byte-level BPE, point SPARK_GRAFT_BPE_VOCAB at
+    it, and the counter returned by get_token_counter must be the
+    native one (agreeing with tokenizers' own encode length)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.BpeTrainer(vocab_size=300, special_tokens=[])
+    tok.train_from_iterator(
+        ["the quick brown fox jumps over the lazy dog"] * 50, trainer
+    )
+    vocab_path = str(tmp_path / "tokenizer.json")
+    tok.save(vocab_path)
+
+    monkeypatch.setenv("SPARK_GRAFT_NATIVE_BPE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BPE_VOCAB", vocab_path)
+    from cs422pp_mapreduce_spark.functions.bpe import get_token_counter
+
+    counter = get_token_counter()
+    sample = "the quick brown fox"
+    assert counter(sample) == len(tok.encode(sample).ids)

@@ -300,3 +300,63 @@ def test_kmeans_matches_numpy_replica(spark, sf_dir):
                 C[c] = members.mean(axis=0)
     expected = dict(zip(ids, assign.tolist()))
     assert got == expected
+
+
+def test_bloom_novelty_one_sided_vs_exact(spark, sf_dir):
+    """Bloom novelty's error is strictly one-sided (no false
+    negatives): per doc it reports the same shingle universe and never
+    MORE novel shingles than the exact join; the aggregate miss rate
+    (novel shingles falsely 'seen' via bit collisions) stays under a
+    loose multiple of the theoretical FP bound."""
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        q_ngram_novelty,
+        q_ngram_novelty_bloom,
+    )
+
+    exact = {r["doc_id"]: r for r in q_ngram_novelty(spark, sf_dir).collect()}
+    bloom = {
+        r["doc_id"]: r for r in q_ngram_novelty_bloom(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d]["n_shingles"] == exact[d]["n_shingles"]
+        assert bloom[d]["n_novel"] <= exact[d]["n_novel"]
+    tot_exact = sum(r["n_novel"] for r in exact.values())
+    tot_bloom = sum(r["n_novel"] for r in bloom.values())
+    if tot_exact:
+        # theoretical FP ≈1% at the calibrated load; allow 5× slack
+        assert (tot_exact - tot_bloom) / tot_exact <= 0.05
+
+
+def test_cluster_labels_memoized_and_reused(spark, sf_dir):
+    """cluster_labels builds once per (session, dataset): the second
+    call returns the SAME persisted DataFrame object, dedup_keep equals
+    the uncached formulation, and eviction resets the memo."""
+    from cs422pp_mapreduce_spark.operators import dedup as D
+
+    D.evict_cluster_cache(spark)
+    first = D.cluster_labels(spark, sf_dir)
+    assert D.cluster_labels(spark, sf_dir) is first
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
+
+    keep = sorted(
+        r["doc_id"] for r in D.q_dedup_keep(spark, sf_dir).collect()
+    )
+    drop = {
+        r["doc_id"]
+        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+        if r["doc_id"] != r["cluster_id"]
+    }
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    all_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    assert keep == sorted(all_ids - drop)
+
+    D.evict_cluster_cache(spark)
+    assert D.cluster_labels(spark, sf_dir) is not first
+    D.evict_cluster_cache(spark)

@@ -247,3 +247,60 @@ def test_stream_source_handles_both_ts_layouts(spark, tmp_path):
     }
     assert got["us"] == got["ns"]
     assert got["us"][0][2] == 2  # both events in the one window
+
+
+def test_session_gap_boundary(spark, tmp_path):
+    """Exact-boundary convention pin (ADVICE r04): Spark session_window's
+    merge rule is INCLUSIVE at the boundary — a gap of EXACTLY the
+    30-minute session gap MERGES; only a strictly-greater gap splits.
+    (The ADVICE hypothesized the opposite, an exclusive end; this test
+    records what Spark 4.1 actually computes and holds the explicit
+    gaps-and-islands formulation and the DuckDB oracle to the same
+    convention, so a regenerated fixture with an exact-boundary gap can
+    never flip the shared event_session oracle row.)"""
+    import datetime as dt
+
+    import duckdb
+
+    from cs422pp_mapreduce_spark.oracles import ORACLES
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    gap = dt.timedelta(seconds=1800)
+    rows = [
+        # user 1: exactly-1800s gap → MERGES → 1 session
+        (1, base, 1, "e", 1.0, "{}"),
+        (2, base + gap, 1, "e", 1.0, "{}"),
+        # user 2: 1800s - 1µs gap → 1 session
+        (3, base, 2, "e", 1.0, "{}"),
+        (4, base + gap - dt.timedelta(microseconds=1), 2, "e", 1.0, "{}"),
+        # user 3: 1800s + 1µs gap → SPLITS → 2 sessions
+        (5, base, 3, "e", 1.0, "{}"),
+        (6, base + gap + dt.timedelta(microseconds=1), 3, "e", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "boundary")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    def sessions_per_user(frame):
+        out: dict[int, int] = {}
+        for r in frame.collect():
+            out[r["user_id"]] = out.get(r["user_id"], 0) + 1
+        return out
+
+    expect = {1: 1, 2: 1, 3: 2}
+    assert sessions_per_user(EV.q_event_session(spark, d)) == expect
+    assert sessions_per_user(EV.q_event_session_native(spark, d)) == expect
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = con.sql(ORACLES["event_session"]).df()
+    got = oracle.groupby("user_id").size().to_dict()
+    assert got == expect

@@ -204,3 +204,18 @@ def test_ann_lsh_signature_build_is_map_only_arrow(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_events_partitioned_prunes(spark, sf_dir):
+    """The partition-pruning contract: the date predicate must land in
+    the scan's PartitionFilters (directories outside the week are never
+    opened), not survive as a post-scan Filter on event_date."""
+    from cs422pp_mapreduce_spark.operators.events import q_events_partitioned
+
+    plan = explain_str(q_events_partitioned(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "event_date" in m.group(1), m.group(1)

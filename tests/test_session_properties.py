@@ -1,6 +1,8 @@
 """Property-based sessionization spec: for ANY event stream, sessions
 must partition each user's events, close over ≤gap chains, and be
-separated by >gap silences."""
+separated by >gap silences (session_window's merge boundary is
+INCLUSIVE: an exactly-gap silence merges — verified empirically and
+pinned by test_events_streaming.test_session_gap_boundary)."""
 
 from __future__ import annotations
 

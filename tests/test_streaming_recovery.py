@@ -62,3 +62,66 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     # form of "no reprocessing after recovery"
     _run_available(spark, src, ckpt, "t_recovery3")
     assert spark.table("t_recovery3").count() == 0
+
+
+def test_recovery_contract_query_processes_only_delta(spark, sf_dir):
+    """The driver-contract recovery sequence genuinely RESUMES: phase 2
+    must read only the files that landed while the query was down (the
+    offset log covers phase 1's), and its state must still include
+    phase 1's counts. A fresh-start phase 2 would read all 4 slices;
+    an offset-only recovery without state would under-count."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.sources.catalog import TABLE_SCHEMAS, load_table
+    from cs422pp_mapreduce_spark.streaming.events import _tumbling_agg
+
+    base = tempfile.mkdtemp(prefix="recovery_delta_")
+    stage, src, ckpt = (os.path.join(base, d) for d in ("stage", "src", "ckpt"))
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(4):
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+            f"{stage}/s{i}"
+        )
+
+    def land(i):
+        d = f"{stage}/s{i}"
+        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+        shutil.copy(os.path.join(d, f), os.path.join(src, f"s{i}.parquet"))
+
+    def run(table):
+        raw = (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            _tumbling_agg(raw)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_read = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return rows_read
+
+    land(0)
+    land(1)
+    run("t_rec_phase1")
+    land(2)
+    land(3)
+    delta = ev.where(F.col("event_id") % 4 >= 2).count()
+    total = ev.count()
+    rows_read = run("t_rec_phase2")
+    assert rows_read == delta, (rows_read, delta)
+    # state recovered: final counts cover ALL events, not just the delta
+    final = spark.table("t_rec_phase2").agg(F.sum("n_events")).collect()[0][0]
+    assert final == total, (final, total)

@@ -45,8 +45,13 @@ def collection_columns(df: pd.DataFrame) -> list[str]:
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            head = df[c].dropna().head(20)
-            if any(isinstance(v, (np.ndarray, list, dict, set)) for v in head):
+            # Full-column scan (ADVICE r04): a column scalar in early rows
+            # but collection-valued later would escape a head-only sample.
+            # Cost is negligible at gate scale (sf0.01 frames).
+            cells = df[c].dropna()
+            if any(
+                isinstance(v, (np.ndarray, list, dict, set)) for v in cells
+            ):
                 bad.append(c)
     return bad
 

@@ -120,10 +120,12 @@ def sweep(sf_dir: str, only: set[str]) -> int:
                     for c, okkinds in spark_kinds.items():
                         dk = ddf[c].dtype.kind
                         if dk == "O":
-                            head = ddf[c].dropna().head(20)
+                            # full-column scan (ADVICE r04) — see
+                            # check_oracles.collection_columns
+                            cells = ddf[c].dropna()
                             if any(
                                 isinstance(v, (np.ndarray, list, dict))
-                                for v in head
+                                for v in cells
                             ):
                                 probs.append(
                                     f"oracle column {c!r} materializes "
