@@ -83,6 +83,12 @@ HEADLINE = [
     "tpch_q20",
     "tpch_q21",
     "curation_report",
+    # round-5 additions: incremental-ingest sequencing, Bloom novelty,
+    # partition-pruned scan, checkpoint kill-and-restart streaming
+    "dedup_incremental_2batch",
+    "ngram_novelty_bloom",
+    "events_partitioned",
+    "stream_event_recovery",
 ]
 
 RUNS = 3

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.numeric import exact_avg, exact_sum
+from ..functions.numeric import disc_price_dec, exact_avg, exact_sum
 from ..session import default_parallelism
 from ..sources.catalog import load_table
 
@@ -71,9 +71,7 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         exact_sum("l_quantity", 2, "sum_qty"),
         exact_sum("l_extendedprice", 2, "sum_base_price"),
-        exact_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "sum_disc_price"
-        ),
+        exact_sum(disc_price_dec(), 4, "sum_disc_price"),
         exact_avg("l_quantity", 2, "avg_qty"),
         exact_avg("l_extendedprice", 2, "avg_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -166,11 +164,7 @@ def q_multi_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                4,
-                "revenue",
-            ),
+            exact_sum(disc_price_dec(), 4, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -425,11 +419,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                4,
-                "revenue",
-            )
+            exact_sum(disc_price_dec(), 4, "revenue")
         )
     )
     total = F.sum(F.col("revenue").cast("decimal(18,4)")).over(
@@ -849,9 +839,7 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_sum_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev = disc_price_dec().cast("decimal(18,4)")
     out = salted_sum_count(
         li,
         ["l_returnflag"],

@@ -72,7 +72,8 @@ def q_sql_cte_topnation(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH rev AS (
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
                                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey

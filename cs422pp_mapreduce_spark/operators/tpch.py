@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_avg, exact_sum
+from ..functions.numeric import (
+    charge_dec,
+    disc_price_dec,
+    disc_rev_dec,
+    exact_avg,
+    exact_sum,
+)
 from ..sources.catalog import load_table
 
 
@@ -43,7 +49,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+                disc_price_dec(), 4, "revenue"
             )
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -76,7 +82,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+                disc_price_dec(), 4, "revenue"
             )
         )
     )
@@ -176,7 +182,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                disc_price_dec(),
                 4,
                 "profit",
             )
@@ -302,7 +308,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                disc_price_dec(),
                 4,
                 "part_value",
             )
@@ -404,7 +410,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"
+                disc_rev_dec(), 4, "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -421,11 +427,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1999-09-01"))
         & (F.col("l_shipdate") < F.lit("1999-10-01"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = disc_price_dec()
     promo_rev = (
         F.sum(
             F.when(F.col("p_type") == "PROMO", rev)
-            .otherwise(F.lit(0.0))
+            .otherwise(F.lit(0).cast("decimal(4,2)"))
             .cast("decimal(18,4)")
         ).cast("double")
     )
@@ -490,7 +496,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+                disc_price_dec(), 4, "revenue"
             )
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -534,7 +540,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+                disc_price_dec(), 4, "revenue"
             )
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -575,7 +581,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         exact_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_revenue"
+            disc_price_dec(), 4, "total_revenue"
         )
     )
     top = revenue.groupBy().agg(F.max("total_revenue").alias("max_revenue"))
@@ -647,7 +653,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(
             exact_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+                disc_price_dec(), 4, "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -667,8 +673,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-08-06")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = disc_price_dec()
+    charge = charge_dec()
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -711,9 +717,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = disc_price_dec()
     nat_volume = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
-        F.lit(0.0)
+        F.lit(0).cast("decimal(4,2)")
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)

@@ -17,7 +17,17 @@ from __future__ import annotations
 
 
 def _xsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    # The final decimal→double conversion routes through VARCHAR: DuckDB's
+    # direct CAST(DECIMAL(38,s) AS DOUBLE) double-rounds (hugeint→double,
+    # then the scale division) and can land 1 ulp off the correctly-rounded
+    # value Spark's BigDecimal.doubleValue produces — observed on tpch_q1's
+    # sum_charge at sf1 (exact decimal ...637948 → Spark ...63795 correct,
+    # DuckDB ...637955). decimal→VARCHAR is exact and VARCHAR→DOUBLE is
+    # correctly rounded, so both engines now agree bit-for-bit.
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale})))"
+        f" AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def _isum(expr: str) -> str:
@@ -34,6 +44,23 @@ def _isum(expr: str) -> str:
 
 def _xavg(expr: str, scale: int = 4) -> str:
     return f"{_xsum(expr, scale)} / COUNT({expr})"
+
+
+# Exact-decimal money products (r05, twins of functions/numeric.py
+# disc_price_dec/charge_dec/disc_rev_dec — see the rationale there):
+# the 2-decimal INPUTS convert to decimal boundary-safely, the products
+# stay exact decimal, so Spark and DuckDB sums are bit-identical — a
+# double PRODUCT cast to decimal rounds engine-dependently at .5
+# boundaries.
+_DISC_PRICE = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+)
+_CHARGE = f"({_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2))))"
+_DISC_REV = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(l_discount AS DECIMAL(4,2)))"
+)
 
 
 # Shared with operators/corpus.q_source_cap — single source of truth so
@@ -107,7 +134,7 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                {_xsum('l_quantity', 2)} AS sum_qty,
                {_xsum('l_extendedprice', 2)} AS sum_base_price,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               {_xsum(_DISC_PRICE, 4)} AS sum_disc_price,
                {_xavg('l_quantity', 2)} AS avg_qty,
                {_xavg('l_extendedprice', 2)} AS avg_price,
                COUNT(*) AS count_order
@@ -153,7 +180,7 @@ ORACLES: dict[str, str] = {
     """,
     "multi_join_agg": f"""
         SELECT n_name,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               {_xsum(_DISC_PRICE, 4)} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -261,7 +288,7 @@ ORACLES: dict[str, str] = {
         WITH m AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                        AS s1,
                    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
                         AS DOUBLE) AS s2
@@ -364,7 +391,7 @@ ORACLES: dict[str, str] = {
     # --- TPC-H shapes -------------------------------------------------------
     "tpch_q3": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+               {_xsum(_DISC_PRICE, 4)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -377,7 +404,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q5": f"""
         SELECT n_name,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+               {_xsum(_DISC_PRICE, 4)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -416,7 +443,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q9": f"""
         SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS profit
+               {_xsum(_DISC_PRICE, 4)} AS profit
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -439,13 +466,13 @@ ORACLES: dict[str, str] = {
     """,
     # Q11/Q16/Q21 adapted: lineitem stands in for partsupp (the
     # fixtures lack it); "late" is shipdate-based as in Q4/Q12.
-    "tpch_q11": """
+    "tpch_q11": f"""
         WITH nat AS (
             SELECT s_suppkey FROM supplier WHERE s_nationkey = 1
         ), pv AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+                   CAST(CAST(SUM(CAST({_DISC_PRICE}
+                                 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS part_value
             FROM lineitem JOIN nat ON l_suppkey = s_suppkey
             GROUP BY l_partkey
         )
@@ -506,7 +533,7 @@ ORACLES: dict[str, str] = {
         GROUP BY l_linestatus
     """,
     "tpch_q6": f"""
-        SELECT {_xsum('l_extendedprice * l_discount', 4)} AS revenue,
+        SELECT {_xsum(_DISC_REV, 4)} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= DATE '1999-01-01'
@@ -516,7 +543,7 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q10": f"""
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+               {_xsum(_DISC_PRICE, 4)} AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -549,11 +576,11 @@ ORACLES: dict[str, str] = {
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
     """,
-    "sql_cte_topnation": """
+    "sql_cte_topnation": f"""
         WITH rev AS (
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                   CAST(CAST(SUM(CAST({_DISC_PRICE}
+                                 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -570,7 +597,7 @@ ORACLES: dict[str, str] = {
                date_trunc('day', ts)  AS bucket_day,
                event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    AS sum_value
         FROM events
         GROUP BY GROUPING SETS
@@ -1354,13 +1381,14 @@ ORACLES: dict[str, str] = {
         WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.95
     """,
     "tpch_q14": f"""
-        SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                                          THEN l_extendedprice * (1 - l_discount)
-                                          ELSE 0.0 END AS DECIMAL(18,4)))
-                            AS DOUBLE)
-                     / {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+        SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                          THEN {_DISC_PRICE}
+                                          ELSE CAST(0 AS DECIMAL(4,2))
+                                          END AS DECIMAL(18,4)))
+                            AS VARCHAR) AS DOUBLE)
+                     / {_xsum(_DISC_PRICE, 4)}
                    AS promo_pct,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+               {_xsum(_DISC_PRICE, 4)}
                    AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= '1999-09-01' AND l_shipdate < '1999-10-01'
@@ -1380,7 +1408,7 @@ ORACLES: dict[str, str] = {
     """,
     "skewed_agg": f"""
         SELECT l_returnflag,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               {_xsum(_DISC_PRICE, 4)} AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -1405,7 +1433,7 @@ ORACLES: dict[str, str] = {
         WITH hourly AS (
             SELECT user_id, date_trunc('hour', ts) AS hr,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2
         ), grid AS (
@@ -1475,7 +1503,7 @@ ORACLES: dict[str, str] = {
     "tpch_q7": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+               {_xsum(_DISC_PRICE, 4)} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1503,7 +1531,7 @@ ORACLES: dict[str, str] = {
     "tpch_q15": f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   {_xsum('l_extendedprice * (1 - l_discount)', 4)}
+                   {_xsum(_DISC_PRICE, 4)}
                        AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '1999-04-01'
@@ -1529,7 +1557,7 @@ ORACLES: dict[str, str] = {
         WHERE l_quantity < 0.2 * avg_qty
     """,
     "tpch_q19": f"""
-        SELECT {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+        SELECT {_xsum(_DISC_PRICE, 4)} AS revenue,
                COUNT(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -1626,8 +1654,8 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                {_xsum('l_quantity', 2)} AS sum_qty,
                {_xsum('l_extendedprice', 2)} AS sum_base_price,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
-               {_xsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+               {_xsum(_DISC_PRICE, 4)} AS sum_disc_price,
+               {_xsum(_CHARGE, 6)}
                    AS sum_charge,
                {_xavg('l_quantity', 2)} AS avg_qty,
                {_xavg('l_extendedprice', 2)} AS avg_price,
@@ -1640,11 +1668,12 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q8": f"""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-               CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
-                 / {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS mkt_share,
-               {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS total_volume
+               CAST(CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN {_DISC_PRICE}
+                                  ELSE CAST(0 AS DECIMAL(4,2))
+                                  END AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                 / {_xsum(_DISC_PRICE, 4)} AS mkt_share,
+               {_xsum(_DISC_PRICE, 4)} AS total_volume
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN part ON l_partkey = p_partkey
@@ -1935,7 +1964,7 @@ ORACLES: dict[str, str] = {
     "revenue_share": f"""
         WITH rev AS (
             SELECT n_name,
-                   {_xsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+                   {_xsum(_DISC_PRICE, 4)} AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1961,7 +1990,7 @@ ORACLES: dict[str, str] = {
     "outlier_events": """
         WITH s AS (
             SELECT event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
                    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
                        AS s2
             FROM events GROUP BY event_type

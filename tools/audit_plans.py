@@ -68,7 +68,14 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "embedding_neardup_exact": {
         "BroadcastNestedLoopJoin":
-            "documented O(n²) oracle twin — verification scale only"
+            "documented O(n²) oracle twin — verification scale only",
+        # at sf≥1 the join side exceeds the broadcast threshold and the
+        # SAME deliberate all-pairs shape compiles to CartesianProduct
+        # instead of BNLJ (found by the r05 sf1 audit); the scale path
+        # is embedding_neardup (banded sign-LSH), this twin exists to
+        # verify it
+        "CartesianProduct":
+            "documented O(n²) oracle twin — verification scale only",
     },
 }
 

@@ -38,12 +38,28 @@ import pyarrow.parquet as pq
 
 SEED = 4242
 
-VOCAB = (
+BASE_VOCAB = (
     "a agg batch big column data fast filter group hash join key line "
     "merge order part query row scan slow small sort spark stream table "
     "value vector window count distinct index"
 ).split()
-assert len(VOCAB) == 31
+assert len(BASE_VOCAB) == 31
+
+
+def vocab_for(sf: float) -> list[str]:
+    """Heaps'-law vocabulary scaling: the driver fixtures use a fixed
+    31-word vocabulary, which is fine up to sf0.1 but UNREALISTIC for a
+    10×-bigger corpus — with a capped trigram universe (31³ ≈ 30k), the
+    docs-per-shingle density grows linearly with corpus size, and the
+    exact inverted-index dedup twins (documented quadratic worst case)
+    blow up quadratically on structure no real corpus has (real
+    vocabulary grows sublinearly with corpus size). Scaling vocabulary
+    ∝ sf^(1/3) keeps the trigram universe ∝ sf, i.e. docs-per-shingle
+    ≈ constant at the sf0.1 fixture's measured density (~13) — the
+    regime the operators are designed for and the one 100 TB exhibits."""
+    n = max(31, round(31 * (sf / 0.1) ** (1 / 3)))
+    extra = [f"w{i}" for i in range(n - 31)]
+    return BASE_VOCAB + extra
 
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
@@ -167,12 +183,13 @@ def gen(out_dir: str, sf: float) -> None:
     }))
 
     # --- documents -------------------------------------------------------
-    zipf_w = 1.0 / np.arange(1, len(VOCAB) + 1) ** 0.9
+    vocab = vocab_for(sf)
+    zipf_w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.9
     zipf_p = zipf_w / zipf_w.sum()
     lens = rng.integers(10, 101, n_docs)
-    vocab_arr = np.array(VOCAB)
+    vocab_arr = np.array(vocab)
     all_toks = vocab_arr[
-        rng.choice(len(VOCAB), size=int(lens.sum()), p=zipf_p)
+        rng.choice(len(vocab), size=int(lens.sum()), p=zipf_p)
     ]
     texts: list[str] = []
     off = 0
@@ -200,7 +217,7 @@ def gen(out_dir: str, sf: float) -> None:
         toks = texts[s].split(" ")
         flip = rng.random(len(toks)) < 0.1
         toks = [
-            vocab_arr[rng.integers(0, len(VOCAB))] if f else t
+            vocab_arr[rng.integers(0, len(vocab))] if f else t
             for t, f in zip(toks, flip)
         ]
         texts[d] = " ".join(toks)
