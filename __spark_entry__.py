@@ -78,6 +78,13 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # plans its literal bucket predicate); every other query builds
 # without executing anything.
 _QUERIES: dict[str, QueryFn] = {
+    # round-5 wave 2: three NEW operators (first driver rows) —
+    # bm25_topk (map-only BM25 retrieval), triangle_count
+    # (degree-oriented exact triangle count), training_shards
+    # (deterministic shuffle-and-shard report); all hash-verified.
+    "bm25_topk": TX.q_bm25_topk,
+    "triangle_count": GR.q_triangle_count,
+    "training_shards": CP.q_training_shards,
     "stream_event_recovery": q_stream_event_recovery,
     "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
     "events_partitioned": EV.q_events_partitioned,

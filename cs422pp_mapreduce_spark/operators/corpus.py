@@ -295,3 +295,56 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --- Deterministic shuffle-and-shard (round 5) --------------------------
+
+from ..oracles import N_SHARDS  # noqa: E402  (single source of truth)
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-output stage: deterministically "shuffle" the
+    corpus (order by md5 of the key — a reproducible stand-in for a
+    seeded random permutation) and pack it into N_SHARDS hash-assigned
+    shards, reporting per-shard balance statistics (docs, tokens,
+    distinct languages, and the first document in shard order).
+
+    Why hash-shard instead of row_number % N: shard membership is a
+    pure function of the key — stable under re-partitioning, engine
+    choice, and incremental appends (a new batch lands in its shards
+    without renumbering the world), and balanced to ±O(√(n/N)) by the
+    hash. The plan is one map-only projection (md5, token count) plus
+    one 32-key aggregation with map-side partial aggregation — at
+    100 TB the shuffle moves only N_SHARDS × partitions partial rows.
+    min_by picks the shard's first doc in permutation order without
+    any per-shard sort. The writer analog (partitionBy shard) shares
+    the same assignment expression (sources/sinks.py).
+
+    Everything is exact integer/string arithmetic → driver-hash-
+    verified; the md5→bucket convention is q_deterministic_sample's.
+    """
+    from ..functions.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        h.alias("h"),
+        shard.alias("shard_id"),
+        token_count_ws("text").alias("n_toks"),
+    )
+    return (
+        base.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+            F.min("h").alias("first_hash"),
+        )
+        .orderBy("shard_id")
+    )

@@ -699,3 +699,94 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").cast("long").alias("n_tok"),
         )
     )
+
+
+# --- BM25 relevance (round 5) -------------------------------------------
+
+# Parameters are defined next to the oracle (single source of truth,
+# the SOURCE_CAP pattern). The driver fixture vocabulary contains all
+# three query terms at every scale factor.
+from ..oracles import BM25_B, BM25_K1, BM25_TERMS, BM25_TOPK  # noqa: E402
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson–Spärck Jones probabilistic
+    relevance, the default ranking function of every search engine)
+    for a fixed query-term set over ``documents``.
+
+    Spark-first shape — NO explode, NO per-token shuffle: per-term
+    term frequencies are within-row array expressions
+    (``size(filter(toks, t))``), so the whole scoring pass is a
+    map-only codegen'd scan. The only shuffle in the plan is the
+    single-row corpus-statistics aggregate (N, avgdl, per-term df)
+    that broadcasts back onto the scan; the final top-k is Spark's
+    TakeOrderedAndProject (per-partition heap + driver merge of
+    k·partitions rows — never a global sort). At 100 TB this is two
+    linear scans of one projected column and a k-row result.
+
+    Cross-engine determinism: tf/dl/df/N are exact integers, avgdl is
+    one IEEE division, idf is one ``ln`` on identical doubles, and the
+    3-term score sum is written in fixed order — so Spark and DuckDB
+    produce bit-identical doubles, rounded to 6 decimals per the
+    engine's libm convention (oracles.py).
+
+    Reference parity: generalizes the reference's single static
+    aggregation query (/root/reference/mapreduce.cc:200 word-count) to
+    scored retrieval over the same tokenization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Token array projected ONCE: referenced 4× below, so CollapseProject
+    # keeps the split materialized instead of re-tokenizing per column
+    # (the HOF-lambda CSE trap, token_shingles in dedup.py).
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("toks"))
+
+    # NB: a two-parameter lambda would be treated by PySpark's HOFs as
+    # (element, index) — capture the term via a closure factory instead.
+    def tf_of(term: str) -> Column:
+        return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast(
+            "long"
+        )
+
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> Column:
+        idf = F.log(
+            (
+                (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+                / (F.col(f"df_{t}") + F.lit(0.5))
+            )
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(BM25_K1 + 1.0) / norm
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in BM25_TERMS],
+        (F.round(score, 6) + 0.0).alias("score"),
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

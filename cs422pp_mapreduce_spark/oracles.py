@@ -2173,3 +2173,96 @@ ORACLES["corpus_to_sequences"] = _CORPUS_FRONT + """
                CAST(st % 512 AS BIGINT) AS seq_off
         FROM packed
 """
+
+
+# --- Round 5: BM25 retrieval, triangle counting, training shards --------
+
+# Single source of truth (the SOURCE_CAP pattern): the Spark operators
+# import these, so the two engines can never diverge on the parameters.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "join", "scan")
+BM25_TOPK = 50
+N_SHARDS = 32
+
+# Literals are formatted from the SAME Python floats the Spark side uses
+# and cast to DOUBLE (a bare 2.2 in DuckDB is DECIMAL, which would make
+# tf*2.2 exact-decimal instead of IEEE and break bit-equality).
+_BM25_TF = "\n".join(
+    f", len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+    f" AS tf_{t}" for t in BM25_TERMS
+)
+_BM25_DF = "\n".join(
+    f", CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS df_{t}" for t in BM25_TERMS
+)
+_BM25_SCORE = " + ".join(
+    f"(ln((n_docs - df_{t} + CAST(0.5 AS DOUBLE))"
+    f" / (df_{t} + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    f" * CAST(tf_{t} AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE)"
+    f" / (CAST(tf_{t} AS DOUBLE) + CAST({BM25_K1!r} AS DOUBLE)"
+    f" * (CAST({1.0 - BM25_B!r} AS DOUBLE)"
+    f" + CAST({BM25_B!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))"
+    for t in BM25_TERMS
+)
+ORACLES["bm25_topk"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+               {_BM25_TF}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+               {_BM25_DF}
+        FROM base
+    ), scored AS (
+        SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_TERMS)},
+               ROUND({_BM25_SCORE}, 6) + 0.0 AS score
+        FROM base CROSS JOIN stats
+    )
+    SELECT * FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+# Orientation never changes the triangle count, so the oracle uses the
+# simple id-ordered orientation (a<b<c ⇒ edges (a,b),(a,c),(b,c): join
+# e1=(a,b), e2=(b,c), close with e3=(a,c)) while the Spark side orients
+# by degree for skew resistance.
+ORACLES["triangle_count"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+    ), nodes AS (
+        SELECT u FROM edges UNION SELECT v FROM edges
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+ORACLES["training_shards"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                   % {N_SHARDS} AS shard_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           arg_min(doc_id, h) AS first_doc,
+           MIN(h) AS first_hash
+    FROM base GROUP BY shard_id ORDER BY shard_id
+"""

@@ -66,6 +66,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "kmeans_clusters": {
         "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
     },
+    "bm25_topk": {
+        "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (N, avgdl, df)"
+    },
+    "triangle_count": {
+        "BroadcastNestedLoopJoin": "1-row scalar count × count crossJoin"
+    },
     "embedding_neardup_exact": {
         "BroadcastNestedLoopJoin":
             "documented O(n²) oracle twin — verification scale only",
