@@ -89,6 +89,10 @@ HEADLINE = [
     "ngram_novelty_bloom",
     "events_partitioned",
     "stream_event_recovery",
+    # round-5 wave 2: BM25 retrieval, triangle counting, shard packing
+    "bm25_topk",
+    "triangle_count",
+    "training_shards",
 ]
 
 RUNS = 3
