@@ -29,11 +29,14 @@ from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 from cs422pp_mapreduce_spark.operators import textops as TX
 from cs422pp_mapreduce_spark.operators import tokenize as TK
 from cs422pp_mapreduce_spark.operators.wordcount import wordcount
+from cs422pp_mapreduce_spark.streaming.dedup import q_stream_dedup
 from cs422pp_mapreduce_spark.streaming.events import (
     q_stream_event_recovery,
     q_stream_event_session,
     q_stream_event_tumbling,
 )
+from cs422pp_mapreduce_spark.streaming.joins import q_stream_interval_join
+from cs422pp_mapreduce_spark.streaming.stateful import q_stream_profile
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -78,6 +81,15 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # plans its literal bucket predicate); every other query builds
 # without executing anything.
 _QUERIES: dict[str, QueryFn] = {
+    # round-5 wave 3: three NEW streaming contract queries (first
+    # driver rows) — stream_dedup (dropDuplicatesWithinWatermark over
+    # an at-least-once re-delivery fixture), stream_interval_join
+    # (stream-stream inner join with cross-micro-batch buffered
+    # state), stream_profile (applyInPandasWithState per-key running
+    # state); all hash-verified vs batch truth.
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
+    "stream_profile": q_stream_profile,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

@@ -2076,6 +2076,35 @@ ORACLES["stream_event_tumbling"] = ORACLES["event_tumbling"]
 # the kill-and-restart sequence must converge to the same batch truth
 ORACLES["stream_event_recovery"] = ORACLES["event_tumbling"]
 
+# Streaming dedup contract: the at-least-once re-delivery fixture lands
+# every event twice; dropDuplicatesWithinWatermark must reduce it back
+# to the events table itself — so the truth is just the table.
+ORACLES["stream_dedup"] = """
+    SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+# Stream-stream interval join: end-of-stream inner-join output equals
+# the batch range join (each qualifying pair emitted exactly once).
+ORACLES["stream_interval_join"] = """
+    SELECT l.user_id AS k, l.event_id AS left_id, r.event_id AS right_id,
+           l.ts AS lts, r.ts AS rts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts < l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+"""
+
+# Arbitrary-state streaming profile: converged per-user state equals
+# the batch aggregate. The Spark side accumulates integral cents in
+# state and divides once at the end (correctly-rounded, = the exact
+# decimal sum this oracle computes).
+ORACLES["stream_profile"] = f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_xsum('value', 2)} AS sum_value,
+           MAX(value) AS max_value, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+"""
+
 
 # Keyword extraction composes the tfidf oracle with a per-doc top-3
 # QUALIFY; ranking runs on the same rounded tfidf as the Spark side,

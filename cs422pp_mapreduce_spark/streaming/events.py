@@ -178,13 +178,16 @@ def stream_event_tumbling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory(
-    agg: DataFrame, prefix: str, checkpoint_dir: str | None = None
+    agg: DataFrame,
+    prefix: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     name = f"{prefix}_{next(_MEMSINK_SEQ)}"
     writer = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
     )
     if checkpoint_dir:
@@ -192,6 +195,65 @@ def _drain_to_memory(
     q = writer.start()
     q.awaitTermination()
     return agg.sparkSession.table(name)
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 2
+) -> str:
+    """Stage the catalog's events table as ``n_files`` TIME-ORDERED
+    parquet files in a fresh temp directory, for feeding file-stream
+    contract queries as a multi-micro-batch sequence.
+
+    Files are split on event-time quantiles (file k holds the k-th time
+    slice) and stamped with increasing mtimes so the file-stream source
+    (which orders new files by modification time) processes them in
+    event-time order — the arrival pattern of a real ingestion
+    directory, where landing order tracks event time. Splitting on a
+    time column rather than a hash keeps cross-batch watermark
+    semantics honest: each batch's data is newer than the last."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..sources.catalog import load_table
+
+    base = tempfile.mkdtemp(prefix="stream_stage_")
+    parts = os.path.join(base, "parts")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events")
+    # ntile over ts (event_id tiebreak) gives equal-size time slices
+    from pyspark.sql.window import Window
+
+    sliced = ev.withColumn(
+        "_slice",
+        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+    )
+    now = _time.time()
+    for i in range(1, n_files + 1):
+        d = f"{parts}/s{i}"
+        sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.parquet(d)
+        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"slice{i}.parquet")
+        shutil.copy(os.path.join(d, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    shutil.rmtree(parts)
+    return src
+
+
+def read_staged_event_stream(spark: SparkSession, src: str) -> DataFrame:
+    """File stream over a ``stage_event_files`` directory (one staged
+    file per micro-batch; the staged files are Spark-written, so the
+    catalog schema applies directly — no ns-layout probe needed)."""
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
 
 
 def q_stream_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +393,20 @@ def q_stream_event_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the q_stream_* contract queries runs a real streaming job AND hides
 # the aggregation plan behind the memory-sink scan; tools analyze these
 # instead.
+def _wave3_plan_builders() -> dict:
+    # late imports: dedup/joins/stateful import helpers from this
+    # module at call time, so a top-level import here would be a cycle
+    from .dedup import stream_dedup_plan
+    from .joins import stream_interval_join_plan
+    from .stateful import stream_profile_plan
+
+    return {
+        "stream_dedup": stream_dedup_plan,
+        "stream_interval_join": stream_interval_join_plan,
+        "stream_profile": stream_profile_plan,
+    }
+
+
 STREAM_PLAN_BUILDERS = {
     "stream_event_tumbling": stream_event_tumbling_plan,
     "stream_event_session": stream_event_session_plan,
@@ -338,6 +414,7 @@ STREAM_PLAN_BUILDERS = {
     # _tumbling_agg over a file stream); mapping it here keeps the
     # analysis tools from executing the whole kill-and-restart sequence
     "stream_event_recovery": stream_event_tumbling_plan,
+    **_wave3_plan_builders(),
 }
 
 

@@ -18,7 +18,7 @@ eventually.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -55,6 +55,64 @@ def interval_join(
         & (F.col("rts") < F.col("lts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
         "inner",
     ).select("k", "left_id", "right_id", "lts", "rts")
+
+
+def stream_interval_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started streaming plan behind q_stream_interval_join (same
+    join over the catalog events stream) for analysis tooling."""
+    from .events import read_event_stream_auto
+
+    views = read_event_stream_auto(spark, sf_dir).where(
+        F.col("event_type") == "view"
+    )
+    purchases = read_event_stream_auto(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return interval_join(
+        views, purchases, key="user_id", gap_minutes=30, watermark="90 days"
+    )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract STREAM-STREAM join query: view events joined to
+    same-user purchase events within 30 minutes, both sides read as
+    file streams (two time-ordered staged files each → the join state
+    buffers across micro-batch boundaries), drained append-mode.
+
+    Hash-verified against the batch range-join oracle: stream-stream
+    inner joins emit each qualifying pair exactly once, when both rows
+    have arrived, so the end-of-stream sink equals the batch join —
+    including pairs whose two sides arrived in DIFFERENT micro-batches
+    (the buffered-state path this row exists to pin; the time-sliced
+    staging guarantees such pairs at every slice boundary).
+
+    Determinism: the output is the SET of qualifying (left_id,
+    right_id) pairs — no aggregation, no floats — and inner-join
+    emission is complete once both streams drain. The contract fixture
+    uses a span-covering watermark so nothing is ever late-dropped
+    regardless of file arrival order (completeness is what's being
+    hashed); production uses a tight watermark, where Spark evicts a
+    buffered left row once the right watermark passes lts + gap —
+    state ∝ interval × rate, pinned in tests/test_streaming_extra.py.
+
+    Scale: the join state is hash-partitioned on the key, identical to
+    the batch shuffle; 1000 executors each buffer only their key
+    range's interval window."""
+    from .events import _drain_to_memory, read_staged_event_stream, stage_event_files
+
+    src = stage_event_files(spark, sf_dir, n_files=2)
+    views = read_staged_event_stream(spark, src).where(
+        F.col("event_type") == "view"
+    )
+    purchases = read_staged_event_stream(spark, src).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(
+        views, purchases, key="user_id", gap_minutes=30, watermark="90 days"
+    )
+    return _drain_to_memory(
+        joined, "stream_interval_join", output_mode="append"
+    )
 
 
 def enrich_stream(

@@ -138,6 +138,72 @@ def user_activity_profile(
     )
 
 
+def stream_profile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started applyInPandasWithState plan behind q_stream_profile
+    (same state operator over the catalog events stream; the final
+    batch-side max-n_events projection keeps names/types identical)
+    for analysis tooling."""
+    from pyspark.sql import functions as F
+
+    from .events import read_event_stream_auto
+
+    ev = read_event_stream_auto(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100, 0)
+    )
+    return user_activity_profile(ev)
+
+
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract ARBITRARY-STATE streaming query: the per-user
+    running activity profile (applyInPandasWithState) over the events
+    table staged as three time-ordered micro-batches, update-mode
+    memory sink, final state = the max-``n_events`` row per user
+    (the counter is strictly monotone per emission, so that row IS the
+    converged profile).
+
+    Exactness without trusting float accumulation order: the stream
+    feeds the state function ``value`` pre-scaled to integral CENTS
+    (round(value·100) — exact for 2-decimal business values), so the
+    running double sum adds only integers (exact up to 2^53 — at
+    100 TB scale the state type would widen to int128/decimal, same
+    plan) and the final single division by 100 is correctly rounded —
+    bit-identical to the oracle's exact-decimal sum. This puts a
+    hash-verified driver row on the applyInPandasWithState code path
+    (per-key state across micro-batches), which only pytest covered
+    before.
+
+    Scale: state is four scalars per user, shuffled once per
+    micro-batch on user_id — the cost profile of a built-in streaming
+    agg; TTL/expiry variants are pinned in tests/test_stateful_streaming.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .events import (
+        _drain_to_memory,
+        read_staged_event_stream,
+        stage_event_files,
+    )
+
+    src = stage_event_files(spark, sf_dir, n_files=3)
+    ev = read_staged_event_stream(spark, src).withColumn(
+        "value", F.round(F.col("value") * 100, 0)
+    )
+    profiles = user_activity_profile(ev)
+    sink = _drain_to_memory(profiles, "stream_profile", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("sum_value") / F.lit(100.0)).alias("sum_value"),
+            (F.col("max_value") / F.lit(100.0)).alias("max_value"),
+            "last_ts",
+        )
+    )
+
+
 def user_activity_profile_batch(events: DataFrame) -> DataFrame:
     """Batch twin (plain aggregation) — what the streaming state
     converges to after all input; tests assert equality."""
