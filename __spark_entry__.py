@@ -90,6 +90,16 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "stream_profile": q_stream_profile,
+    # round-5 wave 4: skew_join (salted-join operator, lossless vs the
+    # plain-join oracle), embedding_quantize (int8 quantization report,
+    # bit-exact via order-free float outputs), compaction_plan
+    # (small-file bin-packing manifest, all-integer window math) —
+    # hash-verified; hll_distinct (mergeable DataSketches HLL with a
+    # union-row mergeability proof) — rows-only by sketch nature.
+    "skew_join": R.q_skew_join,
+    "embedding_quantize": S.q_embedding_quantize,
+    "compaction_plan": MT.q_compaction_plan,
+    "hll_distinct": R.q_hll_distinct,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

@@ -145,3 +145,53 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         action.alias("merge_action"),
     )
+
+
+from ..oracles import COMPACT_TARGET_CHARS  # noqa: E402  (single source of truth)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER — the maintenance pass every
+    100 TB table needs (streaming ingest and fine-grained partitions
+    leave thousands of KB-sized files; scan cost is then dominated by
+    per-file open/footer overhead, not bytes). Treats each document as
+    an ingested small file (``n_chars`` = its size) and assigns files
+    to compacted output bins per source: files are taken in the stable
+    (source, doc_id) order and a file starts bin k when the bytes
+    BEFORE it reach k × target — i.e. bin = floor(running_bytes_before
+    / target), the contiguous-run analog of first-fit that a real
+    compactor (Delta OPTIMIZE bin-packing) uses so it never reorders
+    or splits files. Emits the per-bin manifest: file count, total
+    bytes, and the id range to compact.
+
+    All-integer arithmetic on a window prefix sum — exact, hash-
+    verified. Scale: a per-source partitioned window (sources are the
+    compaction unit); a deployment with few giant sources swaps in the
+    range-exchange prefix sum corpus_to_sequences uses — same math,
+    O(partitions) offset merge. The plan output is O(bins) ≪ O(files),
+    and the rewrite it drives is an embarrassingly parallel per-bin
+    coalesce."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor(before / F.lit(COMPACT_TARGET_CHARS)).cast("long"),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

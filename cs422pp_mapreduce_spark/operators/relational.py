@@ -853,3 +853,72 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         "n_rows",
     )
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN as a contract query: every event row enriched
+    with its event_type's global stats — a 5-key dimension against a
+    100k+-row fact, i.e. every dim key is catastrophically hot (the
+    shape where a plain shuffle join puts ~20% of the fact on ONE
+    reducer). Computed via functions/skew.salted_join_small_skewed:
+    the fact side gets a deterministic 16-bucket salt (xxhash64 of the
+    whole row), the dim side is replicated ×16, and the join runs on
+    (key, salt) — each hot key spreads over 16 reducers.
+
+    The DuckDB oracle runs the plain unsalted join: the gate proves
+    the salted decomposition returns the identical row set (join
+    results are row-tuples, so equality is exact — no float caveats;
+    the dim's type_sum routes through decimal as usual).
+
+    At 100 TB this is the fallback when the skewed side ISN'T small
+    enough to broadcast (here it would be — the query exists to pin
+    the operator, and the plan audit allowlists nothing: it is two
+    hash exchanges, salt-spread). AQE's skew-join split handles
+    mid-size skew automatically (enabled engine-wide); explicit
+    salting is for the guaranteed-pathological keys known at plan
+    time."""
+    from ..functions.skew import salted_join_small_skewed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        exact_sum("value", 2, "type_sum"),
+    )
+    out = salted_join_small_skewed(ev, dim, key="event_type", buckets=16)
+    return out.select(
+        "event_id", "event_type", "value", "type_n", "type_sum"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HyperLogLog sketches (Apache DataSketches, via
+    Spark's hll_sketch_agg family) — the property q_approx_agg's
+    scalar approx_count_distinct doesn't expose: per-group sketches
+    are first-class BINARY values that union losslessly, so a 100 TB
+    pipeline computes per-shard sketches once, stores them, and
+    answers any rollup (per-type here, plus the __all__ union row) by
+    merging kilobyte sketches instead of rescanning raw data.
+
+    The union row IS the mergeability proof: hll_union_agg over the
+    five per-type sketches must estimate exactly what one direct
+    sketch over all rows estimates (same registers — pinned exactly in
+    tests, with an error-bound test vs the exact distinct count).
+    Sketch internals are engine-specific ⇒ rows-only driver check,
+    like every sketch row."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_rows",
+    )
+    allrow = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_rows")
+    return per.unionByName(allrow)

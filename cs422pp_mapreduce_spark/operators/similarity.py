@@ -505,3 +505,60 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization report — the compression
+    step an embedding store applies before ANN serving (scale =
+    127/max|x|, q = round(x·scale), int8): per vector, the scale, the
+    exact integer quantized-norm², and the max absolute reconstruction
+    error.
+
+    Hash-verified WITHOUT any rounding fudge by choosing outputs whose
+    float paths are order-free: ``scale`` is one division on one max;
+    ``qnorm_sq`` is an integer sum (exact, any order); ``max_abs_err``
+    is a max over per-element doubles, each computed by the identical
+    IEEE expression chain in both engines (float32→double exact
+    widening, one multiply, HALF-UP round — Spark ROUND and DuckDB
+    round() both tie away from zero — one divide, one subtract). No
+    accumulation-order-dependent float sum appears anywhere.
+
+    Scale: map-only over the vectors (array HOFs, whole-stage
+    codegen'd, no shuffle at all) — quantizing 100 TB of embeddings is
+    a pure scan; the int8 payload (qnorm here; the full q array in the
+    production writer) is what ships to the serving tier at 4× less
+    bandwidth than float32."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _as_double("embedding")
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    base = emb.select("vec_id", x.alias("x"), absmax.alias("absmax")).where(
+        F.col("absmax") > 0
+    )
+    scale = F.lit(127.0) / F.col("absmax")
+    withq = base.select(
+        "vec_id",
+        "x",
+        scale.alias("scale"),
+        F.transform(
+            "x", lambda v: F.round(v * scale).cast("int")
+        ).alias("qv"),
+    )
+    return withq.select(
+        "vec_id",
+        F.size("x").cast("long").alias("n_dims"),
+        "scale",
+        F.aggregate(
+            "qv",
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + q.cast("long") * q,
+        ).alias("qnorm_sq"),
+        F.array_max(
+            F.zip_with(
+                "x",
+                "qv",
+                lambda xv, qv: F.abs(
+                    xv - qv.cast("double") / F.col("scale")
+                ),
+            )
+        ).alias("max_abs_err"),
+    )

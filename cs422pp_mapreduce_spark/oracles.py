@@ -2295,3 +2295,70 @@ ORACLES["training_shards"] = f"""
            MIN(h) AS first_hash
     FROM base GROUP BY shard_id ORDER BY shard_id
 """
+
+
+# Compaction target size (chars of document text as the file-size
+# proxy); single source of truth for engine + oracle (N_SHARDS pattern).
+COMPACT_TARGET_CHARS = 64_000
+
+# Salted join (round 5 wave 4): the oracle is the PLAIN unsalted join —
+# the gate proves the salt/replicate/merge decomposition is lossless.
+ORACLES["skew_join"] = f"""
+    WITH dim AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n,
+               {_xsum('value', 2)} AS type_sum
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_n, d.type_sum
+    FROM events e JOIN dim d USING (event_type)
+"""
+
+# Int8 quantization report: every float output is order-free (one
+# division, element-wise max) and both engines round ties away from
+# zero, so doubles agree bit-for-bit with no rounding convention.
+ORACLES["embedding_quantize"] = """
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, x,
+               list_max(list_transform(x, v -> abs(v))) AS absmax
+        FROM base
+    ), t AS (
+        SELECT vec_id, x, 127.0 / absmax AS scale FROM s WHERE absmax > 0
+    ), q AS (
+        SELECT vec_id, x, scale,
+               list_transform(x, v -> CAST(round(v * scale) AS INTEGER))
+                   AS qv
+        FROM t
+    )
+    SELECT vec_id,
+           CAST(len(x) AS BIGINT) AS n_dims,
+           scale,
+           CAST(list_sum(list_transform(qv, q -> CAST(q AS BIGINT) * q))
+                AS BIGINT) AS qnorm_sq,
+           list_max(list_transform(range(1, len(x) + 1),
+                    i -> abs(x[i] - CAST(qv[i] AS DOUBLE) / scale)))
+               AS max_abs_err
+    FROM q
+"""
+
+# Compaction planner: all-integer window prefix sum, same stable
+# (source, doc_id) order in both engines.
+ORACLES["compaction_plan"] = f"""
+    WITH binned AS (
+        SELECT source, doc_id, n_chars,
+               CAST(floor(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {COMPACT_TARGET_CHARS}) AS BIGINT) AS bin_id
+        FROM documents
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned GROUP BY source, bin_id
+"""
