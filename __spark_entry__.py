@@ -37,6 +37,7 @@ from cs422pp_mapreduce_spark.streaming.events import (
 )
 from cs422pp_mapreduce_spark.streaming.joins import q_stream_interval_join
 from cs422pp_mapreduce_spark.streaming.stateful import q_stream_profile
+from cs422pp_mapreduce_spark.streaming.wordcount import q_stream_wordcount
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -78,8 +79,11 @@ def _wrap(fn: QueryFn) -> QueryFn:
 #    sf0.01.
 # NOTE (ADVICE r04, declared contract caveat): q_ann_lsh runs one
 # bounded 1-row Spark job at plan-BUILD time (query-vector fetch that
-# plans its literal bucket predicate); every other query builds
-# without executing anything.
+# plans its literal bucket predicate), and q_bucketed_join writes its
+# two bucketed temp tables at build time (the write IS the operator
+# under test); every other query builds without executing anything
+# (streaming contract queries are intercepted by STREAM_PLAN_BUILDERS
+# in the analysis tools).
 _QUERIES: dict[str, QueryFn] = {
     # round-5 wave 3: three NEW streaming contract queries (first
     # driver rows) — stream_dedup (dropDuplicatesWithinWatermark over
@@ -100,6 +104,14 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": S.q_embedding_quantize,
     "compaction_plan": MT.q_compaction_plan,
     "hll_distinct": R.q_hll_distinct,
+    # round-5 wave 5: stream_wordcount (the flagship through
+    # Structured Streaming, batch oracle), bucketed_join (bucketed
+    # write→read→shuffle-free join contract, plain-join oracle),
+    # zorder_stats (Morton clustering + per-file skipping index,
+    # all-integer) — all hash-verified.
+    "stream_wordcount": q_stream_wordcount,
+    "bucketed_join": MT.q_bucketed_join,
+    "zorder_stats": MT.q_zorder_stats,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

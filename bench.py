@@ -93,6 +93,14 @@ HEADLINE = [
     "bm25_topk",
     "triangle_count",
     "training_shards",
+    # round-5 waves 4-5: skew-safe join, quantization, lakehouse
+    # maintenance (compaction / z-order / bucketed layout), sketches
+    "skew_join",
+    "embedding_quantize",
+    "compaction_plan",
+    "zorder_stats",
+    "bucketed_join",
+    "hll_distinct",
 ]
 
 RUNS = 3

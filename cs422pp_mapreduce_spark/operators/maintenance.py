@@ -195,3 +195,130 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+_BUCKET_SEQ_START = 0
+
+
+def _next_bucket_suffix() -> int:
+    global _BUCKET_SEQ_START
+    _BUCKET_SEQ_START += 1
+    return _BUCKET_SEQ_START
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join CONTRACT query — the 100 TB repeated-
+    join tool demonstrated end-to-end: orders and customer are written
+    as 8-bucket tables on the customer key (the shuffle paid ONCE, at
+    write time), re-read through the catalog, and sort-merge-joined
+    WITHOUT any Exchange on either side (the merge hint keeps AQE from
+    broadcasting the small fixture side; at production scale neither
+    side broadcasts and this is the plan). Output: revenue rollup per
+    market segment.
+
+    The no-Exchange property of bucketed joins is asserted in
+    tests/test_sources_sinks.py on the plan; this row proves the
+    whole write→read→join path produces driver-hash-identical results
+    to the plain-join oracle (bucketing is pure layout — results must
+    not change).
+
+    Per-call temp warehouse path + unique table names keep the query
+    self-contained and idempotent (saveAsTable requires a metastore
+    name; DROP-first makes reruns clean)."""
+    import tempfile
+
+    from ..functions.numeric import exact_sum
+    from ..sources.sinks import write_bucketed_table
+
+    n = _next_bucket_suffix()
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    to, tc = f"bkt_orders_{n}", f"bkt_customer_{n}"
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tc}")
+    write_bucketed_table(
+        ords, to, f"{base}/orders", ["o_custkey"], buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        cust, tc, f"{base}/customer", ["c_custkey"], buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    bo, bc = spark.table(to), spark.table(tc)
+    joined = bo.hint("merge").join(
+        bc, bo.o_custkey == bc.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", 2, "revenue"),
+    )
+
+
+from ..oracles import (  # noqa: E402  (single source of truth)
+    ZORDER_BITS,
+    ZORDER_FILE_BITS,
+    Z_BASE_DATE,
+    Z_SPAN_DAYS,
+    zorder_interleave_expr,
+)
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + data-skipping index — the OPTIMIZE ZORDER
+    maintenance pass: orders are assigned a 16-bit Morton code
+    interleaving an 8-bit customer-key bucket with an 8-bit order-date
+    bucket, files are the 64 top-6-z-bit ranges, and the output is the
+    per-file skipping index (row count + min/max of BOTH dimensions) a
+    scan planner prunes against. Multi-dimensional clustering is the
+    point: sorting by date alone gives perfect date pruning and zero
+    custkey pruning; the Morton order bounds BOTH dimensions' spread
+    per file, so predicates on either column skip most files.
+
+    All-integer arithmetic (bit shifts + masks generated from ONE
+    Python expression builder used verbatim by both engines) —
+    hash-verified. Scale: the z-value is a map-only expression; the
+    real rewrite adds one range-exchange sort on z (identical cost to
+    any global sort); the skipping index is O(files)."""
+    days = F.datediff(
+        F.col("o_orderdate"), F.lit(Z_BASE_DATE).cast("date")
+    )
+    raw = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # RANGE bucketing on both dimensions (high bits, not modulo):
+    # min/max-per-file pruning only works if each file covers a narrow
+    # VALUE range. The custkey span is scale-dependent, so it comes
+    # from a 1-row max broadcast (allowlisted scalar pattern).
+    mx = raw.agg(F.max("o_custkey").alias("mx_cust"))
+    ords = raw.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.least(
+            F.floor(
+                (F.col("o_custkey") - 1)
+                * (1 << ZORDER_BITS)
+                / F.col("mx_cust")
+            ),
+            F.lit((1 << ZORDER_BITS) - 1),
+        ).cast("int").alias("cb"),
+        F.least(
+            F.floor(days * (1 << ZORDER_BITS) / F.lit(Z_SPAN_DAYS)),
+            F.lit((1 << ZORDER_BITS) - 1),
+        ).cast("int").alias("db"),
+    )
+    z = F.expr(zorder_interleave_expr("cb", "db", ZORDER_BITS))
+    files = ords.withColumn(
+        "file_id",
+        F.shiftright(z, 2 * ZORDER_BITS - ZORDER_FILE_BITS).cast("long"),
+    )
+    return files.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )

@@ -2362,3 +2362,62 @@ ORACLES["compaction_plan"] = f"""
            MAX(doc_id) AS last_doc
     FROM binned GROUP BY source, bin_id
 """
+
+
+# --- wave 5 -----------------------------------------------------------
+
+# Streaming flagship: end-of-stream complete-mode counts equal the
+# batch word count — same oracle, aliased.
+ORACLES["stream_wordcount"] = ORACLES["wordcount"]
+
+# Bucketed join is pure LAYOUT: results must equal the plain join.
+ORACLES["bucketed_join"] = f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_xsum('o_totalprice', 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+# Z-order clustering constants + the Morton-interleave expression
+# generator — ONE generator feeds both engines verbatim.
+ZORDER_BITS = 8
+ZORDER_FILE_BITS = 6
+Z_BASE_DATE = "1995-01-01"
+Z_SPAN_DAYS = 2557
+
+
+def zorder_interleave_expr(cb: str, db: str, bits: int) -> str:
+    """SQL expression interleaving two `bits`-bit ints: cb's bit i →
+    z-bit 2i+1, db's bit i → z-bit 2i. Plain integer shifts/masks —
+    valid in both Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({cb}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({db}) >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_Z_EXPR = zorder_interleave_expr("cb", "db", ZORDER_BITS)
+ORACLES["zorder_stats"] = f"""
+    WITH mx AS (SELECT MAX(o_custkey) AS mx_cust FROM orders),
+    buck AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(LEAST(floor((o_custkey - 1) * {1 << ZORDER_BITS}
+                        / mx_cust),
+                    {(1 << ZORDER_BITS) - 1}) AS INTEGER) AS cb,
+               CAST(LEAST(floor(datediff('day',
+                        DATE '{Z_BASE_DATE}', o_orderdate)
+                        * {1 << ZORDER_BITS} / {Z_SPAN_DAYS}),
+                    {(1 << ZORDER_BITS) - 1}) AS INTEGER) AS db
+        FROM orders, mx
+    )
+    SELECT CAST(({_Z_EXPR}) >> {2 * ZORDER_BITS - ZORDER_FILE_BITS}
+               AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_custkey) AS min_cust,
+           MAX(o_custkey) AS max_cust,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date
+    FROM buck GROUP BY 1
+"""

@@ -399,11 +399,13 @@ def _wave3_plan_builders() -> dict:
     from .dedup import stream_dedup_plan
     from .joins import stream_interval_join_plan
     from .stateful import stream_profile_plan
+    from .wordcount import stream_wordcount_plan
 
     return {
         "stream_dedup": stream_dedup_plan,
         "stream_interval_join": stream_interval_join_plan,
         "stream_profile": stream_profile_plan,
+        "stream_wordcount": stream_wordcount_plan,
     }
 
 

@@ -69,6 +69,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "bm25_topk": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (N, avgdl, df)"
     },
+    "zorder_stats": {
+        "BroadcastNestedLoopJoin": "1-row custkey-span broadcast (range buckets)"
+    },
     "triangle_count": {
         "BroadcastNestedLoopJoin": "1-row scalar count × count crossJoin"
     },
