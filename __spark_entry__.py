@@ -35,7 +35,10 @@ from cs422pp_mapreduce_spark.streaming.events import (
     q_stream_event_session,
     q_stream_event_tumbling,
 )
-from cs422pp_mapreduce_spark.streaming.joins import q_stream_interval_join
+from cs422pp_mapreduce_spark.streaming.joins import (
+    q_stream_enrich,
+    q_stream_interval_join,
+)
 from cs422pp_mapreduce_spark.streaming.stateful import q_stream_profile
 from cs422pp_mapreduce_spark.streaming.wordcount import q_stream_wordcount
 
@@ -58,25 +61,25 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 # Registration order is part of the contract: the driver's correctness
-# budget covers a ~50-slot prefix per round. Round-5 rotation:
-# 1. slots 1-4: NEW operators needing their first driver rows —
-#    stream_event_recovery (checkpoint kill-and-resume, hash-verified
-#    vs the batch oracle), dedup_incremental_2batch (two-round
-#    monotone admission, hash-verified), events_partitioned
-#    (partition-pruning contract over a hive-layout copy,
-#    hash-verified; PartitionFilters pinned in tests), and
-#    ngram_novelty_bloom (DataFrame-native Bloom-filter novelty —
-#    rows-only by approximate nature, one-sided-error pytest pins);
-# 2. slot 5: dedup_keep, whose implementation changed this round
-#    (session-memoized cluster_labels frame) — the row should reflect
-#    the shipped code;
-# 3. slots 6-33: the 28 queries whose newest driver row was still r01
-#    (VERDICT r04 ask #1 — three rounds of shared-helper churn since);
-# 4. slots 34-52: the r02-banked block, oldest-verified next;
-# 5. the rest: r03-banked, then the r04-fresh block last. Every
-#    ordering decision is validated locally by tools/check_oracles.py
-#    (driver-exact) + tools/sweep_dtypes.py, full-surface green at
-#    sf0.01.
+# budget covers a ~50-slot prefix per round. Round-5 rotation (final,
+# waves 1-5b):
+# 1. slots 1-14: the round-5 NEW operators, newest wave first so every
+#    first driver row lands inside the budget — wave 3 streaming
+#    contracts (stream_dedup, stream_interval_join, stream_profile),
+#    wave 4 (skew_join, embedding_quantize, compaction_plan,
+#    hll_distinct), wave 5/5b (stream_wordcount, bucketed_join,
+#    zorder_stats, bpe_train), then wave 2 (bm25_topk, triangle_count,
+#    training_shards);
+# 2. slots 15-18: the wave-1 additions (stream_event_recovery,
+#    dedup_incremental_2batch, events_partitioned,
+#    ngram_novelty_bloom);
+# 3. slot 19: dedup_keep, whose implementation changed this round
+#    (session-memoized cluster_labels frame);
+# 4. next: the 28 queries whose newest driver row was still r01
+#    (VERDICT r04 ask #1), then the r02-banked block, then r03-banked,
+#    then the r04-fresh block last. Every ordering decision is
+#    validated locally by tools/check_oracles.py (driver-exact) +
+#    tools/sweep_dtypes.py, full-surface green at sf0.01.
 # NOTE (ADVICE r04, declared contract caveat): q_ann_lsh runs one
 # bounded 1-row Spark job at plan-BUILD time (query-vector fetch that
 # plans its literal bucket predicate), and q_bucketed_join writes its
@@ -112,6 +115,16 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_wordcount": q_stream_wordcount,
     "bucketed_join": MT.q_bucketed_join,
     "zorder_stats": MT.q_zorder_stats,
+    # round-5 wave 5b: distributed BPE tokenizer TRAINING (corpus
+    # scanned once, merge rounds on the word-count table; exact-replica
+    # pytest pin) — rows-only (learned tokenizer, not SQL-expressible).
+    # NOTE: iterative-argmax ⇒ runs its bounded per-round jobs at
+    # build time, like ann_lsh/bucketed_join above.
+    "bpe_train": TK.q_bpe_train,
+    # round-5 wave 5c: stream_enrich (stateless stream-static
+    # broadcast join — completes the streaming-join pair), hash-
+    # verified vs the plain batch join oracle.
+    "stream_enrich": q_stream_enrich,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

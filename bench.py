@@ -101,6 +101,7 @@ HEADLINE = [
     "zorder_stats",
     "bucketed_join",
     "hll_distinct",
+    "bpe_train",
 ]
 
 RUNS = 3

@@ -2370,6 +2370,16 @@ ORACLES["compaction_plan"] = f"""
 # batch word count — same oracle, aliased.
 ORACLES["stream_wordcount"] = ORACLES["wordcount"]
 
+# Stream-static enrichment equals the plain batch left join.
+ORACLES["stream_enrich"] = """
+    WITH dim AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_n
+    FROM events e LEFT JOIN dim d USING (event_type)
+"""
+
 # Bucketed join is pure LAYOUT: results must equal the plain join.
 ORACLES["bucketed_join"] = f"""
     SELECT c_mktsegment,

@@ -397,7 +397,7 @@ def _wave3_plan_builders() -> dict:
     # late imports: dedup/joins/stateful import helpers from this
     # module at call time, so a top-level import here would be a cycle
     from .dedup import stream_dedup_plan
-    from .joins import stream_interval_join_plan
+    from .joins import stream_enrich_plan, stream_interval_join_plan
     from .stateful import stream_profile_plan
     from .wordcount import stream_wordcount_plan
 
@@ -406,6 +406,7 @@ def _wave3_plan_builders() -> dict:
         "stream_interval_join": stream_interval_join_plan,
         "stream_profile": stream_profile_plan,
         "stream_wordcount": stream_wordcount_plan,
+        "stream_enrich": stream_enrich_plan,
     }
 
 

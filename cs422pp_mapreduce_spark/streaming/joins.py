@@ -130,3 +130,59 @@ def enrich_stream(
     return events.join(
         F.broadcast(dim), events[key] == dim[dim_key], "left"
     ).drop(dim_key)
+
+
+def stream_enrich_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started stream-static enrichment plan behind q_stream_enrich
+    for analysis tooling."""
+    from ..sources.catalog import load_table
+    from .events import read_event_stream_auto
+
+    ev = read_event_stream_auto(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.count(F.lit(1)).alias("type_n"))
+    )
+    return enrich_stream(
+        ev.select("event_id", "event_type", "value"), dim, "event_type", "et"
+    ).select("event_id", "event_type", "value", "type_n")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract STREAM-STATIC join query: each streamed event
+    left-joined against a static dimension (per-type global counts)
+    broadcast to every task — the stateless streaming join (no
+    watermark, no buffered state; each micro-batch joins and emits
+    immediately), completing the streaming-join triple next to the
+    stateful interval join and the windowed aggregations.
+
+    Hash-verified against the plain batch join oracle: stream-static
+    joins are exactly batch joins applied per micro-batch, so the
+    append-mode sink equals the batch result row-for-row — not merely
+    at convergence. Two staged micro-batches prove the dimension is
+    joined on EVERY batch.
+
+    Scale: the dim ships as a broadcast hash table per micro-batch
+    (refreshable between batches at cluster scale); the event stream
+    is never shuffled."""
+    from .events import (
+        _drain_to_memory,
+        read_staged_event_stream,
+        stage_event_files,
+    )
+    from ..sources.catalog import load_table
+
+    src = stage_event_files(spark, sf_dir, n_files=2)
+    ev = read_staged_event_stream(spark, src).select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.count(F.lit(1)).alias("type_n"))
+    )
+    out = enrich_stream(ev, dim, "event_type", "et").select(
+        "event_id", "event_type", "value", "type_n"
+    )
+    return _drain_to_memory(out, "stream_enrich", output_mode="append")

@@ -147,3 +147,44 @@ def test_native_path_activates_when_available(monkeypatch, tmp_path):
     counter = get_token_counter()
     sample = "the quick brown fox"
     assert counter(sample) == len(tok.encode(sample).ids)
+
+
+def test_bpe_train_distributed_matches_replica(spark, sf_dir):
+    """The distributed merge loop (word-count table + pair-count
+    argmax + JVM fold apply) learns EXACTLY the merge table the
+    pure-Python train_bpe produces on the same corpus — same pairs,
+    same order, same tie-breaks."""
+    from cs422pp_mapreduce_spark.functions.bpe import train_bpe
+    from cs422pp_mapreduce_spark.operators.tokenize import q_bpe_train
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = q_bpe_train(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    corpus = "\n".join(r["text"] for r in docs)
+    want = train_bpe(corpus, n_merges=len(rows))
+    assert [(r["left"], r["right"]) for r in rows] == want
+    assert [r["merge_rank"] for r in rows] == list(range(len(rows)))
+    # counts are positive and non-increasing is NOT guaranteed (later
+    # merges can count higher after symbol fusion), but all > 0
+    assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_bpe_train_table_drives_encoder(spark, sf_dir):
+    """The learned table is a working tokenizer: round-trips corpus
+    text through BPEEncoder exactly."""
+    from cs422pp_mapreduce_spark.functions.bpe import BPEEncoder
+    from cs422pp_mapreduce_spark.operators.tokenize import q_bpe_train
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    merges = [
+        (r["left"], r["right"])
+        for r in q_bpe_train(spark, sf_dir).collect()
+    ]
+    enc = BPEEncoder(merges)
+    for r in load_table(spark, sf_dir, "documents").limit(5).collect():
+        pieces = enc.encode_pieces(r["text"])
+        assert enc.decode_pieces(pieces) == r["text"]

@@ -140,3 +140,22 @@ def test_stage_event_files_time_ordered(spark, sf_dir):
     assert spans[0][1] <= spans[1][0] and spans[1][1] <= spans[2][0]
     mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
+def test_q_stream_enrich_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment equals the batch left join
+    row-for-row (stateless — per-micro-batch emission, no state)."""
+    from cs422pp_mapreduce_spark.streaming.joins import q_stream_enrich
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("type_n")
+    )
+    batch = ev.join(dim, ev.event_type == dim.et, "left").select(
+        "event_id", "event_type", "value", "type_n"
+    )
+    cols = ["event_id", "event_type", "value", "type_n"]
+    got = _key(q_stream_enrich(spark, sf_dir).collect(), cols)
+    want = _key(batch.collect(), cols)
+    assert got == want
+    assert len(got) > 0
