@@ -63,17 +63,18 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # Registration order is part of the contract: the driver's correctness
 # budget covers a ~50-slot prefix per round. Round-5 rotation (final,
 # waves 1-5b):
-# 1. slots 1-14: the round-5 NEW operators, newest wave first so every
-#    first driver row lands inside the budget — wave 3 streaming
-#    contracts (stream_dedup, stream_interval_join, stream_profile),
-#    wave 4 (skew_join, embedding_quantize, compaction_plan,
-#    hll_distinct), wave 5/5b (stream_wordcount, bucketed_join,
-#    zorder_stats, bpe_train), then wave 2 (bm25_topk, triangle_count,
-#    training_shards);
-# 2. slots 15-18: the wave-1 additions (stream_event_recovery,
+# 1. slots 1-16: the round-5 NEW/CHANGED operators, newest wave first
+#    so every first driver row lands inside the budget — wave 3
+#    streaming contracts (stream_dedup, stream_interval_join,
+#    stream_profile), wave 4 (skew_join, embedding_quantize,
+#    compaction_plan, hll_distinct), wave 5/5b/5c (stream_wordcount,
+#    bucketed_join, zorder_stats, bpe_train, stream_enrich),
+#    dedup_ngram (prefix-filter rewrite this round), then wave 2
+#    (bm25_topk, triangle_count, training_shards);
+# 2. slots 17-20: the wave-1 additions (stream_event_recovery,
 #    dedup_incremental_2batch, events_partitioned,
 #    ngram_novelty_bloom);
-# 3. slot 19: dedup_keep, whose implementation changed this round
+# 3. slot 21: dedup_keep, whose implementation changed this round
 #    (session-memoized cluster_labels frame);
 # 4. next: the 28 queries whose newest driver row was still r01
 #    (VERDICT r04 ask #1), then the r02-banked block, then r03-banked,
@@ -125,6 +126,15 @@ _QUERIES: dict[str, QueryFn] = {
     # broadcast join — completes the streaming-join pair), hash-
     # verified vs the plain batch join oracle.
     "stream_enrich": q_stream_enrich,
+    # dedup_ngram's implementation changed this round (prefix-filter
+    # rewrite) — promoted into the driver prefix so its fresh row
+    # reflects the shipped code (dedup_keep precedent).
+    "dedup_ngram": D.q_dedup_ngram,
+    # round-5 wave 5d: ann_pq (product-quantization ADC scan —
+    # completes the ANN triple with LSH and IVF) — rows-only
+    # (approximate); recall/compression pins in pytest. Builds its
+    # session-cached codebooks at first call, like ann_ivf.
+    "ann_pq": S.q_ann_pq,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards
@@ -176,7 +186,6 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_chunk": TX.q_doc_chunk,
     "pagerank": GR.q_pagerank,
     "dedup_exact": D.q_dedup_exact,
-    "dedup_ngram": D.q_dedup_ngram,
     "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
     "topk_similarity": S.q_topk_similarity,
