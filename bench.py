@@ -102,6 +102,7 @@ HEADLINE = [
     "bucketed_join",
     "hll_distinct",
     "bpe_train",
+    "ann_pq",
 ]
 
 RUNS = 3
