@@ -135,6 +135,11 @@ _QUERIES: dict[str, QueryFn] = {
     # (approximate); recall/compression pins in pytest. Builds its
     # session-cached codebooks at first call, like ann_ivf.
     "ann_pq": S.q_ann_pq,
+    # round-5 wave 5e: interchange-format contracts — CSV and JSONL
+    # write→schema-explicit-read round-trips, hash-verified against
+    # the parquet truth (timestamp µs + double fidelity).
+    "csv_roundtrip": MT.q_csv_roundtrip,
+    "json_roundtrip": MT.q_json_roundtrip,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

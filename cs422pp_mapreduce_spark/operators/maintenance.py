@@ -322,3 +322,95 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange contract: write the events table as headered
+    CSV (sources/sinks.write_csv), read it back with an EXPLICIT
+    schema (never inferSchema — at 100 TB inference is a full extra
+    pass and a correctness hazard), and aggregate. Hash-verified
+    against the oracle computed from the original parquet — proving
+    the text round-trip loses nothing the engine's type conventions
+    carry (timestamps to microseconds via the session's UTC format,
+    doubles via Spark's shortest-repr, which parses back exactly).
+
+    CSV is the interchange format every warehouse still ingests; the
+    contract pins the full write→read fidelity, not just the writer.
+    Per-call temp dir; one linear write + one linear scan."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import load_table
+    from ..sources.sinks import write_csv
+
+    base = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    write_csv(ev, base, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(base)
+    )
+    from ..functions.numeric import exact_sum
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2, "sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange contract: events written as JSONL
+    (sources/sinks.write_json), read back with an explicit schema, and
+    aggregated — hash-verified against the parquet-truth oracle. Same
+    rationale as q_csv_roundtrip for the other ubiquitous interchange
+    format (API exports, event logs)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import load_table
+    from ..sources.sinks import write_json
+
+    base = tempfile.mkdtemp(prefix="json_roundtrip_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    write_json(ev, base, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(base)
+    )
+    from ..functions.numeric import exact_sum
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2, "sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

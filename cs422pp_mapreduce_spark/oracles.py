@@ -2380,6 +2380,18 @@ ORACLES["stream_enrich"] = """
     FROM events e LEFT JOIN dim d USING (event_type)
 """
 
+# Interchange round-trips (CSV / JSONL): write → schema-explicit read
+# must preserve everything the aggregation can see — the oracle reads
+# the ORIGINAL parquet, so any loss in the text round-trip (timestamp
+# truncation, float re-parse drift) breaks the hash.
+ORACLES["csv_roundtrip"] = f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_xsum('value', 2)} AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+"""
+ORACLES["json_roundtrip"] = ORACLES["csv_roundtrip"]
+
 # Bucketed join is pure LAYOUT: results must equal the plain join.
 ORACLES["bucketed_join"] = f"""
     SELECT c_mktsegment,

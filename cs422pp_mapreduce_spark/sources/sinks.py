@@ -44,12 +44,25 @@ def write_parquet(
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
-              header: bool = True) -> None:
-    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+              header: bool = True, **options: str) -> None:
+    """Extra ``options`` pass through to the writer — e.g. a
+    microsecond ``timestampFormat``: the DEFAULT CSV/JSON timestamp
+    format truncates to milliseconds, silently losing µs precision on
+    a round-trip (pinned by the csv/json_roundtrip contract queries,
+    which write with an explicit µs format for exactly this reason)."""
+    w = df.write.mode(mode).option("header", str(header).lower())
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.csv(path)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).json(path)
+def write_json(df: DataFrame, path: str, mode: str = "overwrite",
+               **options: str) -> None:
+    """See write_csv for the ``options``/timestampFormat caveat."""
+    w = df.write.mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.json(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

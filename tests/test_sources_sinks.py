@@ -294,3 +294,34 @@ def test_compact_refuses_dst_inside_src(spark, tmp_path):
             compact_parquet_dir(spark, src, bad)
     # the input survived the refusals
     assert spark.read.parquet(src).count() == 10
+
+
+def test_interchange_roundtrips_preserve_microseconds(spark, sf_dir):
+    """CSV and JSONL round-trips lose nothing: aggregates over the
+    re-read text (µs timestampFormat — the DEFAULT truncates to
+    milliseconds, which these contract queries exist to catch) equal
+    the same aggregates over the original parquet."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.functions.numeric import exact_sum
+    from cs422pp_mapreduce_spark.operators.maintenance import (
+        q_csv_roundtrip,
+        q_json_roundtrip,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    truth = sorted(
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    for q in (q_csv_roundtrip, q_json_roundtrip):
+        got = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+        assert got == truth
