@@ -140,6 +140,7 @@ _QUERIES: dict[str, QueryFn] = {
     # the parquet truth (timestamp µs + double fidelity).
     "csv_roundtrip": MT.q_csv_roundtrip,
     "json_roundtrip": MT.q_json_roundtrip,
+    "orc_roundtrip": MT.q_orc_roundtrip,
     # round-5 wave 2: three NEW operators (first driver rows) —
     # bm25_topk (map-only BM25 retrieval), triangle_count
     # (degree-oriented exact triangle count), training_shards

@@ -414,3 +414,28 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange contract (the third format next to CSV/JSONL):
+    columnar, so timestamps/doubles carry natively — the round-trip
+    pins the reader/writer pair rather than a text format's parsing.
+    Hash-verified against the parquet-truth oracle."""
+    import tempfile
+
+    from ..functions.numeric import exact_sum
+    from ..sources.catalog import load_table
+    from ..sources.sinks import write_orc
+
+    base = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    write_orc(ev, base)
+    back = spark.read.orc(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2, "sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -2391,6 +2391,7 @@ ORACLES["csv_roundtrip"] = f"""
     FROM events GROUP BY event_type
 """
 ORACLES["json_roundtrip"] = ORACLES["csv_roundtrip"]
+ORACLES["orc_roundtrip"] = ORACLES["csv_roundtrip"]
 
 # Bucketed join is pure LAYOUT: results must equal the plain join.
 ORACLES["bucketed_join"] = f"""
