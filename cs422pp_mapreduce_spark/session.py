@@ -44,6 +44,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # converted to a microsecond timestamp in the loader (catalog.py) —
     # the same ns→us truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+    # under every inner explode; PushDownPredicates then substitutes the
+    # generator input's FULL defining expression into that filter and
+    # pushes it through projections and exchanges to the scan. For
+    # derived arrays (word shingles, tokenizations) the expensive
+    # expression is thereby evaluated 3x — twice of those in the
+    # pre-repartition scan stage, i.e. at the file layout's parallelism
+    # (often 1 task). Measured on the novelty family at sf0.1: explode
+    # of the shingle table went 4.5 s -> 0.35 s with the rule excluded.
+    # The inferred filter is a pure row-skipping optimization (inner
+    # explode drops empty/null arrays anyway), so excluding it never
+    # changes results; our generator inputs are non-empty by
+    # construction, so nothing is lost.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP (LTZ),
     # not TIMESTAMP_NTZ. With the UTC session timezone above the two are
     # numerically identical, but the engine's event-time operators use

@@ -219,3 +219,30 @@ def test_events_partitioned_prunes(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert "event_date" in m.group(1), m.group(1)
+
+
+def test_shingle_explode_has_no_inferred_scan_side_filter(spark, sf_dir):
+    """InferFiltersFromGenerate + PushDownPredicates re-inlines the full
+    shingle expression into a `size(..)>0 AND isnotnull(..)` filter and
+    pushes it below the parallelizing repartition — evaluating the
+    expensive generator input 3x, two of them at the file layout's
+    (often 1-task) parallelism. The engine excludes the rule via
+    RUNTIME_CONFS (session.py); this pins both the conf and the plan
+    shape: no Filter mentioning array_distinct may sit under the
+    Exchange (measured 4.5 s -> 0.35 s at sf0.1 for the shingle table).
+    """
+    import pyspark.sql.functions as F
+
+    from cs422pp_mapreduce_spark.operators.dedup import _doc_shingles
+
+    assert "InferFiltersFromGenerate" in (
+        spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    )
+    inv = _doc_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    plan = explain_str(inv)
+    # The whole plan must evaluate the shingle transform exactly once
+    # (one Project), never inside a Filter.
+    filters = [l for l in plan.splitlines() if "Condition :" in l]
+    assert not any("array_distinct" in l for l in filters), filters
