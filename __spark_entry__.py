@@ -62,8 +62,11 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 # Registration order is part of the contract: the driver's correctness
 # budget covers a ~50-slot prefix per round. Round-5 rotation (final,
-# waves 1-5b):
-# 1. slots 1-16: the round-5 NEW/CHANGED operators, newest wave first
+# waves 1-6):
+# 0. slots 1-3: wave-6 additions (source_divergence,
+#    event_transitions — both hash-verified; cms_topgrams — rows-only
+#    sketch with one-sided-error pytest pins);
+# 1. then: the round-5 NEW/CHANGED operators, newest wave first
 #    so every first driver row lands inside the budget — wave 3
 #    streaming contracts (stream_dedup, stream_interval_join,
 #    stream_profile), wave 4 (skew_join, embedding_quantize,
@@ -89,6 +92,14 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # (streaming contract queries are intercepted by STREAM_PLAN_BUILDERS
 # in the analysis tools).
 _QUERIES: dict[str, QueryFn] = {
+    # round-5 wave 6: source_divergence (exact per-source
+    # total-variation unigram drift, pure-integer numerator),
+    # event_transitions (Markov journey matrix, exact-int probability
+    # division), cms_topgrams (Count-Min-sketch heavy-hitter trigrams,
+    # rows-only like the bloom/HLL sketches).
+    "source_divergence": TX.q_source_divergence,
+    "event_transitions": EV.q_event_transitions,
+    "cms_topgrams": TX.q_cms_topgrams,
     # round-5 wave 3: three NEW streaming contract queries (first
     # driver rows) — stream_dedup (dropDuplicatesWithinWatermark over
     # an at-least-once re-delivery fixture), stream_interval_join

@@ -103,6 +103,9 @@ HEADLINE = [
     "hll_distinct",
     "bpe_train",
     "ann_pq",
+    "source_divergence",
+    "event_transitions",
+    "cms_topgrams",
 ]
 
 RUNS = 3

@@ -427,3 +427,46 @@ def q_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys: for every (prev_type → next_type) pair, the transition
+    count and conditional probability P(next | prev) — the user-journey
+    / session-flow analysis behind funnel discovery and anomaly
+    detection (a sudden jump in view→error probability is an incident
+    signal).
+
+    Plan: one lag() window per user ordered by (ts, event_id) — the
+    event_id tiebreak makes adjacency deterministic under equal
+    timestamps (the engine-wide unique-tiebreaker convention) — then a
+    count over the ≤ |types|² pairs. The probability divides two exact
+    BIGINTs (< 2^53) in one double op, so it is bit-identical across
+    engines without any rounding convention. The per-prev totals come
+    from a window over the ALREADY-AGGREGATED 25-row frame, not the
+    events — no data-sized single-partition window. At 100 TB the only
+    data-sized shuffle is the user_id hash partition the lag window
+    needs, identical to q_event_session's."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    trans = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_prev).cast("double")
+        ).alias("prob"),
+    )

@@ -790,3 +790,171 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# --- Source divergence (round 5, wave 6) ---------------------------------
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance between the source's unigram
+    distribution and the whole corpus's — the mixture-drift diagnostic
+    a pretraining pipeline runs per crawl/source: a source whose token
+    distribution diverges hard from the corpus is boilerplate, spam,
+    or another language, and feeds the same dashboards as
+    q_curation_report.
+
+    TV is chosen over KL deliberately: TV = ½ Σ_t |p_t − q_t| is pure
+    rational arithmetic, so with p_t = c_st/N_s and q_t = c_t/N the
+    numerator Σ_t |c_st·N − c_t·N_s| is EXACT integer math — no logs,
+    no rounding convention, bit-identical across engines (KL would
+    need the tfidf ln-round-6 convention). Tokens absent from the
+    source are folded in without an outer join via
+    Σ_{t∉s} c_t·N_s = (N − M_s)·N_s where M_s = Σ_{t∈s} c_t, so the
+    only joins are the source×token → corpus-count equi-join (shuffle
+    keys are tokens) and a 40-row broadcast of per-source totals. All
+    magnitudes stay ≤ 2·N_s·N < 2^53 through sf1, so the final double
+    division is exact-operand IEEE and engine-independent.
+
+    At 100 TB: two token-keyed aggregations plus one token-keyed join —
+    the same shuffle shape as wordcount; per-source constants ride a
+    broadcast. No data-sized window, no cross join wider than the
+    1-row corpus total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(nonempty_tokens("text")).alias("token")
+    )
+    # Referenced by three downstream branches (join left side, corpus
+    # rollup, per-source totals) — persist so the tokenize+count pass
+    # runs once, the same materialize-once move as dedup_ngram's
+    # shingle table.
+    src_tok = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt_s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_tok = src_tok.groupBy("token").agg(F.sum("cnt_s").alias("cnt_c"))
+    src_tot = src_tok.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
+    n_total = src_tot.agg(F.sum("n_s").alias("n_total"))
+    consts = F.broadcast(src_tot.crossJoin(n_total))
+    j = src_tok.join(corpus_tok, "token").join(consts, "source")
+    per = j.groupBy("source").agg(
+        F.first("n_s").alias("n_tokens"),
+        F.first("n_total").alias("n_total"),
+        F.sum(
+            F.abs(
+                F.col("cnt_s") * F.col("n_total")
+                - F.col("cnt_c") * F.col("n_s")
+            )
+        ).alias("num_present"),
+        F.sum("cnt_c").alias("m_s"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        (
+            (
+                F.col("num_present")
+                + (F.col("n_total") - F.col("m_s")) * F.col("n_tokens")
+            ).cast("double")
+            / (F.lit(2) * F.col("n_total") * F.col("n_tokens")).cast("double")
+        ).alias("tv_divergence"),
+    )
+
+
+# --- Count-Min heavy hitters (round 5, wave 6) ---------------------------
+
+# Width/depth: w = 8192 counters x d = 4 rows = 32k cells (256 KB of
+# longs) regardless of vocabulary size. Estimate error is one-sided
+# (over-count only), bounded by e/w x total-instances with prob
+# 1 - e^-d per Cormode & Muthukrishnan 2005.
+CMS_W = 1 << 13
+CMS_D = 4
+CMS_TOPK = 20
+
+
+def _cms_positions(col: Column, w: int = CMS_W, d: int = CMS_D) -> Column:
+    """d seeded xxhash64 column positions for a key — the same
+    seeded-hash idiom as dedup._bloom_positions."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(w)) for i in range(d)]
+    )
+
+
+def cms_topgram_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> tuple[DataFrame, DataFrame]:
+    """(sketch cells, per-shingle estimates) for the corpus's word
+    trigrams. Split out so tests can shrink ``w`` to force collisions
+    and check the one-sided error bound against exact counts."""
+    from .dedup import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        _doc_shingles(docs)
+        .select(F.explode("shingles").alias("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cells = (
+        grams.select(
+            F.posexplode(_cms_positions(F.col("gram"), w, d)).alias(
+                "row", "pos"
+            )
+        )
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_true"))
+        .select(
+            "gram",
+            "_true",
+            F.posexplode(_cms_positions(F.col("gram"), w, d)).alias(
+                "row", "pos"
+            ),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row", "pos"])
+        .groupBy("gram")
+        .agg(F.min("cnt").alias("est"), F.first("_true").alias("_true"))
+    )
+    return cells, est
+
+
+def q_cms_topgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most frequent word trigrams by COUNT-MIN SKETCH estimate —
+    the fixed-memory boilerplate detector: repeated n-grams (license
+    headers, nav bars, template sentences) surface as heavy hitters
+    without ever materializing exact per-gram counts.
+
+    The sketch is built DataFrame-natively (the bloom-filter trick from
+    q_ngram_novelty_bloom, generalized to counters): each gram
+    increments d=4 seeded-hash cells out of w=8192 per row; the cell
+    table is a groupBy over (row, pos) — ≤ 32k rows of state no matter
+    how many distinct grams exist, i.e. a true sketch: partial
+    aggregation map-side means each executor ships at most 32k cells
+    per shuffle, where an exact gram count ships its full local
+    vocabulary. That fixed-size, mergeable build pass is the asset at
+    100 TB — persist it once, merge across batches, probe any candidate
+    list for free; the probe side HERE enumerates the distinct grams
+    only to rank them for the report (batch verification shape), which
+    is a vocabulary-sized aggregation a production pipeline would
+    replace with a candidate list or a streaming probe. Estimates =
+    min over the d probed cells (classic CMS), via a 32k-row broadcast
+    join. Estimation is one-sided
+    (est ≥ true count always — min of over-counting cells), so the
+    true top grams can never be displaced downward by sketch error;
+    the bound is pinned in tests with a deliberately shrunken w.
+
+    Approximate ⇒ rows-only driver check; tests pin est ≥ exact and
+    the e/w error bound (tests/test_round5_wave6.py)."""
+    _cells, est = cms_topgram_frames(spark, sf_dir)
+    return (
+        est.select("gram", "est")
+        .orderBy(F.col("est").desc(), "gram")
+        .limit(CMS_TOPK)
+    )

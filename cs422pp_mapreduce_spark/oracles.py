@@ -2444,3 +2444,67 @@ ORACLES["zorder_stats"] = f"""
            MAX(o_orderdate) AS max_date
     FROM buck GROUP BY 1
 """
+
+
+# Round-5 wave-6: per-source total-variation divergence. Pure integer
+# numerator (|c_st*N - c_t*N_s| sums stay < 2^53 through sf1) so the
+# single double division is exact-operand IEEE — no rounding
+# convention needed. The absent-token mass folds in algebraically:
+# sum_{t not in s} c_t*N_s = (N - M_s)*N_s.
+ORACLES["source_divergence"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM documents
+    ), st AS (
+        SELECT source, token, COUNT(*) AS cnt_s
+        FROM toks GROUP BY source, token
+    ), ct AS (
+        SELECT token, CAST(SUM(cnt_s) AS BIGINT) AS cnt_c
+        FROM st GROUP BY token
+    ), tot AS (
+        SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_s
+        FROM st GROUP BY source
+    ), n AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM tot
+    ), per AS (
+        SELECT st.source,
+               CAST(SUM(abs(st.cnt_s * n.n_total - ct.cnt_c * tot.n_s))
+                   AS BIGINT) AS num_present,
+               CAST(SUM(ct.cnt_c) AS BIGINT) AS m_s,
+               tot.n_s AS n_s,
+               n.n_total AS n_total
+        FROM st
+        JOIN ct USING (token)
+        JOIN tot ON st.source = tot.source
+        CROSS JOIN n
+        GROUP BY st.source, tot.n_s, n.n_total
+    )
+    SELECT source,
+           n_s AS n_tokens,
+           CAST(num_present + (n_total - m_s) * n_s AS DOUBLE)
+               / CAST(2 * n_total * n_s AS DOUBLE) AS tv_divergence
+    FROM per
+"""
+
+# Round-5 wave-6: Markov transition matrix over per-user journeys.
+# Probability = exact-BIGINT / exact-BIGINT in one double op.
+ORACLES["event_transitions"] = """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                      AS DOUBLE) AS prob
+    FROM trans
+"""

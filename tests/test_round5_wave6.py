@@ -1,0 +1,101 @@
+"""Round-5 wave-6: source TV-divergence, Markov event transitions,
+Count-Min heavy-hitter trigrams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_source_divergence_bounds_and_exactness(spark, sf_dir):
+    """TV is in [0, 1]; spot-check one source against a literal
+    recomputation of 0.5 * sum_t |p_t - q_t| over the full vocabulary
+    (the algebraic absent-token fold must equal the outer-join form)."""
+    from collections import Counter
+
+    from cs422pp_mapreduce_spark.operators.textops import (
+        q_source_divergence,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    out = {r["source"]: r for r in q_source_divergence(spark, sf_dir).collect()}
+    assert out
+    assert all(0.0 <= r["tv_divergence"] <= 1.0 for r in out.values())
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    corpus: Counter = Counter()
+    per_src: dict[str, Counter] = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        corpus.update(toks)
+        per_src.setdefault(r["source"], Counter()).update(toks)
+    n = sum(corpus.values())
+    src = sorted(per_src)[0]
+    cnt = per_src[src]
+    n_s = sum(cnt.values())
+    tv = 0.5 * sum(
+        abs(cnt.get(t, 0) / n_s - corpus[t] / n) for t in corpus
+    )
+    got = out[src]
+    assert got["n_tokens"] == n_s
+    assert abs(got["tv_divergence"] - tv) < 1e-12
+
+
+def test_event_transitions_rows_and_probability(spark, sf_dir):
+    """Each prev_type's probabilities sum to 1 (exact-int division of
+    a full partition of counts) and counts total to |events| - |users|
+    (every event except each user's first is a transition)."""
+    from cs422pp_mapreduce_spark.operators.events import (
+        q_event_transitions,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = q_event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-9, prev
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_cms_estimates_one_sided_and_bounded(spark, sf_dir):
+    """With a deliberately tiny width the sketch MUST collide: every
+    estimate is >= the exact count (one-sided), and the total
+    over-count per row equals total instances (conservation), which
+    bounds est - true by the row's worst cell. At full width the top-K
+    report equals the exact top-K."""
+    from cs422pp_mapreduce_spark.operators.textops import (
+        CMS_TOPK,
+        cms_topgram_frames,
+        q_cms_topgrams,
+    )
+
+    w_small = 64
+    cells, est = cms_topgram_frames(spark, sf_dir, w=w_small, d=4)
+    rows = est.collect()
+    assert rows
+    n_instances = sum(r["_true"] for r in rows)
+    assert all(r["est"] >= r["_true"] for r in rows)
+    # Cormode-Muthukrishnan: E[over-count] = (n - true)/w per cell;
+    # the min over d=4 independent rows stays within 8x the expectation
+    # for every gram here (generous, deterministic-fixture bound).
+    bound = 8 * max(1, n_instances // w_small)
+    assert all(r["est"] - r["_true"] <= bound for r in rows), max(
+        r["est"] - r["_true"] for r in rows
+    )
+    # full-width report: every reported estimate dominates its exact
+    # count, and (provably, from one-sidedness + pigeonhole: each of
+    # the true top-K grams has est >= its true count, so the K largest
+    # estimates can't all be smaller) the report's minimum estimate
+    # >= the exact K-th largest count. Exact-membership claims are NOT
+    # valid for CMS when counts are near-tied, so none is pinned.
+    got = [(r["gram"], r["est"]) for r in q_cms_topgrams(spark, sf_dir).collect()]
+    assert len(got) == CMS_TOPK
+    exact_counts = {r["gram"]: r["_true"] for r in rows}
+    assert all(e >= exact_counts[g] for g, e in got)
+    kth_true = sorted((r["_true"] for r in rows), reverse=True)[CMS_TOPK - 1]
+    assert min(e for _, e in got) >= kth_true

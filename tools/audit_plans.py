@@ -72,6 +72,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "zorder_stats": {
         "BroadcastNestedLoopJoin": "1-row custkey-span broadcast (range buckets)"
     },
+    "source_divergence": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
+    },
     "triangle_count": {
         "BroadcastNestedLoopJoin": "1-row scalar count × count crossJoin"
     },
