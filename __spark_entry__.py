@@ -63,9 +63,9 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # Registration order is part of the contract: the driver's correctness
 # budget covers a ~50-slot prefix per round. Round-5 rotation (final,
 # waves 1-6):
-# 0. slots 1-3: wave-6 additions (source_divergence,
-#    event_transitions — both hash-verified; cms_topgrams — rows-only
-#    sketch with one-sided-error pytest pins);
+# 0. slots 1-5: wave-6 additions (source_divergence, skyline,
+#    phrase_search, event_transitions — hash-verified; cms_topgrams —
+#    rows-only sketch with one-sided-error pytest pins);
 # 1. then: the round-5 NEW/CHANGED operators, newest wave first
 #    so every first driver row lands inside the budget — wave 3
 #    streaming contracts (stream_dedup, stream_interval_join,
@@ -94,10 +94,14 @@ def _wrap(fn: QueryFn) -> QueryFn:
 _QUERIES: dict[str, QueryFn] = {
     # round-5 wave 6: source_divergence (exact per-source
     # total-variation unigram drift, pure-integer numerator),
-    # event_transitions (Markov journey matrix, exact-int probability
-    # division), cms_topgrams (Count-Min-sketch heavy-hitter trigrams,
-    # rows-only like the bloom/HLL sketches).
+    # skyline (global Pareto frontier via the range-exchange prefix-min
+    # pattern), phrase_search (positional-postings adjacency join),
+    # event_transitions (Markov journey matrix, exact-int
+    # probability division), cms_topgrams (Count-Min-sketch
+    # heavy-hitter trigrams, rows-only like the bloom/HLL sketches).
     "source_divergence": TX.q_source_divergence,
+    "skyline": R.q_skyline,
+    "phrase_search": TX.q_phrase_search,
     "event_transitions": EV.q_event_transitions,
     "cms_topgrams": TX.q_cms_topgrams,
     # round-5 wave 3: three NEW streaming contract queries (first

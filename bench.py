@@ -106,6 +106,8 @@ HEADLINE = [
     "source_divergence",
     "event_transitions",
     "cms_topgrams",
+    "skyline",
+    "phrase_search",
 ]
 
 RUNS = 3

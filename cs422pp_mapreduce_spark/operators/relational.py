@@ -922,3 +922,64 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_rows")
     return per.unionByName(allrow)
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 2-D skyline (Pareto frontier) of parts under joint
+    minimization of (p_retailprice, p_size): every part for which no
+    other part is <= on both axes and < on one — the SKYLINE OF
+    operator of Borzsony/Kossmann/Stocker 2001, as a scale-safe
+    composition.
+
+    The textbook dominance formulation is an O(n²) self-join; the sort
+    order buys it back: after collapsing to per-price minima (distinct
+    x), a point is on the frontier iff its y is strictly below the
+    prefix-minimum of everything cheaper. A naive unpartitioned
+    running-min window funnels the distinct-x table through one task,
+    so this reuses q_global_rank's range-exchange pattern: range
+    partition on price, per-partition prefix minima, then O(partitions)
+    partition-minima cumulative-combined and broadcast back — output
+    identical to the naive window, boundaries-invariant (min is
+    associative over any contiguous split of a total order). Two
+    shuffles of the distinct-x table, both key-ranged, nothing
+    data-sized on one task; the frontier itself is tiny by
+    construction (y strictly improves at every kept row)."""
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("size_min")
+    )
+    ranged = g.repartitionByRange(default_parallelism(), "price").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # persist BEFORE branching: the offsets branch and the final join
+    # must see the same sampled range boundaries (q_global_rank rule).
+    local = ranged.withColumn(
+        "lmin", F.min("size_min").over(local_w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    part_mins = (
+        local.groupBy("pid")
+        .agg(F.min("size_min").alias("pmin"))
+        .withColumn(
+            "prev_pmin",
+            F.min("pmin").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("pid", "prev_pmin")
+    )
+    prefix = F.least(
+        F.coalesce(F.col("lmin"), F.lit(2**31)),
+        F.coalesce(F.col("prev_pmin"), F.lit(2**31)),
+    )
+    return (
+        local.join(F.broadcast(part_mins), "pid")
+        .where(F.col("size_min") < prefix)
+        .select("price", F.col("size_min").cast("long").alias("size"))
+    )

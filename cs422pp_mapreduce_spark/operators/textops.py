@@ -958,3 +958,38 @@ def q_cms_topgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), "gram")
         .limit(CMS_TOPK)
     )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("PHRASE[0] PHRASE[1]") via a POSITIONAL
+    inverted index — the retrieval primitive tfidf/bm25/inverted_index
+    don't cover: postings carry token positions, and a phrase match is
+    an equi-join of the two terms' postings on (doc_id, adjacent
+    positions).
+
+    The probe filters the posting stream to the two query terms BEFORE
+    any shuffle — the selectivity an index lookup would give — so the
+    join shuffles only matching postings on doc_id keys, never the
+    corpus. At 100 TB the (token, doc_id, pos) index is the persisted,
+    token-bucketed table this scans; term-filter pushdown onto its
+    token column replaces the explode. n-word phrases chain n−1 of the
+    same adjacency joins."""
+    from ..oracles import PHRASE
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.posexplode(nonempty_tokens("text")).alias("pos", "token")
+    ).where(F.col("token").isin(*PHRASE))
+    a = postings.where(F.col("token") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    # explicit successor position on the left side: the join is a plain
+    # two-key equi-join, no self-join column ambiguity
+    b = postings.where(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos_a")
+    )
+    return (
+        a.join(b, ["doc_id", "pos_a"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

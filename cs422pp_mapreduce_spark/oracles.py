@@ -2508,3 +2508,45 @@ ORACLES["event_transitions"] = """
                       AS DOUBLE) AS prob
     FROM trans
 """
+
+# Round-5 wave-6b: global 2-D skyline. The oracle is the naive
+# single-window prefix-min form (distinct prices make every ROWS
+# predecessor a strict-x predecessor); the Spark side computes the
+# same thing via the range-exchange pattern. Cross-checked against
+# the O(n^2) NOT-EXISTS dominance definition at sf0.01.
+ORACLES["skyline"] = """
+    WITH g AS (
+        SELECT p_retailprice AS price, MIN(p_size) AS size_min
+        FROM part GROUP BY p_retailprice
+    ), w AS (
+        SELECT price, size_min,
+               MIN(size_min) OVER (ORDER BY price
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prefix_min
+        FROM g
+    )
+    SELECT price, CAST(size_min AS BIGINT) AS size
+    FROM w WHERE prefix_min IS NULL OR size_min < prefix_min
+"""
+
+# Round-5 wave-6b: positional phrase search. The queried bigram is a
+# shared constant (BM25_TERMS precedent) so the Spark probe and the
+# oracle can never diverge.
+PHRASE = ("big", "order")
+
+ORACLES["phrase_search"] = f"""
+    WITH toks AS (
+        SELECT doc_id, t.tok AS token, t.pos AS pos
+        FROM documents,
+             LATERAL (SELECT
+                 unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tok,
+                 generate_subscripts(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''), 1) AS pos
+             ) t
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+"""

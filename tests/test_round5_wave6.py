@@ -99,3 +99,54 @@ def test_cms_estimates_one_sided_and_bounded(spark, sf_dir):
     assert all(e >= exact_counts[g] for g, e in got)
     kth_true = sorted((r["_true"] for r in rows), reverse=True)[CMS_TOPK - 1]
     assert min(e for _, e in got) >= kth_true
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """The range-exchange skyline equals the O(n²) dominance
+    definition, and no kept point dominates another (frontier is an
+    antichain with strictly decreasing size along increasing price)."""
+    from cs422pp_mapreduce_spark.operators.relational import q_skyline
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    got = sorted(
+        (r["price"], r["size"]) for r in q_skyline(spark, sf_dir).collect()
+    )
+    pts = [
+        (r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    def dominated(p):
+        return any(
+            (q[0] <= p[0] and q[1] < p[1]) or (q[0] < p[0] and q[1] <= p[1])
+            for q in pts
+        )
+    want = sorted({p for p in pts if not dominated(p)})
+    assert got == want
+    sizes = [s for _, s in got]
+    assert sizes == sorted(sizes, reverse=True) and len(set(sizes)) == len(sizes)
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    """Positional-join phrase search equals a literal python substring
+    count over token sequences (adjacent-pair semantics, not regex)."""
+    from cs422pp_mapreduce_spark.operators.textops import q_phrase_search
+    from cs422pp_mapreduce_spark.oracles import PHRASE
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in q_phrase_search(spark, sf_dir).collect()
+    }
+    want: dict[int, int] = {}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = [t for t in r["text"].split(" ") if t]
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE[0] and toks[i + 1] == PHRASE[1]
+        )
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want and got

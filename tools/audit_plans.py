@@ -100,6 +100,7 @@ WINDOW_OK = {
     "corpus_to_sequences": "offset frame is O(partitions) rows",
     "retention_cohorts": "window over O(cohorts) aggregate",
     "revenue_share": "window over O(nations) aggregate",
+    "skyline": "prefix-min offset frame is O(partitions) rows",
 }
 
 # ordering token as it appears in plan text: "col#123L ASC NULLS FIRST"
