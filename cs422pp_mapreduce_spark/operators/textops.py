@@ -336,15 +336,23 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         ) / F.size(arr)
 
-    metrics = toks.select(
+    # Project the n-gram arrays ONCE before dup_frac references each
+    # 3x (size, array_distinct, size): HOFs are CodegenFallback, so no
+    # subexpression elimination rescues inline copies — the two-step
+    # projection is the same fix as shingle_frame (multi-referenced
+    # non-trivial aliases are not re-inlined by CollapseProject).
+    arrs = toks.select(
+        "doc_id", "toks", bigrams.alias("bg"), trigrams.alias("tg")
+    )
+    metrics = arrs.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
         dup_frac(F.col("toks")).alias("dup_token_frac"),
-        dup_frac(bigrams).alias("dup_bigram_frac"),
-        dup_frac(trigrams).alias("dup_trigram_frac"),
+        dup_frac(F.col("bg")).alias("dup_bigram_frac"),
+        dup_frac(F.col("tg")).alias("dup_trigram_frac"),
     )
     top = (
-        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        arrs.select("doc_id", F.explode("bg").alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
