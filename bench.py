@@ -108,6 +108,7 @@ HEADLINE = [
     "cms_topgrams",
     "skyline",
     "phrase_search",
+    "pit_join",
 ]
 
 RUNS = 3

@@ -439,3 +439,42 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every order joined to the SCD2 customer
+    VERSION that was valid on its order date — the temporal-join
+    pattern that makes Kimball type-2 history useful (an order placed
+    after a segment upgrade must attribute to the new segment, one
+    placed before to the old). Composes q_scd2_apply's versioned
+    dimension; orders in 1998 for changed customers land on version 2,
+    everything else on version 1, so the split is genuinely exercised.
+
+    Plan: one c_custkey equi-join (the only data-sized shuffle) with
+    the validity-interval predicate applied as a post-join filter —
+    correct and cheap because SCD2 versions-per-key is bounded and
+    tiny (here ≤ 2; warehouses: dozens), so the join fan never
+    explodes and each fact row survives exactly once (version
+    intervals partition the timeline per key). Revenue is the
+    decimal-routed exact sum; counts are BIGINT — fully
+    hash-verified."""
+    from ..functions.numeric import exact_sum
+
+    dim = q_scd2_apply(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        "o_totalprice",
+    )
+    far = F.lit("9999-01-01").cast("timestamp")
+    j = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= F.col("ots"))
+        & (F.col("ots") < F.coalesce(dim.valid_to, far)),
+    )
+    return j.groupBy("c_mktsegment", "version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", 2, "revenue"),
+    )

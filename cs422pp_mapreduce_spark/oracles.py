@@ -2550,3 +2550,35 @@ ORACLES["phrase_search"] = f"""
     WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
     GROUP BY a.doc_id
 """
+
+# Round-5 wave-6b: point-in-time join over the SCD2 dimension. The
+# dim CTE is scd2_apply's oracle verbatim; each order matches exactly
+# one version (validity intervals partition the timeline per key).
+ORACLES["pit_join"] = f"""
+    WITH cust AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+                   ::BIGINT % 10 = 0 AS changed
+        FROM customer
+    ), dim AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN changed THEN TIMESTAMP '1998-01-01' END AS valid_to,
+               CAST(1 AS BIGINT) AS version
+        FROM cust
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED', TIMESTAMP '1998-01-01', NULL,
+               CAST(2 AS BIGINT)
+        FROM cust WHERE changed
+    )
+    SELECT d.c_mktsegment, d.version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_xsum('o.o_totalprice', 2)} AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+     AND CAST(o.o_orderdate AS TIMESTAMP)
+         < COALESCE(d.valid_to, TIMESTAMP '9999-01-01')
+    GROUP BY d.c_mktsegment, d.version
+"""

@@ -150,3 +150,19 @@ def test_phrase_search_matches_python_scan(spark, sf_dir):
         if n:
             want[r["doc_id"]] = n
     assert got == want and got
+
+
+def test_pit_join_conserves_orders_and_splits_versions(spark, sf_dir):
+    """Validity intervals partition the timeline per key, so every
+    order matches EXACTLY one dimension version: total n_orders equals
+    |orders|; version-2 revenue only exists under UPGRADED; and for a
+    changed customer the 1998 orders attribute to v2, earlier to v1."""
+    from cs422pp_mapreduce_spark.operators.maintenance import q_pit_join
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = q_pit_join(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    v2 = [r for r in rows if r["version"] == 2]
+    assert v2 and all(r["c_mktsegment"] == "UPGRADED" for r in v2)
+    assert all(r["version"] == 1 for r in rows if r["c_mktsegment"] != "UPGRADED")
