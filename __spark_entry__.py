@@ -63,8 +63,8 @@ def _wrap(fn: QueryFn) -> QueryFn:
 # Registration order is part of the contract: the driver's correctness
 # budget covers a ~50-slot prefix per round. Round-5 rotation (final,
 # waves 1-6):
-# 0. slots 1-6: wave-6 additions (source_divergence, skyline,
-#    phrase_search, pit_join, event_transitions — hash-verified;
+# 0. slots 1-7: wave-6 additions (source_divergence, skyline,
+#    phrase_search, pit_join, knn_join, event_transitions — hash-verified;
 #    cms_topgrams —
 #    rows-only sketch with one-sided-error pytest pins);
 # 1. then: the round-5 NEW/CHANGED operators, newest wave first
@@ -104,6 +104,7 @@ _QUERIES: dict[str, QueryFn] = {
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,
     "pit_join": MT.q_pit_join,
+    "knn_join": S.q_knn_join,
     "event_transitions": EV.q_event_transitions,
     "cms_topgrams": TX.q_cms_topgrams,
     # round-5 wave 3: three NEW streaming contract queries (first

@@ -109,6 +109,7 @@ HEADLINE = [
     "skyline",
     "phrase_search",
     "pit_join",
+    "knn_join",
 ]
 
 RUNS = 3

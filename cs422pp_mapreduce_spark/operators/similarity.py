@@ -762,3 +762,53 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", (F.round("l2_dist", 6) + 0.0).alias("l2_dist"))
     )
+
+
+# knn_join constants are shared with the oracle (single source of
+# truth in oracles.py, the BM25 precedent).
+from ..oracles import KNN_K, KNN_Q  # noqa: E402
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN join: for each of the KNN_Q query vectors
+    (vec_id < KNN_Q), the KNN_K most cosine-similar corpus vectors —
+    the batch shape of q_topk_similarity, i.e. the retrieval-eval /
+    curation primitive ("for every probe, its neighbors") rather than
+    a single lookup.
+
+    Plan: the query batch broadcasts (KNN_Q rows — the allowlisted
+    K-row analog of the 1-row query-vector broadcast), each corpus
+    vector scores all queries map-side, and the per-query top-K cut is
+    a row_number window that compiles to WindowGroupLimit: each map
+    partition is pruned to KNN_K rows PER QUERY before the shuffle, so
+    the exchange carries ≤ KNN_K·KNN_Q rows per partition — the
+    query-count skew of a naive per-query window never reaches the
+    wire. Ranking is on the unrounded double with vec_id tiebreak;
+    the emitted similarity is rounded to 4 decimals (the
+    topk_similarity cross-engine convention). Exact by construction —
+    the ANN family (lsh/ivf/pq) is the approximate scale path for
+    corpus-sized query batches."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qvec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= KNN_Q).select(
+        "vec_id", _as_double("embedding").alias("vec")
+    )
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2582,3 +2582,31 @@ ORACLES["pit_join"] = f"""
          < COALESCE(d.valid_to, TIMESTAMP '9999-01-01')
     GROUP BY d.c_mktsegment, d.version
 """
+
+# Round-5 wave-6b: batched exact k-NN join (the topk_similarity
+# convention: rank on the unrounded double, emit ROUND(sim, 4)).
+# Constants live here as the single source of truth (BM25 precedent);
+# operators/similarity.py imports them.
+KNN_Q = 10
+KNN_K = 3
+
+ORACLES["knn_join"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id < {KNN_Q}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      q.qvec) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= {KNN_Q}
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(sim, 4) AS sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+"""

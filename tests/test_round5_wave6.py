@@ -166,3 +166,38 @@ def test_pit_join_conserves_orders_and_splits_versions(spark, sf_dir):
     v2 = [r for r in rows if r["version"] == 2]
     assert v2 and all(r["c_mktsegment"] == "UPGRADED" for r in v2)
     assert all(r["version"] == 1 for r in rows if r["c_mktsegment"] != "UPGRADED")
+
+
+def test_knn_join_exact_per_query(spark, sf_dir):
+    """Every query gets exactly KNN_K neighbors in rank order, and one
+    query's list equals a NumPy brute-force top-K."""
+    import numpy as np
+
+    from cs422pp_mapreduce_spark.oracles import KNN_K, KNN_Q
+    from cs422pp_mapreduce_spark.operators.similarity import q_knn_join
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = q_knn_join(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(KNN_Q))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, KNN_K + 1))
+        assert all(rs[i]["sim"] >= rs[i + 1]["sim"] for i in range(len(rs) - 1))
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q0 = emb[0]
+    sims = sorted(
+        (
+            (float(v @ q0 / (np.linalg.norm(v) * np.linalg.norm(q0))), vid)
+            for vid, v in emb.items()
+            if vid >= KNN_Q
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:KNN_K]
+    got0 = [r["vec_id"] for r in sorted(by_q[0], key=lambda r: r["rank"])]
+    assert got0 == [vid for _, vid in sims]

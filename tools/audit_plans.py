@@ -75,6 +75,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "source_divergence": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
     },
+    "knn_join": {
+        "BroadcastNestedLoopJoin": "KNN_Q-row query-batch broadcast"
+    },
     "triangle_count": {
         "BroadcastNestedLoopJoin": "1-row scalar count × count crossJoin"
     },
