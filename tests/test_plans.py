@@ -246,3 +246,35 @@ def test_shingle_explode_has_no_inferred_scan_side_filter(spark, sf_dir):
     # (one Project), never inside a Filter.
     filters = [l for l in plan.splitlines() if "Condition :" in l]
     assert not any("array_distinct" in l for l in filters), filters
+
+
+def test_knn_join_prunes_per_query_before_exchange(spark, sf_dir):
+    """The per-query top-K must compile to WindowGroupLimit (map-side
+    per-partition pruning), so the exchange carries <= K rows per query
+    per partition, never the full scored stream."""
+    from cs422pp_mapreduce_spark.operators.similarity import q_knn_join
+
+    plan = explain_str(q_knn_join(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_pit_join_is_single_equi_join(spark, sf_dir):
+    """The SCD2 point-in-time join must be a hash equi-join on
+    c_custkey with the interval predicate as a post-join filter —
+    never a nested-loop over the interval condition."""
+    from cs422pp_mapreduce_spark.operators.maintenance import q_pit_join
+
+    plan = explain_str(q_pit_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_has_no_wedge_join(spark, sf_dir):
+    """The edge-iterator close: adjacency arrays + array_intersect,
+    never a src=src self-join materializing wedges. The plan must
+    contain the intersect expression and at most the bounded scalar
+    crossJoins (1-row counts)."""
+    from cs422pp_mapreduce_spark.operators.graph import q_triangle_count
+
+    plan = explain_str(q_triangle_count(spark, sf_dir))
+    assert "array_intersect" in plan
