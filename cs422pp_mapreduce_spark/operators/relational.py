@@ -924,46 +924,38 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(allrow)
 
 
-def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global 2-D skyline (Pareto frontier) of parts under joint
-    minimization of (p_retailprice, p_size): every part for which no
-    other part is <= on both axes and < on one — the SKYLINE OF
-    operator of Borzsony/Kossmann/Stocker 2001, as a scale-safe
-    composition.
+def skyline_2d(points: DataFrame, x: str, y: str) -> DataFrame:
+    """Distinct Pareto-minimal (x, y) pairs of any frame under joint
+    minimization — the reusable skyline kernel (property-tested on
+    synthetic frames in tests/test_properties.py).
 
-    The textbook dominance formulation is an O(n²) self-join; the sort
-    order buys it back: after collapsing to per-price minima (distinct
-    x), a point is on the frontier iff its y is strictly below the
-    prefix-minimum of everything cheaper. A naive unpartitioned
-    running-min window funnels the distinct-x table through one task,
-    so this reuses q_global_rank's range-exchange pattern: range
-    partition on price, per-partition prefix minima, then O(partitions)
-    partition-minima cumulative-combined and broadcast back — output
-    identical to the naive window, boundaries-invariant (min is
-    associative over any contiguous split of a total order). Two
-    shuffles of the distinct-x table, both key-ranged, nothing
-    data-sized on one task; the frontier itself is tiny by
-    construction (y strictly improves at every kept row)."""
-    part = load_table(spark, sf_dir, "part")
-    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
-        F.min("p_size").alias("size_min")
-    )
-    ranged = g.repartitionByRange(default_parallelism(), "price").withColumn(
+    After collapsing to per-x minima (distinct x), a point is on the
+    frontier iff its y is strictly below the prefix-minimum of every
+    smaller x. A naive unpartitioned running-min window funnels the
+    distinct-x table through one task, so this reuses q_global_rank's
+    range-exchange pattern: range partition on x, per-partition prefix
+    minima, then O(partitions) partition-minima cumulative-combined
+    and broadcast back — identical to the naive window and
+    boundaries-invariant (min is associative over any contiguous split
+    of a total order). F.least's null semantics (smallest NON-null)
+    make the empty-prefix edge type-generic with no sentinel."""
+    g = points.groupBy(F.col(x).alias("x")).agg(F.min(y).alias("ymin"))
+    ranged = g.repartitionByRange(default_parallelism(), "x").withColumn(
         "pid", F.spark_partition_id()
     )
     local_w = (
         Window.partitionBy("pid")
-        .orderBy("price")
+        .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # persist BEFORE branching: the offsets branch and the final join
     # must see the same sampled range boundaries (q_global_rank rule).
     local = ranged.withColumn(
-        "lmin", F.min("size_min").over(local_w)
+        "lmin", F.min("ymin").over(local_w)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     part_mins = (
         local.groupBy("pid")
-        .agg(F.min("size_min").alias("pmin"))
+        .agg(F.min("ymin").alias("pmin"))
         .withColumn(
             "prev_pmin",
             F.min("pmin").over(
@@ -974,12 +966,26 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pid", "prev_pmin")
     )
-    prefix = F.least(
-        F.coalesce(F.col("lmin"), F.lit(2**31)),
-        F.coalesce(F.col("prev_pmin"), F.lit(2**31)),
-    )
+    prefix = F.least(F.col("lmin"), F.col("prev_pmin"))
     return (
         local.join(F.broadcast(part_mins), "pid")
-        .where(F.col("size_min") < prefix)
-        .select("price", F.col("size_min").cast("long").alias("size"))
+        .where(prefix.isNull() | (F.col("ymin") < prefix))
+        .select(F.col("x").alias(x), F.col("ymin").alias(y))
     )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 2-D skyline (Pareto frontier) of parts under joint
+    minimization of (p_retailprice, p_size): every part for which no
+    other part is <= on both axes and < on one — the SKYLINE OF
+    operator of Borzsony/Kossmann/Stocker 2001, as a scale-safe
+    composition (kernel: skyline_2d — the textbook dominance
+    formulation is an O(n²) self-join; the range-exchange prefix-min
+    buys it back in two key-ranged shuffles of the distinct-x table,
+    nothing data-sized on one task; the frontier itself is tiny by
+    construction since y strictly improves at every kept row)."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    sk = skyline_2d(part, "price", "size")
+    return sk.select("price", F.col("size").cast("long").alias("size"))

@@ -150,3 +150,37 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(toks):
     doc_a = shared + ["pad%d" % i for i in range(7)]
     doc_b = ["alt%d" % i for i in range(7)] + shared
     assert fps(doc_a) & fps(doc_b)
+
+
+points_2d = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SLOW
+@given(pts=points_2d, nparts=st.integers(min_value=1, max_value=4))
+def test_skyline_equals_dominance_definition(spark, pts, nparts):
+    """For ANY point set and ANY input partitioning, the range-exchange
+    skyline kernel equals the brute-force dominance definition."""
+    from cs422pp_mapreduce_spark.operators.relational import skyline_2d
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pts] or [(None, None)],
+        "x int, y int",
+    ).where(F.col("x").isNotNull()).repartition(nparts)
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    uniq = set(pts)
+    want = sorted(
+        p
+        for p in uniq
+        if not any(
+            (q[0] <= p[0] and q[1] < p[1]) or (q[0] < p[0] and q[1] <= p[1])
+            for q in uniq
+        )
+    )
+    assert got == want
