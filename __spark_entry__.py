@@ -75,10 +75,10 @@ def _wrap(fn: QueryFn) -> QueryFn:
 #    bucketed_join, zorder_stats, bpe_train, stream_enrich),
 #    dedup_ngram (prefix-filter rewrite this round), then wave 2
 #    (bm25_topk, triangle_count, training_shards);
-# 2. slots 17-20: the wave-1 additions (stream_event_recovery,
+# 2. the wave-1 additions (stream_event_recovery,
 #    dedup_incremental_2batch, events_partitioned,
-#    ngram_novelty_bloom);
-# 3. slot 21: dedup_keep, whose implementation changed this round
+#    ngram_novelty_bloom) — slots 28-31 after the wave-6 shift;
+# 3. dedup_keep, whose implementation changed this round
 #    (session-memoized cluster_labels frame);
 # 4. next: the 28 queries whose newest driver row was still r01
 #    (VERDICT r04 ask #1), then the r02-banked block, then r03-banked,
