@@ -1128,18 +1128,25 @@ BLOOM_M_BITS = 1 << 22
 BLOOM_K = 5
 
 
-def _bloom_positions(col, prefix: str = "pos"):
-    """k seeded bit positions for a shingle: pmod(xxhash64(shingle, i),
-    m). xxhash64 over (value, literal-seed) is the standard seeded-hash
-    idiom — each extra literal column re-keys the hash."""
+def seeded_hash_positions(
+    col, m: int = BLOOM_M_BITS, k: int = BLOOM_K, prefix: str = "pos"
+):
+    """k seeded positions in [0, m): pmod(xxhash64(value, i), m).
+    xxhash64 over (value, literal-seed) is the standard seeded-hash
+    idiom — each extra literal column re-keys the hash. SHARED by the
+    Bloom-filter novelty index (bit positions, defaults) and the
+    Count-Min sketch (textops.cms_topgram_frames: cell columns) — one
+    definition so the two sketches can never hash differently."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BLOOM_M_BITS)).alias(
-                f"{prefix}{i}"
-            )
-            for i in range(BLOOM_K)
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).alias(f"{prefix}{i}")
+            for i in range(k)
         ]
     )
+
+
+# Backwards-compatible alias for the Bloom call sites below.
+_bloom_positions = seeded_hash_positions
 
 
 def q_ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -808,7 +808,9 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round("sim", 4).alias("sim"),
+            # + 0.0 normalizes IEEE -0.0 (cosine can be negative and
+            # round can land on zero) — the engine-wide convention
+            (F.round("sim", 4) + 0.0).alias("sim"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

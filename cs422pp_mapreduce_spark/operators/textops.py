@@ -881,11 +881,11 @@ CMS_TOPK = 20
 
 
 def _cms_positions(col: Column, w: int = CMS_W, d: int = CMS_D) -> Column:
-    """d seeded xxhash64 column positions for a key — the same
-    seeded-hash idiom as dedup._bloom_positions."""
-    return F.array(
-        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(w)) for i in range(d)]
-    )
+    """d seeded cell positions for a key — delegates to the shared
+    seeded-hash helper (one hashing convention for Bloom and CMS)."""
+    from .dedup import seeded_hash_positions
+
+    return seeded_hash_positions(col, m=w, k=d)
 
 
 def cms_topgram_frames(
