@@ -197,15 +197,6 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SEQ_START = 0
-
-
-def _next_bucket_suffix() -> int:
-    global _BUCKET_SEQ_START
-    _BUCKET_SEQ_START += 1
-    return _BUCKET_SEQ_START
-
-
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join CONTRACT query — the 100 TB repeated-
     join tool demonstrated end-to-end: orders and customer are written
@@ -222,23 +213,24 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the plain-join oracle (bucketing is pure layout — results must
     not change).
 
-    Per-call temp warehouse path + unique table names keep the query
-    self-contained and idempotent (saveAsTable requires a metastore
-    name; DROP-first makes reruns clean)."""
-    import tempfile
-
+    One SESSION-SCOPED warehouse dir + table-name pair per fixture
+    tier (saveAsTable requires a metastore name; DROP-first + overwrite
+    mode make reruns clean) — repeated gate/bench runs rewrite the
+    same two tables instead of leaking a temp dir and two catalog
+    entries per invocation (ADVICE r05)."""
     from ..functions.numeric import exact_sum
     from ..sources.sinks import write_bucketed_table
+    from ..sources.staging import session_staging_dir, sf_tag
 
-    n = _next_bucket_suffix()
-    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    tag = sf_tag(sf_dir)
+    base = session_staging_dir(spark, f"bucketed_join_{tag}")
     ords = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    to, tc = f"bkt_orders_{n}", f"bkt_customer_{n}"
+    to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {to}")
     spark.sql(f"DROP TABLE IF EXISTS {tc}")
     write_bucketed_table(
@@ -294,14 +286,17 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min/max-per-file pruning only works if each file covers a narrow
     # VALUE range. The custkey span is scale-dependent, so it comes
     # from a 1-row max broadcast (allowlisted scalar pattern).
+    # floor(key * 2^B / (mx + 1)) maps the FULL 0..mx key range into
+    # 0..2^B-1 — fixture custkeys are 0-based, so the former
+    # (key-1)/mx form sent custkey 0 to bucket -1 (ADVICE r05).
     mx = raw.agg(F.max("o_custkey").alias("mx_cust"))
     ords = raw.crossJoin(F.broadcast(mx)).select(
         "o_orderkey", "o_custkey", "o_orderdate",
         F.least(
             F.floor(
-                (F.col("o_custkey") - 1)
+                F.col("o_custkey")
                 * (1 << ZORDER_BITS)
-                / F.col("mx_cust")
+                / (F.col("mx_cust") + 1)
             ),
             F.lit((1 << ZORDER_BITS) - 1),
         ).cast("int").alias("cb"),
@@ -337,14 +332,14 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV is the interchange format every warehouse still ingests; the
     contract pins the full write→read fidelity, not just the writer.
     Per-call temp dir; one linear write + one linear scan."""
-    import tempfile
-
     from pyspark.sql import types as T
+
+    from ..sources.staging import session_staging_dir, sf_tag
 
     from ..sources.catalog import load_table
     from ..sources.sinks import write_csv
 
-    base = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    base = session_staging_dir(spark, f"csv_roundtrip_{sf_tag(sf_dir)}")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -380,14 +375,14 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated — hash-verified against the parquet-truth oracle. Same
     rationale as q_csv_roundtrip for the other ubiquitous interchange
     format (API exports, event logs)."""
-    import tempfile
-
     from pyspark.sql import types as T
+
+    from ..sources.staging import session_staging_dir, sf_tag
 
     from ..sources.catalog import load_table
     from ..sources.sinks import write_json
 
-    base = tempfile.mkdtemp(prefix="json_roundtrip_")
+    base = session_staging_dir(spark, f"json_roundtrip_{sf_tag(sf_dir)}")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -421,13 +416,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar, so timestamps/doubles carry natively — the round-trip
     pins the reader/writer pair rather than a text format's parsing.
     Hash-verified against the parquet-truth oracle."""
-    import tempfile
-
     from ..functions.numeric import exact_sum
     from ..sources.catalog import load_table
     from ..sources.sinks import write_orc
+    from ..sources.staging import session_staging_dir, sf_tag
 
-    base = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    base = session_staging_dir(spark, f"orc_roundtrip_{sf_tag(sf_dir)}")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts", "value"
     )

@@ -634,7 +634,9 @@ def build_pq_index(
         books[r["m"]][ranks[r["vec_id"]]] = list(map(float, r["sub"]))
 
     assign = None
-    for _ in range(PQ_ITERS):
+    # PQ_ITERS centroid updates + ONE extra closing assignment pass so
+    # the persisted codes are consistent with the final books.
+    for it in range(PQ_ITERS + 1):
         cdf = spark.createDataFrame(
             [
                 (m, c, books[m][c])
@@ -656,6 +658,12 @@ def build_pq_index(
             .agg(F.min("dc").alias("mn"))
             .select("vec_id", "m", F.col("mn.cell").alias("code"))
         )
+        if it == PQ_ITERS:
+            # No update after the FINAL assignment: the persisted codes
+            # must be the nearest-centroid assignment of the SHIPPED
+            # codebooks, or ADC LUT distances aren't true
+            # reconstruction distances of the stored codes (ADVICE r05).
+            break
         comp = (
             assign.join(subs, ["vec_id", "m"])
             .select("m", "code", F.posexplode("sub").alias("pos", "x"))

@@ -1167,7 +1167,7 @@ ORACLES: dict[str, str] = {
             SELECT CAST(embedding AS DOUBLE[]) AS qvec
             FROM embeddings WHERE vec_id = 0
         )
-        SELECT vec_id, ROUND(sim, 4) AS sim FROM (
+        SELECT vec_id, ROUND(sim, 4) + 0.0 AS sim FROM (
             SELECT vec_id,
                    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                           qvec) AS sim
@@ -2426,8 +2426,8 @@ ORACLES["zorder_stats"] = f"""
     WITH mx AS (SELECT MAX(o_custkey) AS mx_cust FROM orders),
     buck AS (
         SELECT o_orderkey, o_custkey, o_orderdate,
-               CAST(LEAST(floor((o_custkey - 1) * {1 << ZORDER_BITS}
-                        / mx_cust),
+               CAST(LEAST(floor(o_custkey * {1 << ZORDER_BITS}
+                        / (mx_cust + 1)),
                     {(1 << ZORDER_BITS) - 1}) AS INTEGER) AS cb,
                CAST(LEAST(floor(datediff('day',
                         DATE '{Z_BASE_DATE}', o_orderdate)
@@ -2606,7 +2606,7 @@ ORACLES["knn_join"] = f"""
                                   ORDER BY sim DESC, vec_id) AS rank
         FROM scored
     )
-    SELECT query_id, vec_id, ROUND(sim, 4) AS sim,
+    SELECT query_id, vec_id, ROUND(sim, 4) + 0.0 AS sim,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {KNN_K}
 """

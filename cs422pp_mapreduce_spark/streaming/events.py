@@ -210,17 +210,30 @@ def stage_event_files(
     event-time order — the arrival pattern of a real ingestion
     directory, where landing order tracks event time. Splitting on a
     time column rather than a hash keeps cross-batch watermark
-    semantics honest: each batch's data is newer than the last."""
+    semantics honest: each batch's data is newer than the last.
+
+    The staging dir is SESSION-SCOPED per (sf_dir, n_files) — reused
+    and re-stamped on later calls instead of leaking one temp dir per
+    invocation across gate/bench/pytest runs (ADVICE r05); each
+    streaming query still gets a fresh checkpoint, so re-staged files
+    are re-consumed."""
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from ..sources.catalog import load_table
+    from ..sources.staging import session_staging_dir, sf_tag
 
-    base = tempfile.mkdtemp(prefix="stream_stage_")
+    base = session_staging_dir(
+        spark, f"stream_stage_{sf_tag(sf_dir)}_{n_files}"
+    )
     parts = os.path.join(base, "parts")
     src = os.path.join(base, "src")
+    # Wipe stale staged files: callers may add extras AFTER staging
+    # (stream_dedup's redelivered copies), which a later reuse of the
+    # shared dir must not feed into ITS stream.
+    if os.path.isdir(src):
+        shutil.rmtree(src)
     os.makedirs(src)
 
     ev = load_table(spark, sf_dir, "events")
@@ -236,7 +249,7 @@ def stage_event_files(
         d = f"{parts}/s{i}"
         sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
             1
-        ).write.parquet(d)
+        ).write.mode("overwrite").parquet(d)
         f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
         dst = os.path.join(src, f"slice{i}.parquet")
         shutil.copy(os.path.join(d, f), dst)
