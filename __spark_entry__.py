@@ -100,6 +100,10 @@ _QUERIES: dict[str, QueryFn] = {
     # event_transitions (Markov journey matrix, exact-int
     # probability division), cms_topgrams (Count-Min-sketch
     # heavy-hitter trigrams, rows-only like the bloom/HLL sketches).
+    # round-6 additions (new/changed first per the rotation contract):
+    # dedup_substring_apply (span-cut corpus materialization — closes
+    # detection→materialization for substring dedup, VERDICT r05 #3).
+    "dedup_substring_apply": D.q_dedup_substring_apply,
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,

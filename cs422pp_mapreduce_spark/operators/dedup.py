@@ -919,6 +919,65 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage REMOVAL — materialize the span-cut corpus from
+    q_dedup_substring's detection output, completing detection →
+    materialization the way q_dedup_keep completes cluster dedup (the
+    actual corpus-editing step of Lee et al. 2022's substring dedup:
+    the flagged duplicated spans are cut out token-wise and the
+    remainder re-joined). Emits one row per AFFECTED document —
+    (doc_id, n_tokens, n_removed, n_kept, clean_text) — unaffected
+    documents pass through identity and are not re-hashed.
+
+    Shape: the span table (O(spans) ≪ O(tokens)) is exploded to
+    flagged token positions, grouped per doc into a sorted position
+    array (spans are disjoint maximal runs, so no double counting),
+    key-joined back to the tokenized docs, and each doc is cut by ONE
+    array filter on 1-based position — evaluated once (n_kept is pure
+    arithmetic: spans are disjoint ⇒ n_kept = n_tokens − n_removed,
+    so the HOF result is referenced only by the re-join; HOFs are
+    CodegenFallback, no CSE). Everything after detection is one key
+    join + map-only array work; no shuffle carries text except the
+    final affected-doc rows. At 100 TB-scale doc lengths, swap the
+    per-position membership probe for an interval search over the
+    span structs — same plan shape, the fixture's doc lengths make
+    the simple form optimal.
+
+    This removes EVERY occurrence of a flagged span (all-copies cut);
+    a keep-one-copy policy layers on by exempting one canonical doc
+    per span identity before the explode."""
+    spans = q_dedup_substring(spark, sf_dir)
+    flagged = (
+        spans.select(
+            "doc_id",
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            ).alias("ps"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.flatten(F.collect_list("ps"))).alias("flagged"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", nonempty_tokens("text").alias("t")
+    )
+    cut = toks.join(flagged, "doc_id")
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.array_contains(
+            F.col("flagged"), (i + F.lit(1)).cast("long")
+        ),
+    )
+    return cut.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("flagged").cast("long").alias("n_removed"),
+        (F.size("t") - F.size("flagged")).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 PREFIX_FP_CHARS = 60  # normalized-prefix fingerprint length
 
 

@@ -1360,6 +1360,50 @@ ORACLES: dict[str, str] = {
         FROM runs GROUP BY doc_id, grp
         HAVING MAX(pos) - MIN(pos) + 5 >= 30
     """,
+    # Span-cut materialization twin: the dedup_substring CTE chain,
+    # then tokens minus flagged positions per affected doc (1-based
+    # indexed list_filter mirrors Spark's F.filter(t, (x, i) -> ...)).
+    "dedup_substring_apply": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i:i+4], ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        ), dup AS (
+            SELECT doc_id, pos FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) >= 2)
+        ), runs AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup
+        ), spans AS (
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) - MIN(pos) + 5 AS span_tokens
+            FROM runs GROUP BY doc_id, grp
+            HAVING MAX(pos) - MIN(pos) + 5 >= 30
+        ), flagged AS (
+            SELECT doc_id, list_sort(flatten(list(ps))) AS flagged
+            FROM (SELECT doc_id,
+                         generate_series(span_start,
+                                         span_start + span_tokens - 1) AS ps
+                  FROM spans)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(f.flagged) AS BIGINT) AS n_removed,
+               CAST(len(t.t) - len(f.flagged) AS BIGINT) AS n_kept,
+               COALESCE(array_to_string(
+                   list_filter(t.t,
+                               (x, i) -> NOT list_contains(f.flagged, i)),
+                   ' '), '') AS clean_text
+        FROM toks t JOIN flagged f USING (doc_id)
+    """,
     # Same planting as similarity.contract_vectors: one perturbed twin
     # (first component × 0.9, double precision) per 25th vector, ids
     # offset by 1e6 — the raw fixture is uniform random with max
