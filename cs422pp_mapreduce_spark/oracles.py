@@ -1635,6 +1635,35 @@ ORACLES: dict[str, str] = {
                TRUE AS ok
         FROM documents
     """,
+    # Real-PNG twin: every column is doc_id arithmetic mirroring
+    # synth_png (signature 8 + IHDR 25 + IDAT 12+plen + IEND 12 bytes;
+    # crc_ok TRUE is the contract — Spark must have rebuilt and
+    # re-verified the real CRC-32 to emit it).
+    "png_meta": """
+        SELECT doc_id AS media_id,
+               CAST(16 + doc_id % 1009 AS INT) AS width,
+               CAST(16 + (doc_id * 13) % 1009 AS INT) AS height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+                    WHEN 2 THEN 3 ELSE 6 END AS INT) AS color_type,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    WHEN 2 THEN 1 ELSE 4 END AS INT) AS channels,
+               CAST(58 + doc_id % 8 AS BIGINT) AS n_bytes,
+               TRUE AS crc_ok,
+               TRUE AS ok
+        FROM documents
+    """,
+    # Real-JPEG twin: SOI 2 + APP0 18 + SOF0 (10 + 3*ncomp) + EOI 2.
+    "jpeg_meta": """
+        SELECT doc_id AS media_id,
+               CAST(32 + (doc_id * 5) % 2000 AS INT) AS width,
+               CAST(32 + (doc_id * 3) % 1500 AS INT) AS height,
+               CAST(8 AS INT) AS precision,
+               CAST(1 + (doc_id % 2) * 2 AS INT) AS n_components,
+               CAST(32 + (1 + (doc_id % 2) * 2) * 3 AS BIGINT) AS n_bytes,
+               TRUE AS ok
+        FROM documents
+    """,
     # Frames are every-2nd payload byte; payload = md5-hex prefix of
     # doc_id, length (doc_id % 8 + 1) bytes. frame_no is the 0-based
     # BYTE index (steps of 2), frame_hex the uppercase hex of that byte.
