@@ -109,6 +109,10 @@ _QUERIES: dict[str, QueryFn] = {
     # spec-conformant fixtures built JVM-side (VERDICT r05 #2).
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
+    # semantic_dedup: SemDeDup keep-list (k-means cells + within-cell
+    # near-dup pruning) — rows-only (iterative float k-means), with
+    # planted-twin recall/determinism pins in pytest (VERDICT r05 #5).
+    "semantic_dedup": S.q_semantic_dedup,
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,

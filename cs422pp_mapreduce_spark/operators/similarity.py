@@ -458,6 +458,80 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_COS = NEARDUP_COS  # prune threshold (cos ≥ 0.95)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the engine's
+    k-means (the IVF coarse quantizer), compare pairs only WITHIN a
+    cluster, and keep one representative per near-duplicate group.
+    Emits the full decision table (vec_id, cell, keep) over the
+    planted contract vectors — the keep-list a curation pass feeds to
+    the corpus filter, exactly as dedup_keep does for text clusters.
+
+    Composition of existing kernels: centroids come from
+    build_ivf_index (session-memoized Lloyd's fit, deterministic
+    first-K init); the planted contract vectors (originals + known
+    0.999-cosine twins) are assigned to their nearest centroid by the
+    same broadcast argmin; candidate pairs are the within-cell
+    self-join; the keep rule is deterministic greedy — prune any
+    vector with a ≥SEMDEDUP_COS neighbor of SMALLER vec_id in its
+    cell (first-occurrence-wins, the id-ordered analog of the paper's
+    one-per-group selection; one distinct + one left anti-join).
+
+    Scale: this IS the published 100 TB recipe — clustering bounds
+    the pair space to Σ|cell|² ≈ n²/k, and k grows with the corpus so
+    cells stay bounded (the paper uses k=50k for LAION); the
+    within-cell join shuffles on cell, never all-pairs. Iterative
+    float k-means makes cell ids engine-specific ⇒ rows-only
+    contract; planted-twin recall, keep-exactly-one, and determinism
+    are pinned in tests/test_dedup_similarity.py."""
+    centroids, _ = build_ivf_index(spark, sf_dir)
+    vecs = contract_vectors(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # scanned by the assignment and both sides of the pair join
+    cdf = spark.createDataFrame(
+        list(enumerate(centroids)), "cell int, cvec array<double>"
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            F.struct(_sqdist("vec", "cvec").alias("d2"), "cell").alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+        .join(vecs, "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned.withColumn("is_pruned", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            (~F.coalesce(F.col("is_pruned"), F.lit(False))).alias("keep"),
+        )
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster assignments + per-cell stats — the iterative-ML
     surface of the engine, exposing the same Lloyd's fit that powers

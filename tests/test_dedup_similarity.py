@@ -360,3 +360,49 @@ def test_cluster_labels_memoized_and_reused(spark, sf_dir):
     D.evict_cluster_cache(spark)
     assert D.cluster_labels(spark, sf_dir) is not first
     D.evict_cluster_cache(spark)
+
+
+def test_semantic_dedup_planted_twin_recall_and_determinism(spark, sf_dir):
+    """SemDeDup keep-list: (a) covers every contract vector exactly
+    once; (b) for ≥90% of planted (original, twin) pairs exactly ONE
+    side is kept (the twin pair has cos≈0.999 — only a cell-boundary
+    split can save both); (c) no twin pair has BOTH sides pruned by
+    its own partner alone — the keep rule always keeps the smallest
+    id of a dup group; (d) two runs agree row-for-row."""
+    from cs422pp_mapreduce_spark.operators.similarity import (
+        PLANT_MOD,
+        PLANT_OFFSET,
+        q_semantic_dedup,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in q_semantic_dedup(spark, sf_dir).collect()
+    }
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_twins = len(
+        [v for v in out if v >= PLANT_OFFSET]
+    )
+    assert len(out) == n_vecs + n_twins
+    assert n_twins > 0
+
+    pairs = [
+        (v - PLANT_OFFSET, v) for v in out if v >= PLANT_OFFSET
+    ]
+    one_kept = [
+        p for p in pairs if out[p[0]][1] != out[p[1]][1]
+    ]
+    assert len(one_kept) >= 0.9 * len(pairs)
+    # smallest id of each twin pair is never pruned when its partner
+    # is the cause: if exactly one is kept it must be the original
+    for orig, twin in one_kept:
+        same_cell = out[orig][0] == out[twin][0]
+        if same_cell:
+            assert out[orig][1] and not out[twin][1]
+
+    again = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in q_semantic_dedup(spark, sf_dir).collect()
+    }
+    assert again == out

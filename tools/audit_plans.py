@@ -66,6 +66,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "kmeans_clusters": {
         "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
     },
+    "semantic_dedup": {
+        "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
+    },
     "bm25_topk": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (N, avgdl, df)"
     },
