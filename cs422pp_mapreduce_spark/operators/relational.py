@@ -924,6 +924,56 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(allrow)
 
 
+KLL_PROBS = (0.25, 0.5, 0.75, 0.99)
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE KLL quantile sketches (Apache DataSketches, via
+    Spark's kll_sketch_agg family) — completing the sketch surface
+    next to HLL (distinct), Bloom (membership), and Count-Min
+    (frequency): per-group sketches are first-class BINARY values, so
+    a 100 TB pipeline sketches each shard once, stores kilobytes, and
+    answers any quantile on any rollup by MERGING sketches instead of
+    re-scanning (exact distributed quantiles need a full sort or the
+    range-exchange machinery of quality_deciles — per-shard O(log n)
+    sketch state replaces both).
+
+    Per order priority: row count + p25/p50/p75/p99 of o_totalprice;
+    plus the ``__all__`` row computed by kll_merge_agg over the five
+    per-group sketches — the mergeability demonstration. KLL
+    compaction is randomized (Karnin-Lang-Liberty 2016), so outputs
+    are approximate AND run-specific ⇒ rows-only driver check;
+    tests/test_relational_extra.py pins the exact n bookkeeping, the
+    ε rank-error bound per group, and that the merged sketch covers
+    exactly the union of rows."""
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    sk = ords.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def qcols(sk_col):
+        return [
+            F.kll_sketch_get_quantile_double(sk_col, F.lit(p)).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in KLL_PROBS
+        ]
+
+    per = sk.select("o_orderpriority", "n_rows", *qcols(F.col("sk")))
+    merged = F.kll_merge_agg_double("sk")
+    allrow = sk.agg(
+        F.sum("n_rows").alias("n_rows"), *qcols(merged)
+    ).select(
+        F.lit("__all__").alias("o_orderpriority"),
+        "n_rows",
+        *[f"p{int(p * 100)}" for p in KLL_PROBS],
+    )
+    return per.unionByName(allrow)
+
+
 def skyline_2d(points: DataFrame, x: str, y: str) -> DataFrame:
     """Distinct Pareto-minimal (x, y) pairs of any frame under joint
     minimization — the reusable skyline kernel (property-tested on

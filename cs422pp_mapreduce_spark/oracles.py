@@ -2148,6 +2148,9 @@ ORACLES["stream_event_session"] = ORACLES["event_session"]
 ORACLES["stream_event_tumbling"] = ORACLES["event_tumbling"]
 # the kill-and-restart sequence must converge to the same batch truth
 ORACLES["stream_event_recovery"] = ORACLES["event_tumbling"]
+# ...and so must the foreachBatch idempotent-upsert table across its
+# own restart: update-mode merges applied exactly once ⇒ batch truth
+ORACLES["stream_foreach_upsert"] = ORACLES["event_tumbling"]
 
 # Streaming dedup contract: the at-least-once re-delivery fixture lands
 # every event twice; dropDuplicatesWithinWatermark must reduce it back

@@ -402,6 +402,149 @@ def q_stream_event_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_versions(tdir: str) -> list[int]:
+    """Sorted batch-id versions present in a versioned-table dir."""
+    import os
+
+    return sorted(
+        int(n.split("v")[1]) for n in os.listdir(tdir) if n.startswith("v")
+    )
+
+
+def upsert_versioned(
+    tdir: str, batch: DataFrame, batch_id: int, key: str
+) -> None:
+    """The idempotent foreachBatch apply: merge ``batch`` into the
+    newest table version OLDER than ``batch_id`` and overwrite version
+    ``batch_id``. A replayed batch (restart after an uncommitted epoch)
+    recomputes from the same predecessor and overwrites its own
+    version — applying nothing twice. This is the batch-id-keyed
+    transaction the Delta/Iceberg MERGE sinks implement; replay
+    idempotency is pinned in tests/test_streaming_recovery.py."""
+    import os
+
+    from ..operators.maintenance import merge_upsert
+
+    sess = batch.sparkSession
+    prev = [v for v in table_versions(tdir) if v < batch_id]
+    if prev:
+        tgt = sess.read.parquet(os.path.join(tdir, f"v{prev[-1]}"))
+        merged = merge_upsert(tgt, batch, key)
+    else:
+        merged = batch
+    merged.write.mode("overwrite").parquet(os.path.join(tdir, f"v{batch_id}"))
+
+
+def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch EXACTLY-ONCE sink contract (VERDICT r05 #7): the
+    tumbling aggregation streamed in UPDATE mode through foreachBatch
+    into an idempotent MERGE-style table sink, killed and restarted
+    mid-stream — the streaming→maintenance integration: Structured
+    Streaming's sink guarantee is only at-least-once for foreachBatch,
+    and the published recipe for effective exactly-once is an
+    IDEMPOTENT batch apply keyed by (batch_id, merge key), which is
+    exactly what this builds from the engine's own merge_upsert.
+
+    Per micro-batch: the update-mode rows (changed window aggregates)
+    are merged into the previous table VERSION via merge_upsert
+    (source wins on key collision) and written to a version dir named
+    by batch_id — a replayed batch (restart after an uncommitted
+    epoch) recomputes FROM THE SAME predecessor and overwrites ITS OWN
+    version, applying nothing twice; a Delta/Iceberg MERGE sink keys
+    its transaction log the same way. The restart machinery is
+    q_stream_event_recovery's: drain half the slices, stop, land the
+    rest while nothing runs, resume from the checkpoint with a NEW
+    query. The returned frame is the final table version — hash-
+    verified equal to the BATCH aggregate over all events, proving no
+    lost and no double-applied update across the restart boundary.
+
+    Update mode matters: unlike the recovery query's complete-mode
+    re-emission, each trigger emits only changed keys, so the final
+    table is correct ONLY if every merge applied exactly once — which
+    is the property under test. Per-call temp dirs by design (the
+    restart sequence IS the query; reuse would skip it)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..sources.catalog import load_table
+
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    stage = os.path.join(base, "stage")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    tdir = os.path.join(base, "target")
+    os.makedirs(src)
+    os.makedirs(tdir)
+
+    # TIME-ORDERED slices (ntile over ts, the stage_event_files
+    # convention): update mode honors the watermark, so arrival order
+    # must track event time like a real ingestion directory — the
+    # complete-mode recovery query could slice arbitrarily, this one
+    # cannot (late-beyond-watermark input is correctly dropped).
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(4):
+        ev.where(F.col("_slice") == i + 1).drop("_slice").coalesce(
+            1
+        ).write.parquet(f"{stage}/s{i}")
+
+    _t0 = _time.time()
+
+    def land(i: int) -> None:
+        d = f"{stage}/s{i}"
+        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"s{i}.parquet")
+        shutil.copy(os.path.join(d, f), dst)
+        # monotone mtimes: the file source orders new files by mtime,
+        # and slice order IS event-time order here
+        os.utime(dst, (_t0 + i * 10, _t0 + i * 10))
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.withColumn(
+            "k",
+            F.concat_ws(
+                "|", F.col("win_start").cast("string"), "event_type"
+            ),
+        )
+        upsert_versioned(tdir, batch, batch_id, "k")
+
+    def run_query() -> None:
+        raw = (
+            spark.readStream.schema(TABLE_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            _tumbling_agg(raw)
+            .writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: half the input, run to completion, query stops
+    land(0)
+    land(1)
+    run_query()
+    # the rest lands while NO query is running
+    land(2)
+    land(3)
+    # phase 2: a NEW query on the same checkpoint resumes exactly
+    run_query()
+
+    final = spark.read.parquet(
+        os.path.join(tdir, f"v{table_versions(tdir)[-1]}")
+    )
+    return final.select("win_start", "event_type", "n_events", "sum_value")
+
+
 # name → un-started plan builder, for analysis-only tooling: executing
 # the q_stream_* contract queries runs a real streaming job AND hides
 # the aggregation plan behind the memory-sink scan; tools analyze these
@@ -430,6 +573,9 @@ STREAM_PLAN_BUILDERS = {
     # _tumbling_agg over a file stream); mapping it here keeps the
     # analysis tools from executing the whole kill-and-restart sequence
     "stream_event_recovery": stream_event_tumbling_plan,
+    # same plan under the foreachBatch upsert sink — mapping it here
+    # keeps the analysis tools from executing the restart sequence
+    "stream_foreach_upsert": stream_event_tumbling_plan,
     **_wave3_plan_builders(),
 }
 

@@ -125,3 +125,41 @@ def test_recovery_contract_query_processes_only_delta(spark, sf_dir):
     # state recovered: final counts cover ALL events, not just the delta
     final = spark.table("t_rec_phase2").agg(F.sum("n_events")).collect()[0][0]
     assert final == total, (final, total)
+
+
+def test_upsert_versioned_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch (same batch_id re-offered after an
+    uncommitted restart) must leave the table identical: the apply
+    merges from the newest OLDER version and overwrites its own, so
+    applying batch 1 twice — even with different row order — yields
+    the same table as applying it once."""
+    from cs422pp_mapreduce_spark.streaming.events import (
+        table_versions,
+        upsert_versioned,
+    )
+
+    tdir = str(tmp_path / "target")
+    import os
+
+    os.makedirs(tdir)
+    b0 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v int"
+    )
+    b1 = spark.createDataFrame(
+        [("b", 20), ("c", 30)], "k string, v int"
+    )
+    upsert_versioned(tdir, b0, 0, "k")
+    upsert_versioned(tdir, b1, 1, "k")
+    once = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(f"{tdir}/v1").collect()
+    )
+    assert once == [("a", 1), ("b", 20), ("c", 30)]
+    # replay batch 1 (restart re-offers the same id)
+    upsert_versioned(tdir, b1, 1, "k")
+    again = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(f"{tdir}/v1").collect()
+    )
+    assert again == once
+    assert table_versions(tdir) == [0, 1]
