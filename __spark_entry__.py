@@ -61,157 +61,50 @@ def _wrap(fn: QueryFn) -> QueryFn:
     return run
 
 
-# Registration order is part of the contract: the driver's correctness
-# budget covers a ~50-slot prefix per round. Round-5 rotation (final,
-# waves 1-6):
-# 0. slots 1-7: wave-6 additions (source_divergence, skyline,
-#    phrase_search, pit_join, knn_join, event_transitions — hash-verified;
-#    cms_topgrams —
-#    rows-only sketch with one-sided-error pytest pins);
-# 1. then: the round-5 NEW/CHANGED operators, newest wave first
-#    so every first driver row lands inside the budget — wave 3
-#    streaming contracts (stream_dedup, stream_interval_join,
-#    stream_profile), wave 4 (skew_join, embedding_quantize,
-#    compaction_plan, hll_distinct), wave 5/5b/5c (stream_wordcount,
-#    bucketed_join, zorder_stats, bpe_train, stream_enrich),
-#    dedup_ngram (prefix-filter rewrite this round), then wave 2
-#    (bm25_topk, triangle_count, training_shards);
-# 2. the wave-1 additions (stream_event_recovery,
-#    dedup_incremental_2batch, events_partitioned,
-#    ngram_novelty_bloom) — slots 28-31 after the wave-6 shift;
-# 3. dedup_keep, whose implementation changed this round
-#    (session-memoized cluster_labels frame);
-# 4. next: the 28 queries whose newest driver row was still r01
-#    (VERDICT r04 ask #1), then the r02-banked block, then r03-banked,
-#    then the r04-fresh block last. Every ordering decision is
-#    validated locally by tools/check_oracles.py (driver-exact) +
-#    tools/sweep_dtypes.py, full-surface green at sf0.01.
-# NOTE (ADVICE r04, declared contract caveat): q_ann_lsh runs one
-# bounded 1-row Spark job at plan-BUILD time (query-vector fetch that
-# plans its literal bucket predicate), and q_bucketed_join writes its
-# two bucketed temp tables at build time (the write IS the operator
-# under test); every other query builds without executing anything
-# (streaming contract queries are intercepted by STREAM_PLAN_BUILDERS
-# in the analysis tools).
 _QUERIES: dict[str, QueryFn] = {
-    # round-5 wave 6: source_divergence (exact per-source
-    # total-variation unigram drift, pure-integer numerator),
-    # skyline (global Pareto frontier via the range-exchange prefix-min
-    # pattern), phrase_search (positional-postings adjacency join),
-    # event_transitions (Markov journey matrix, exact-int
-    # probability division), cms_topgrams (Count-Min-sketch
-    # heavy-hitter trigrams, rows-only like the bloom/HLL sketches).
-    # round-6 additions (new/changed first per the rotation contract):
-    # dedup_substring_apply (span-cut corpus materialization — closes
-    # detection→materialization for substring dedup, VERDICT r05 #3).
+    # ROTATION CONTRACT (registration order = driver-budget priority;
+    # the driver's correctness budget covers a ~50-slot prefix per
+    # round). Round-6 order, refreshed per VERDICT r05 ask #1:
+    # 1. slots 1-6: round-6 NEW operators (first driver rows) —
+    #    dedup_substring_apply (span-cut corpus materialization),
+    #    png_meta/jpeg_meta (REAL-format header kernels: PNG IHDR with
+    #    CRC-32 cross-verification, JPEG SOF0 marker walk),
+    #    semantic_dedup (SemDeDup keep-list; rows-only, pytest pins),
+    #    kll_quantiles (mergeable quantile sketches; rows-only),
+    #    stream_foreach_upsert (foreachBatch exactly-once upsert with
+    #    mid-stream restart; runs its two real streaming queries at
+    #    call time by design, like stream_event_recovery);
+    # 2. slots 7-10: round-6 CHANGED queries whose outputs/oracles
+    #    moved — zorder_stats (0-based bucket fix), knn_join /
+    #    topk_similarity (signed-zero oracle normalization), ann_pq
+    #    (codes now consistent with the shipped codebooks; builds its
+    #    session-cached index at first call, like ann_ivf);
+    # 3. the 10 queries whose newest driver row was still ROUND 1,
+    #    then the 17 remaining r02-banked, then r03-banked, then
+    #    r04-banked, with the r05-fresh block last. Every ordering
+    #    decision is validated locally by tools/check_oracles.py
+    #    (driver-exact) + tools/sweep_dtypes.py, full-surface green at
+    #    sf0.01.
+    # NOTE (declared contract caveat, ADVICE r04): q_ann_lsh runs one
+    # bounded 1-row Spark job at plan-BUILD time (query-vector fetch
+    # that plans its literal bucket predicate), q_bucketed_join writes
+    # its two bucketed tables at build time (the write IS the operator
+    # under test), and q_bpe_train runs its bounded per-round argmax
+    # jobs at build time; every other query builds without executing
+    # anything (streaming contract queries are intercepted by
+    # STREAM_PLAN_BUILDERS in the analysis tools).
     "dedup_substring_apply": D.q_dedup_substring_apply,
-    # png_meta / jpeg_meta: REAL-format header kernels (PNG IHDR with
-    # CRC-32 cross-verification, JPEG SOF0 marker walk) over
-    # spec-conformant fixtures built JVM-side (VERDICT r05 #2).
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
-    # semantic_dedup: SemDeDup keep-list (k-means cells + within-cell
-    # near-dup pruning) — rows-only (iterative float k-means), with
-    # planted-twin recall/determinism pins in pytest (VERDICT r05 #5).
     "semantic_dedup": S.q_semantic_dedup,
-    # kll_quantiles: mergeable KLL quantile sketches with a
-    # merge-row demonstration — rows-only like every sketch row;
-    # n-bookkeeping + rank-error pins in pytest (VERDICT r05 #6).
     "kll_quantiles": R.q_kll_quantiles,
-    # stream_foreach_upsert: foreachBatch + idempotent merge_upsert
-    # sink with a mid-stream kill/restart — hash-verified vs the batch
-    # tumbling truth (VERDICT r05 #7). Runs its two real streaming
-    # queries at call time by design, like stream_event_recovery.
     "stream_foreach_upsert": q_stream_foreach_upsert,
-    "source_divergence": TX.q_source_divergence,
-    "skyline": R.q_skyline,
-    "phrase_search": TX.q_phrase_search,
-    "pit_join": MT.q_pit_join,
-    "knn_join": S.q_knn_join,
-    "event_transitions": EV.q_event_transitions,
-    "cms_topgrams": TX.q_cms_topgrams,
-    # round-5 wave 3: three NEW streaming contract queries (first
-    # driver rows) — stream_dedup (dropDuplicatesWithinWatermark over
-    # an at-least-once re-delivery fixture), stream_interval_join
-    # (stream-stream inner join with cross-micro-batch buffered
-    # state), stream_profile (applyInPandasWithState per-key running
-    # state); all hash-verified vs batch truth.
-    "stream_dedup": q_stream_dedup,
-    "stream_interval_join": q_stream_interval_join,
-    "stream_profile": q_stream_profile,
-    # round-5 wave 4: skew_join (salted-join operator, lossless vs the
-    # plain-join oracle), embedding_quantize (int8 quantization report,
-    # bit-exact via order-free float outputs), compaction_plan
-    # (small-file bin-packing manifest, all-integer window math) —
-    # hash-verified; hll_distinct (mergeable DataSketches HLL with a
-    # union-row mergeability proof) — rows-only by sketch nature.
-    "skew_join": R.q_skew_join,
-    "embedding_quantize": S.q_embedding_quantize,
-    "compaction_plan": MT.q_compaction_plan,
-    "hll_distinct": R.q_hll_distinct,
-    # round-5 wave 5: stream_wordcount (the flagship through
-    # Structured Streaming, batch oracle), bucketed_join (bucketed
-    # write→read→shuffle-free join contract, plain-join oracle),
-    # zorder_stats (Morton clustering + per-file skipping index,
-    # all-integer) — all hash-verified.
-    "stream_wordcount": q_stream_wordcount,
-    "bucketed_join": MT.q_bucketed_join,
+    # --- round-6 changed queries ---
     "zorder_stats": MT.q_zorder_stats,
-    # round-5 wave 5b: distributed BPE tokenizer TRAINING (corpus
-    # scanned once, merge rounds on the word-count table; exact-replica
-    # pytest pin) — rows-only (learned tokenizer, not SQL-expressible).
-    # NOTE: iterative-argmax ⇒ runs its bounded per-round jobs at
-    # build time, like ann_lsh/bucketed_join above.
-    "bpe_train": TK.q_bpe_train,
-    # round-5 wave 5c: stream_enrich (stateless stream-static
-    # broadcast join — completes the streaming-join pair), hash-
-    # verified vs the plain batch join oracle.
-    "stream_enrich": q_stream_enrich,
-    # dedup_ngram's implementation changed this round (prefix-filter
-    # rewrite) — promoted into the driver prefix so its fresh row
-    # reflects the shipped code (dedup_keep precedent).
-    "dedup_ngram": D.q_dedup_ngram,
-    # round-5 wave 5d: ann_pq (product-quantization ADC scan —
-    # completes the ANN triple with LSH and IVF) — rows-only
-    # (approximate); recall/compression pins in pytest. Builds its
-    # session-cached codebooks at first call, like ann_ivf.
+    "knn_join": S.q_knn_join,
+    "topk_similarity": S.q_topk_similarity,
     "ann_pq": S.q_ann_pq,
-    # round-5 wave 5e: interchange-format contracts — CSV and JSONL
-    # write→schema-explicit-read round-trips, hash-verified against
-    # the parquet truth (timestamp µs + double fidelity).
-    "csv_roundtrip": MT.q_csv_roundtrip,
-    "json_roundtrip": MT.q_json_roundtrip,
-    "orc_roundtrip": MT.q_orc_roundtrip,
-    # round-5 wave 2: three NEW operators (first driver rows) —
-    # bm25_topk (map-only BM25 retrieval), triangle_count
-    # (degree-oriented exact triangle count), training_shards
-    # (deterministic shuffle-and-shard report); all hash-verified.
-    "bm25_topk": TX.q_bm25_topk,
-    "triangle_count": GR.q_triangle_count,
-    "training_shards": CP.q_training_shards,
-    "stream_event_recovery": q_stream_event_recovery,
-    "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
-    "events_partitioned": EV.q_events_partitioned,
-    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
-    "dedup_keep": D.q_dedup_keep,
-    "range_join": AJ.q_range_join,
-    "tpch_q6": TQ.q_tpch_q6,
-    "tpch_q5": TQ.q_tpch_q5,
-    "tpch_q10": TQ.q_tpch_q10,
-    "sql_cte_topnation": SQ.q_sql_cte_topnation,
-    "event_rollup": SQ.q_event_rollup,
-    "pivot_status": SQ.q_pivot_status,
-    "window_running": R.q_window_running,
-    "window_lag": R.q_window_lag,
-    "window_misc": R.q_window_misc,
-    "cube_agg": R.q_cube_agg,
-    "stats_agg": R.q_stats_agg,
-    "approx_agg": R.q_approx_agg,
-    "collect_agg": R.q_collect_agg,
-    "having": R.q_having,
-    "multi_join_agg": R.q_multi_join_agg,
-    "outer_join": R.q_outer_join,
-    "cross_join": R.q_cross_join,
+    # --- driver row was r01 — refreshed first ---
     "union_all": R.q_union_all,
     "except_op": R.q_except_op,
     "intersect_op": R.q_intersect_op,
@@ -222,6 +115,7 @@ _QUERIES: dict[str, QueryFn] = {
     "date_funcs2": R.q_date_funcs2,
     "math_funcs": R.q_math_funcs,
     "json_funcs": R.q_json_funcs,
+    # --- driver row was r02 ---
     "asof_join": AJ.q_asof_join,
     "tpch_q3": TQ.q_tpch_q3,
     "corpus_prep": CP.q_corpus_prep,
@@ -235,11 +129,11 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.q_dedup_exact,
     "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
-    "topk_similarity": S.q_topk_similarity,
     "label_centroid": S.q_label_centroid,
     "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
+    # --- driver row was r03 ---
     "fuzzy_name_match": D.q_fuzzy_name_match,
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,
@@ -286,6 +180,7 @@ _QUERIES: dict[str, QueryFn] = {
     "audio_meta": MM.q_audio_meta,
     "seq_pack_bpe": TK.q_seq_pack_bpe,
     "tpch_q4": TQ.q_tpch_q4,
+    # --- driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,
     "map_funcs": R.q_map_funcs,
@@ -335,6 +230,54 @@ _QUERIES: dict[str, QueryFn] = {
     "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
+    # --- r05-fresh block (newest rows — last in line) ---
+    "source_divergence": TX.q_source_divergence,
+    "skyline": R.q_skyline,
+    "phrase_search": TX.q_phrase_search,
+    "pit_join": MT.q_pit_join,
+    "event_transitions": EV.q_event_transitions,
+    "cms_topgrams": TX.q_cms_topgrams,
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
+    "stream_profile": q_stream_profile,
+    "skew_join": R.q_skew_join,
+    "embedding_quantize": S.q_embedding_quantize,
+    "compaction_plan": MT.q_compaction_plan,
+    "hll_distinct": R.q_hll_distinct,
+    "stream_wordcount": q_stream_wordcount,
+    "bucketed_join": MT.q_bucketed_join,
+    "bpe_train": TK.q_bpe_train,
+    "stream_enrich": q_stream_enrich,
+    "dedup_ngram": D.q_dedup_ngram,
+    "csv_roundtrip": MT.q_csv_roundtrip,
+    "json_roundtrip": MT.q_json_roundtrip,
+    "orc_roundtrip": MT.q_orc_roundtrip,
+    "bm25_topk": TX.q_bm25_topk,
+    "triangle_count": GR.q_triangle_count,
+    "training_shards": CP.q_training_shards,
+    "stream_event_recovery": q_stream_event_recovery,
+    "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
+    "events_partitioned": EV.q_events_partitioned,
+    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
+    "dedup_keep": D.q_dedup_keep,
+    "range_join": AJ.q_range_join,
+    "tpch_q6": TQ.q_tpch_q6,
+    "tpch_q5": TQ.q_tpch_q5,
+    "tpch_q10": TQ.q_tpch_q10,
+    "sql_cte_topnation": SQ.q_sql_cte_topnation,
+    "event_rollup": SQ.q_event_rollup,
+    "pivot_status": SQ.q_pivot_status,
+    "window_running": R.q_window_running,
+    "window_lag": R.q_window_lag,
+    "window_misc": R.q_window_misc,
+    "cube_agg": R.q_cube_agg,
+    "stats_agg": R.q_stats_agg,
+    "approx_agg": R.q_approx_agg,
+    "collect_agg": R.q_collect_agg,
+    "having": R.q_having,
+    "multi_join_agg": R.q_multi_join_agg,
+    "outer_join": R.q_outer_join,
+    "cross_join": R.q_cross_join,
 }
 
 
