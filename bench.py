@@ -110,6 +110,17 @@ HEADLINE = [
     "phrase_search",
     "pit_join",
     "knn_join",
+    # round-6 additions: span-cut materialization, real-format header
+    # kernels, semantic dedup, quantile sketches, exactly-once upsert
+    # (the last runs two real streaming queries per invocation by
+    # design — a fixed cost like stream_event_recovery's, not a
+    # regression signal)
+    "dedup_substring_apply",
+    "png_meta",
+    "jpeg_meta",
+    "semantic_dedup",
+    "kll_quantiles",
+    "stream_foreach_upsert",
 ]
 
 RUNS = 3
