@@ -75,7 +75,10 @@ _QUERIES: dict[str, QueryFn] = {
     #    mid-stream restart; runs its two real streaming queries at
     #    call time by design, like stream_event_recovery);
     # 2. slots 7-10: round-6 CHANGED queries whose outputs/oracles
-    #    moved — zorder_stats (0-based bucket fix), knn_join /
+    #    moved — zorder_stats (0-based bucket fix), dedup_keep (keep
+    #    list now built from the EXACT prefix-filtered graph — the
+    #    sf0.3 gate caught the LSH banding missing 36 near-threshold
+    #    pairs), knn_join /
     #    topk_similarity (signed-zero oracle normalization), ann_pq
     #    (codes now consistent with the shipped codebooks; builds its
     #    session-cached index at first call, like ann_ivf);
@@ -94,6 +97,11 @@ _QUERIES: dict[str, QueryFn] = {
     # anything (streaming contract queries are intercepted by
     # STREAM_PLAN_BUILDERS in the analysis tools).
     "dedup_substring_apply": D.q_dedup_substring_apply,
+    # pps_sample: integer-exact PPS systematic sampling (hash-verified,
+    # range-exchange prefix sum); rolling_hll: trailing-window distinct
+    # via pre-aggregated mergeable sketches (rows-only, error pinned).
+    "pps_sample": TX.q_pps_sample,
+    "rolling_hll": EV.q_rolling_hll,
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
     "semantic_dedup": S.q_semantic_dedup,
@@ -101,6 +109,7 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_foreach_upsert": q_stream_foreach_upsert,
     # --- round-6 changed queries ---
     "zorder_stats": MT.q_zorder_stats,
+    "dedup_keep": D.q_dedup_keep,
     "knn_join": S.q_knn_join,
     "topk_similarity": S.q_topk_similarity,
     "ann_pq": S.q_ann_pq,
@@ -259,7 +268,6 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
     "events_partitioned": EV.q_events_partitioned,
     "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
-    "dedup_keep": D.q_dedup_keep,
     "range_join": AJ.q_range_join,
     "tpch_q6": TQ.q_tpch_q6,
     "tpch_q5": TQ.q_tpch_q5,

@@ -743,22 +743,35 @@ import weakref
 _CLUSTER_CACHE: dict[int, dict] = {}
 
 
-def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized near-dup cluster labels (q_dedup_clusters'
-    output, persisted). First call per (session, dataset) pays the
-    LSH + connected-components build; later consumers reuse the
-    materialized frame — the "cluster labels are a table, not a
-    subquery" posture a 100 TB pipeline takes."""
+def cluster_labels(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    """Session-memoized near-dup cluster labels, persisted. First call
+    per (session, dataset, graph kind) pays the candidate-join +
+    connected-components build; later consumers reuse the materialized
+    frame — the "cluster labels are a table, not a subquery" posture a
+    100 TB pipeline takes.
+
+    ``exact=True`` (default) builds labels from the EXACT
+    prefix-filtered Jaccard graph (q_dedup_ngram — Bayardo AllPairs,
+    deterministic and fixture-independent, the graph the DuckDB
+    oracles recompute); ``exact=False`` uses the banded MinHash-LSH
+    graph (q_dedup_clusters — cheaper at extreme scale, but
+    probabilistic: the r06 sf0.3 gate caught 36 near-threshold pairs
+    the 8×4 banding missed, which is WHY hash-verified consumers must
+    use the exact graph)."""
     key = id(spark)
     if key not in _CLUSTER_CACHE:
         _CLUSTER_CACHE[key] = {}
         weakref.finalize(spark, _CLUSTER_CACHE.pop, key, None)
     cache = _CLUSTER_CACHE[key]
-    if sf_dir not in cache:
-        cache[sf_dir] = q_dedup_clusters(spark, sf_dir).persist(
+    ckey = (sf_dir, exact)
+    if ckey not in cache:
+        build = q_dedup_clusters_exact if exact else q_dedup_clusters
+        cache[ckey] = build(spark, sf_dir).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    return cache[sf_dir]
+    return cache[ckey]
 
 
 def evict_cluster_cache(spark: SparkSession) -> None:
@@ -783,10 +796,16 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     One anti join of the corpus against the (small) drop list; at
     100 TB the drop list is keys-only and the corpus scan carries just
     the projected columns. The cluster labels come from the
-    session-memoized ``cluster_labels`` frame (built once per dataset
-    from the banded LSH path; on a warm session this query costs just
-    the anti join); the oracle recomputes them from the exact n-gram
-    graph (identical on the fixtures — see q_dedup_clusters)."""
+    session-memoized ``cluster_labels`` frame built from the EXACT
+    prefix-filtered graph (Bayardo AllPairs — deterministic at every
+    scale; on a warm session this query costs just the anti join), so
+    the hash contract vs the oracle's recursive exact-graph walk is an
+    identity. The banded-LSH labeling (cheaper at extreme scale,
+    probabilistic recall) stays available via
+    cluster_labels(exact=False) / q_dedup_clusters — the r06 sf0.3
+    gate showed the 8×4 banding missing 36 near-threshold pairs, which
+    is exactly the divergence a hash-verified keep-list must not
+    carry."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
     )

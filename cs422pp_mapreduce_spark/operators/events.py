@@ -150,6 +150,58 @@ def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) via
+    PRE-AGGREGATED mergeable HLL sketches — the sketch-windowing
+    pattern that makes sliding distincts tractable at 100 TB: the raw
+    events are scanned ONCE into per-(type, day) sketches (kilobytes
+    each), and every trailing window is answered by merging ≤7
+    sketches — versus q_rolling_active_users' exact contribution
+    explode whose shuffle is O(user-days × 7). At warehouse scale the
+    daily sketch table is materialized once and every dashboard
+    window (7/28/90-day) reads it; this query demonstrates the
+    rollup end-to-end.
+
+    Shape: one partial→final sketch aggregate over (type, day); the
+    window is an equi-join on event_type with a bounded day-range
+    filter over the O(types × days) SKETCH table (fan-out ≤ 7, never
+    touching raw events again); hll_union_agg merges per anchor day.
+    Sketch estimates are engine-specific ⇒ rows-only; the ≤1.5%-ish
+    HLL error vs the exact explode formulation is pinned in
+    tests/test_events_streaming.py with margin."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    anchors = daily.select(
+        F.col("event_type").alias("et"), F.col("day").alias("d")
+    )
+    contrib = daily.join(
+        anchors,
+        (F.col("event_type") == F.col("et"))
+        & (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+    )
+    return (
+        contrib.groupBy("event_type", "d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users_7d"
+            ),
+            F.sum("n_events").alias("n_events_7d"),
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("day"),
+            "approx_users_7d",
+            "n_events_7d",
+        )
+    )
+
+
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day (the DAU/WAU
     rollup), EXACT — via contribution explode, not window-distinct.

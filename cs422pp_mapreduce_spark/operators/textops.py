@@ -445,6 +445,83 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(chunk_docs(load_table(spark, sf_dir, "documents")))
 
 
+PPS_K = 100  # systematic-sample grid points (≈ sample size)
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (Madow
+    1949; the PPS design survey samplers and data-mixture builders
+    use): lay every document on one global axis of cumulative weight
+    (weight = n_chars — longer docs carry more training signal), drop
+    a regular grid of PPS_K points step = total_weight div PPS_K
+    apart, and select the documents the grid points land in. Inclusion
+    probability is proportional to weight, the sample size is fixed
+    (±1), and — unlike rand()-keyed weighted reservoirs — membership
+    is a pure INTEGER function of the corpus, so the sample is
+    identical across engines, partitionings, and reruns: hash-verified,
+    not rows-only.
+
+    The cumulative weight is the range-exchange prefix sum
+    (pack_sequences / q_global_rank pattern — never an unpartitioned
+    window); the grid total is a 1-row broadcast. n_picks =
+    (before+w) div step − before div step (a heavy doc spanning
+    several grid points is multiply-selected, the PPS-with-replacement
+    bookkeeping). All-integer arithmetic end to end."""
+    from pyspark.sql.window import Window
+
+    from ..session import default_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    ranged = docs.repartitionByRange(
+        default_parallelism(), "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "local_before", F.coalesce(F.sum("w").over(local_w), F.lit(0))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("w").alias("toks"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("toks").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    total = docs.agg(F.sum("w").alias("total_w"))
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("local_before") + F.col("offset")).alias("before"),
+            F.greatest(
+                F.expr(f"total_w div {PPS_K}"), F.lit(1)
+            ).alias("step"),
+        )
+    )
+    return cum.select(
+        "doc_id",
+        "w",
+        "before",
+        F.expr("(before + w) div step - before div step").alias("n_picks"),
+    ).where(F.col("n_picks") >= 1)
+
+
 def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequencies (count >= 5) — the n-gram statistics
     pass behind collocation mining and LM smoothing tables.

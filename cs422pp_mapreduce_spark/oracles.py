@@ -1360,6 +1360,28 @@ ORACLES: dict[str, str] = {
         FROM runs GROUP BY doc_id, grp
         HAVING MAX(pos) - MIN(pos) + 5 >= 30
     """,
+    # PPS systematic-sampling twin: one window prefix sum + the same
+    # all-integer grid arithmetic ('//' is DuckDB integer division on
+    # integer operands, matching Spark's 'div').
+    "pps_sample": """
+        WITH w AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+        ), c AS (
+            SELECT doc_id, w,
+                   COALESCE(SUM(w) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+            FROM w
+        ), t AS (
+            SELECT GREATEST(CAST(SUM(w) AS BIGINT) // 100, 1) AS step
+            FROM w
+        )
+        SELECT doc_id, w, CAST(before AS BIGINT) AS before,
+               CAST((before + w) // step - before // step AS BIGINT)
+                   AS n_picks
+        FROM c, t
+        WHERE (before + w) // step - before // step >= 1
+    """,
     # Span-cut materialization twin: the dedup_substring CTE chain,
     # then tokens minus flagged positions per affected doc (1-based
     # indexed list_filter mirrors Spark's F.filter(t, (x, i) -> ...)).

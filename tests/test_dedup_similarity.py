@@ -344,7 +344,7 @@ def test_cluster_labels_memoized_and_reused(spark, sf_dir):
     )
     drop = {
         r["doc_id"]
-        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+        for r in D.q_dedup_clusters_exact(spark, sf_dir).collect()
         if r["doc_id"] != r["cluster_id"]
     }
     from cs422pp_mapreduce_spark.sources.catalog import load_table

@@ -304,3 +304,33 @@ def test_session_gap_boundary(spark, tmp_path):
     oracle = con.sql(ORACLES["event_session"]).df()
     got = oracle.groupby("user_id").size().to_dict()
     assert got == expect
+
+
+def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
+    """The sketch-windowed 7-day distinct must track the exact
+    per-(type, day) trailing distinct within generous HLL error
+    (lgK=12 default ≈ 1.6% relative standard error; assert 10%),
+    and the exact n_events_7d bookkeeping must match exactly."""
+    import pandas as pd
+
+    from cs422pp_mapreduce_spark.operators.events import q_rolling_hll
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = q_rolling_hll(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", F.to_date("ts").alias("day"))
+        .toPandas()
+    )
+    for _, r in out.sample(n=min(40, len(out)), random_state=7).iterrows():
+        lo = (pd.Timestamp(r["day"]) - pd.Timedelta(days=6)).date()
+        win = ev[
+            (ev.event_type == r["event_type"])
+            & (ev.day >= lo)
+            & (ev.day <= r["day"])
+        ]
+        exact = win.user_id.nunique()
+        assert exact > 0
+        assert abs(r["approx_users_7d"] - exact) <= max(3, 0.10 * exact)
+        assert r["n_events_7d"] == len(win)

@@ -166,3 +166,31 @@ def test_corpus_to_sequences_excludes_eval_and_flagged(spark, sf_dir):
         (F.col("seq_off") < 0) | (F.col("seq_off") >= SEQ_LEN)
     ).count()
     assert bad == 0
+
+
+def test_pps_sample_grid_invariants(spark, sf_dir):
+    """PPS systematic sampling: the total pick count equals the grid
+    size floor(total/step) (within the +2 flooring slack of
+    step = total div K), a document never receives more picks than
+    ceil(w/step), and every selected doc's interval genuinely
+    contains a grid multiple."""
+    from cs422pp_mapreduce_spark.operators.textops import PPS_K, q_pps_sample
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = q_pps_sample(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    total = sum(docs.values())
+    step = max(total // PPS_K, 1)
+    picks = sum(r["n_picks"] for r in rows)
+    assert picks == total // step
+    assert PPS_K <= picks <= PPS_K + 2
+    for r in rows:
+        assert r["w"] == docs[r["doc_id"]]
+        assert r["n_picks"] <= -(-r["w"] // step) + 1
+        # interval (before, before+w] contains n_picks grid multiples
+        assert (r["before"] + r["w"]) // step - r["before"] // step == r["n_picks"]

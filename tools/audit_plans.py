@@ -69,6 +69,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "semantic_dedup": {
         "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
     },
+    "pps_sample": {
+        "BroadcastNestedLoopJoin": "1-row weight-total broadcast (grid step)"
+    },
     "bm25_topk": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats broadcast (N, avgdl, df)"
     },
@@ -102,6 +105,7 @@ WINDOW_OK = {
     "global_rank": "offset frame is O(partitions) rows",
     "quality_deciles": "offset frame is O(partitions) rows",
     "seq_pack": "offset frame is O(partitions) rows",
+    "pps_sample": "offset frame is O(partitions) rows",
     "seq_pack_bpe": "offset frame is O(partitions) rows",
     "corpus_to_sequences": "offset frame is O(partitions) rows",
     "retention_cohorts": "window over O(cohorts) aggregate",
