@@ -324,11 +324,12 @@ def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
         .toPandas()
     )
     for _, r in out.sample(n=min(40, len(out)), random_state=7).iterrows():
-        lo = (pd.Timestamp(r["day"]) - pd.Timedelta(days=6)).date()
+        hi = pd.Timestamp(r["day"]).date()  # 'day' ships as timestamp
+        lo = (pd.Timestamp(hi) - pd.Timedelta(days=6)).date()
         win = ev[
             (ev.event_type == r["event_type"])
             & (ev.day >= lo)
-            & (ev.day <= r["day"])
+            & (ev.day <= hi)
         ]
         exact = win.user_id.nunique()
         assert exact > 0
