@@ -96,6 +96,26 @@ _QUERIES: dict[str, QueryFn] = {
     # jobs at build time; every other query builds without executing
     # anything (streaming contract queries are intercepted by
     # STREAM_PLAN_BUILDERS in the analysis tools).
+    # --- round-6 wave-8 NEW operators (six fresh families, all
+    # hash-verified): table_diff (snapshot reconciliation / CDC diff),
+    # dq_report (single-scan-per-table expectations audit), bfs_reach
+    # (multi-source BFS vs a recursive-CTE oracle — the first
+    # hash-verified iterative graph traversal), max_concurrency
+    # (interval sweep-line via the range-exchange prefix sum),
+    # order_stat (exact distributed selection, no global sort),
+    # resample_ohlc (deterministic OHLC downsampling) ---
+    # wave 9: last-touch attribution (asof-by-window, no self-join) and
+    # the cross-source shingle-overlap contamination matrix; plus the
+    # semantic_dedup candidate path rewritten (cell+LSH-banded — the
+    # r06 curve caught the within-cell all-pairs at 11.3×/10×)
+    "attribution": EV.q_attribution,
+    "source_overlap": TX.q_source_overlap,
+    "table_diff": MT.q_table_diff,
+    "dq_report": MT.q_dq_report,
+    "bfs_reach": GR.q_bfs_reach,
+    "max_concurrency": EV.q_max_concurrency,
+    "order_stat": R.q_order_stat,
+    "resample_ohlc": EV.q_resample_ohlc,
     "dedup_substring_apply": D.q_dedup_substring_apply,
     # pps_sample: integer-exact PPS systematic sampling (hash-verified,
     # range-exchange prefix sum); rolling_hll: trailing-window distinct

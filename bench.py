@@ -121,6 +121,16 @@ HEADLINE = [
     "semantic_dedup",
     "kll_quantiles",
     "stream_foreach_upsert",
+    # round-6 wave 8: reconciliation, quality, sweep-line, selection,
+    # BFS, OHLC resampling
+    "table_diff",
+    "dq_report",
+    "max_concurrency",
+    "order_stat",
+    "bfs_reach",
+    "resample_ohlc",
+    "attribution",
+    "source_overlap",
 ]
 
 RUNS = 3

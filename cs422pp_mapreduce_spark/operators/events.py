@@ -522,3 +522,223 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(per_prev).cast("double")
         ).alias("prob"),
     )
+
+
+# --- interval sweep-line: max concurrency ----------------------------------
+
+CONCURRENCY_INTERVAL_MIN = 60  # each event occupies [ts, ts + 60 min)
+
+
+def max_concurrent_per_day(ev: DataFrame, interval_min: int) -> DataFrame:
+    """Sweep-line kernel: peak number of simultaneously-open half-open
+    intervals [ts, ts+interval_min) per day, from an (event_id, ts)
+    frame. Factored out of q_max_concurrency so boundary semantics
+    (an interval ending exactly when another starts does NOT overlap
+    it) can be pinned on hand-built frames in pytest."""
+    from ..session import default_parallelism
+
+    bounds = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select(
+            (F.col("ts") + F.expr(
+                f"INTERVAL {interval_min} MINUTES"
+            )).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    n_part = default_parallelism()
+    ranged = bounds.repartitionByRange(
+        n_part, "t", "delta", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "local_run", F.sum("delta").over(local_w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("delta").alias("part_sum"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("part_sum").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    running = local.join(F.broadcast(offsets), "pid").select(
+        "t",
+        "delta",
+        (F.col("local_run") + F.col("offset")).cast("long").alias("open_now"),
+    )
+    return (
+        running.where(F.col("delta") == 1)
+        .groupBy(F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("open_now").alias("max_concurrency"))
+        .orderBy("day")
+    )
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: treat every event as a half-open
+    1-hour interval [ts, ts+1h) and report, for each day, the maximum
+    number of simultaneously-open intervals — the sweep-line
+    (interval-overlap counting) primitive behind concurrent-session
+    capacity planning and license-peak audits.
+
+    Algorithm: explode each interval into a +1 boundary at its start
+    and a −1 boundary at its end, impose the global total order
+    (t, delta, event_id) — delta −1 before +1 at the same instant, so
+    an interval ending exactly when another starts never overlaps it
+    (half-open semantics, pinned in the oracle by the same sort key —
+    and the unique event_id tiebreak makes the running sum a pure
+    function of the data — then take the global running sum of delta.
+    Concurrency peaks only at +1 boundaries, so the per-day max is
+    over start boundaries' running values.
+
+    Scale shape: the running sum is the engine's range-exchange prefix
+    -sum kernel (repartitionByRange on the sort key, per-partition
+    ROWS-frame window, O(#partitions) offset frame broadcast back) —
+    NEVER an unpartitioned data-sized window. One range exchange + one
+    day aggregate; boundary rows are 2× events but only (t, delta)
+    wide."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return max_concurrent_per_day(ev, CONCURRENCY_INTERVAL_MIN)
+
+
+# --- time-series resample: OHLC downsampling -------------------------------
+
+
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to per-(event_type, hour) OHLC bars
+    — open/high/low/close of ``value`` plus volume — the
+    candlestick-style resampling every monitoring and market-data
+    pipeline runs.
+
+    Open/close are deterministic SELECTIONS (first/last value by the
+    unique order (ts, event_id)) — bit-exact across engines because no
+    arithmetic touches the doubles; high/low are min/max (also
+    selections); volume is a BIGINT count; the bar's value sum is
+    decimal-routed per the repo determinism convention.
+
+    Plan: ONE hash exchange on (event_type, hour) feeding both the
+    row_number window (open/close picks) and the aggregate — the
+    window's partition key equals the groupBy key, so Catalyst reuses
+    the exchange and the whole query is a single shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("hour"),
+    )
+    w_open = Window.partitionBy("event_type", "hour").orderBy(
+        "ts", "event_id"
+    )
+    w_close = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        marked.groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("volume"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# --- marketing attribution (round 6 wave 9) --------------------------------
+
+ATTRIB_WINDOW_HOURS = 72
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent click/view by the same user within the preceding 72 h, or
+    to 'direct' when none exists — the standard marketing-attribution
+    rollup (last-touch model) reported as
+    (touch_type, day, n_purchases, revenue).
+
+    The per-user "most recent touch at or before me" is ONE
+    last(ignorenulls) running window ordered by (ts, kind, event_id)
+    — kind orders touches BEFORE purchases at the same instant (a
+    same-microsecond touch attributes), and the unique event_id makes
+    the pick deterministic. No self-join, no per-purchase probe: the
+    asof lookup rides the same user-hash exchange every sessionization
+    query uses, then the report is a ≤(touch_types+1)×days aggregate.
+    Counts are BIGINT and revenue is decimal-routed ⇒ hash-verified."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES, "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(
+                F.col("kind") == 0,
+                F.struct(F.col("ts").alias("tts"),
+                         F.col("event_type").alias("ttype")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    purchases = touched.where(F.col("kind") == 1).select(
+        F.coalesce(
+            F.when(
+                F.col("touch.tts")
+                >= F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS"),
+                F.col("touch.ttype"),
+            ),
+            F.lit("direct"),
+        ).alias("touch_type"),
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    return (
+        purchases.groupBy("touch_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_sum("value", 2, "revenue"),
+        )
+        .orderBy("touch_type", "day")
+    )

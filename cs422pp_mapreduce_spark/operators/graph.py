@@ -238,3 +238,66 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
     )
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# --- BFS reachability (round 6) -----------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_SOURCE_MOD = 100  # customer nodes divisible by this are sources
+
+
+def bfs_hops(
+    edges_sym: DataFrame, sources: DataFrame, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Multi-source BFS over a symmetric (src, dst) edge frame:
+    returns (node, hop) with hop = MINIMUM edge distance to any
+    source, bounded by ``max_hops``. Frontier-at-a-time BFS yields
+    min-hop by construction (a node is claimed by the first frontier
+    that reaches it and anti-joined away from all later ones), so the
+    result is exactly SQL's hop-limited shortest reachability — which
+    is why this iterative loop can be HASH-verified against a
+    recursive-CTE oracle, unlike float-accumulating pagerank.
+
+    Scale shape: each round is one frontier⋈edges hash join (both
+    sides keyed on node id — AQE keeps the small frontier side
+    broadcast when it shrinks) plus one anti-join against the visited
+    set; ``localCheckpoint()`` per round keeps lineage O(1). Frontier
+    and visited frames are node-id wide, never edge-sized."""
+    edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = sources.select("node").distinct().withColumn(
+        "hop", F.lit(0).cast("long")
+    ).localCheckpoint()
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges_sym, frontier.node == edges_sym.src
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: hop-limited multi-source BFS on the symmetric
+    customer–supplier transaction graph, sources = customer nodes
+    whose id is divisible by BFS_SOURCE_MOD. Hash-verified against a
+    DuckDB recursive CTE (UNION-dedup frontier, MIN(hop) rollup)."""
+    edges = transaction_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(edges.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    sources = (
+        edges.select(F.col("cust").alias("node"))
+        .where(F.col("node") % BFS_SOURCE_MOD == 0)
+        .distinct()
+    )
+    return bfs_hops(sym, sources).orderBy("node")

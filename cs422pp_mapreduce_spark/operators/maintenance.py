@@ -472,3 +472,170 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum("o_totalprice", 2, "revenue"),
     )
+
+
+# --- snapshot diff (table reconciliation) ----------------------------------
+
+# Deterministic new-snapshot derivation for the diff contract: every
+# engine (Spark and the DuckDB oracle) can reproduce both snapshots
+# from the same parquet truth, so the diff itself is what's verified.
+DIFF_DEL_MOD = 97    # keys divisible by this are deleted in the new snapshot
+DIFF_CHG_MOD = 89    # keys divisible by this get a price restatement
+DIFF_ADD_MOD = 101   # keys divisible by this are cloned as brand-new keys
+DIFF_ADD_OFFSET = 100_000_000
+
+
+def snapshot_pair(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(old, new) snapshot twins of ``orders``. New = old minus the
+    DEL keys, with CHG keys' o_totalprice restated (+1.0 — exact in
+    binary floating point, so cross-engine comparison is bit-stable),
+    plus ADD clones re-keyed into a disjoint range."""
+    old = orders
+    k = F.col("o_orderkey")
+    changed = old.where(k % DIFF_CHG_MOD == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    kept = old.where((k % DIFF_DEL_MOD != 0) & (k % DIFF_CHG_MOD != 0))
+    added = old.where(k % DIFF_ADD_MOD == 0).withColumn(
+        "o_orderkey", k + F.lit(DIFF_ADD_OFFSET)
+    )
+    new = (
+        kept.unionByName(changed.where(k % DIFF_DEL_MOD != 0))
+        .unionByName(added)
+    )
+    return old, new
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed by a null-safe full outer join on the key — the CDC
+    primitive behind incremental replication audits (the reference has
+    no table maintenance at all; its sink truncate,
+    /root/reference/thread_pool.cc:245-256, is the closest notion of a
+    snapshot boundary).
+
+    Scale shape: ONE key-hash shuffle per side; every non-key column
+    is compared with null-safe equality JVM-side after the join, so
+    nothing but the join key ever drives the exchange and the
+    comparison never leaves codegen. No row fingerprints: hashing
+    doubles/timestamps into a digest is exactly the kind of
+    cross-engine formatting trap the repo's determinism convention
+    bans — column-wise ``<=>`` is exact."""
+    non_key = [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key).alias("k"), *[F.col(c).alias(f"o_{i}") for i, c in enumerate(non_key)]
+    )
+    n = new.select(
+        F.col(key).alias("k"), *[F.col(c).alias(f"n_{i}") for i, c in enumerate(non_key)]
+    )
+    # explicit presence markers: a present row whose payload columns are
+    # all NULL must still classify correctly, so presence can't be
+    # inferred from payload nullability
+    o = o.withColumn("o_present", F.lit(True))
+    n = n.withColumn("n_present", F.lit(True))
+    j = o.join(n, "k", "full_outer")
+    o_present = F.col("o_present").eqNullSafe(F.lit(True))
+    n_present = F.col("n_present").eqNullSafe(F.lit(True))
+    any_diff = F.lit(False)
+    for i in range(len(non_key)):
+        any_diff = any_diff | ~(F.col(f"o_{i}").eqNullSafe(F.col(f"n_{i}")))
+    return (
+        j.select(
+            F.col("k").alias(key),
+            F.when(~o_present, F.lit("added"))
+            .when(~n_present, F.lit("removed"))
+            .when(any_diff, F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .where(F.col("change_type") != "unchanged")
+        .orderBy(key)
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: diff the deterministic snapshot twins of
+    ``orders`` and emit every (key, added|removed|changed) row."""
+    orders = load_table(spark, sf_dir, "orders")
+    old, new = snapshot_pair(orders)
+    return table_diff(old, new, "o_orderkey")
+
+
+# --- data-quality expectations audit ---------------------------------------
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations audit over the warehouse tables: one row per check
+    with its violation count — the Great-Expectations-style gate a
+    pipeline runs before promoting a batch.
+
+    Scale shape: ONE full scan per table computing ALL of that table's
+    checks as conditional counters inside a single partial-aggregating
+    HashAggregate (violations never materialize, only counters
+    shuffle — O(1) rows per partition), plus one anti-join for the
+    referential check (key-hash shuffle, the only data-sized
+    exchange) and one fact⋈dim join for the temporal-order check.
+    Every counter is BIGINT, so the report is engine-exact."""
+
+    def _cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    li_checks = li.agg(
+        _cnt(~F.col("l_quantity").between(1, 50)).alias("li_quantity_range"),
+        _cnt(F.col("l_extendedprice") <= 0).alias("li_price_nonpositive"),
+        _cnt(~F.col("l_discount").between(0.0, 0.5)).alias("li_discount_range"),
+        _cnt(~F.col("l_tax").between(0.0, 0.5)).alias("li_tax_range"),
+        _cnt(F.col("l_returnflag").isNull()).alias("li_returnflag_null"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).cast("long").alias("li_pk_duplicates"),
+    )
+    ord_checks = orders.agg(
+        _cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "ord_status_domain"
+        ),
+        _cnt(F.col("o_totalprice") <= 0).alias("ord_price_nonpositive"),
+        _cnt(F.col("o_custkey").isNull()).alias("ord_custkey_null"),
+    )
+    ev_checks = events.agg(
+        _cnt(F.col("ts").isNull()).alias("ev_ts_null"),
+        _cnt(F.col("props").isNull()).alias("ev_props_null"),
+        _cnt(F.col("value") < 0).alias("ev_value_negative"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("li_fk_orphans"))
+    )
+    ship_before = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == orders.o_orderkey)
+        .agg(
+            _cnt(F.col("l_shipdate") < F.col("o_orderdate")).alias(
+                "li_ship_before_order"
+            )
+        )
+    )
+
+    def _unpivot(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        return df.selectExpr(
+            f"stack({len(cols)}, {pairs}) as (check_name, violations)"
+        )
+
+    report = (
+        _unpivot(li_checks)
+        .unionByName(_unpivot(ord_checks))
+        .unionByName(_unpivot(ev_checks))
+        .unionByName(_unpivot(orphans))
+        .unionByName(_unpivot(ship_before))
+    )
+    return report.orderBy("check_name")

@@ -1039,3 +1039,84 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = skyline_2d(part, "price", "size")
     return sk.select("price", F.col("size").cast("long").alias("size"))
+
+
+# --- exact distributed order statistics (round 6) -------------------------
+
+ORDER_STAT_BUCKETS = 1024
+
+
+def exact_kth_cents(df: DataFrame, cents_col: str, k: int) -> int:
+    """Exact k-th smallest (1-based) of an integer column by iterative
+    histogram narrowing — the classic distributed SELECTION algorithm
+    (Blum et al. medians-of-medians lineage, histogram form): no
+    global sort, no data-sized collect.
+
+    Each round scans only rows inside the current [lo, hi] candidate
+    range (a pushdown-friendly BETWEEN filter over the persisted
+    frame), buckets them into ≤ ORDER_STAT_BUCKETS equal-width integer
+    cells with a partial-aggregating groupBy, and collects ONE
+    ≤1024-row histogram (bounded driver metadata, the codebook-collect
+    convention) to pick the cell containing rank k. The range shrinks
+    ≥1024× per round, so convergence is ⌈log₁₀₂₄(range)⌉ scans (≤3 for
+    cent-scale money) regardless of row count — at 100 TB this is 3
+    column-pruned scans and 3 KB of driver traffic, where a global
+    sort would be a full-data range exchange."""
+    row = df.agg(
+        F.min(cents_col).alias("lo"), F.max(cents_col).alias("hi")
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    c = F.col(cents_col)
+    while hi > lo:
+        width = hi - lo + 1
+        nb = min(ORDER_STAT_BUCKETS, width)
+        bucket = ((c - F.lit(lo)) * nb / F.lit(width)).cast("long")
+        hist = (
+            df.where(c.between(lo, hi))
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: ≤ ORDER_STAT_BUCKETS rows
+        )
+        counts = {int(r["b"]): int(r["n"]) for r in hist}
+        cum = 0
+        for b in range(nb):
+            n = counts.get(b, 0)
+            if cum + n >= k:
+                k -= cum
+                # invert floor bucketing: v lands in cell b iff
+                # (v-lo)*nb // width == b iff
+                # v-lo ∈ [⌈b·width/nb⌉, ⌈(b+1)·width/nb⌉ - 1]
+                lo_b = lo + (b * width + nb - 1) // nb
+                hi_b = lo + ((b + 1) * width + nb - 1) // nb - 1
+                lo, hi = max(lo, lo_b), min(hi, hi_b)
+                break
+            cum += n
+    return lo
+
+
+def q_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median and p90 of l_extendedprice WITHOUT a global
+    sort: iterative-histogram distributed selection over the price in
+    integer cents. Emits (stat_name, k, value_cents) — all-BIGINT, so
+    the row is engine-exact and hash-verified against the oracle's
+    ROW_NUMBER order statistic (ranks: lower median k=(N+1)//2, p90
+    k=⌈0.9N⌉, both on the 1-based ascending order)."""
+    from ..functions.numeric import money_dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (money_dec("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = li.count()
+    stats = [
+        ("p50", (n + 1) // 2),
+        ("p90", (9 * n + 9) // 10),
+    ]
+    rows = [
+        (name, k, exact_kth_cents(li, "cents", k)) for name, k in stats
+    ]
+    li.unpersist()
+    return spark.createDataFrame(
+        rows, "stat_name string, k long, value_cents long"
+    ).orderBy("stat_name")

@@ -481,13 +481,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell (first-occurrence-wins, the id-ordered analog of the paper's
     one-per-group selection; one distinct + one left anti-join).
 
-    Scale: this IS the published 100 TB recipe — clustering bounds
-    the pair space to Σ|cell|² ≈ n²/k, and k grows with the corpus so
-    cells stay bounded (the paper uses k=50k for LAION); the
-    within-cell join shuffles on cell, never all-pairs. Iterative
-    float k-means makes cell ids engine-specific ⇒ rows-only
-    contract; planted-twin recall, keep-exactly-one, and determinism
-    are pinned in tests/test_dedup_similarity.py."""
+    Scale: the paper bounds the pair space by growing k with the
+    corpus (k=50k for LAION) so Σ|cell|² stays linear; this engine's
+    quantizer is a fixed-K coarse fit, so within-cell candidates are
+    additionally banded with the map-only sign-LSH signature kernel
+    (``sign_band_buckets``) — pairs must agree on (cell, band,
+    bucket), so the self-join shuffles O(n × bands) signature rows
+    and only same-bucket rows ever meet, never a per-cell all-pairs
+    (the r06 scale curve caught the all-pairs form at 11.3× time for
+    10× data: n²/K with fixed K is still quadratic). A ≥0.95-cos
+    pair agrees on some full band w.h.p. (miss probability ≈2e-8 at
+    cos 0.999), so planted-twin recall is preserved — still pinned in
+    tests. Iterative float k-means makes cell ids engine-specific ⇒
+    rows-only contract; planted-twin recall, keep-exactly-one, and
+    determinism are pinned in tests/test_dedup_similarity.py."""
     centroids, _ = build_ivf_index(spark, sf_dir)
     vecs = contract_vectors(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -507,15 +514,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vecs, "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    bbc = (
+        sign_band_buckets(spark, assigned.select("vec_id", "vec"))
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # (vec_id, band, bucket, cell): both sides of the candidate join
+    a = bbc.alias("a")
+    b = bbc.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
     )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
-    )
+    va = assigned.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     pruned = (
-        a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()

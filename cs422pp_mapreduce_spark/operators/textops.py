@@ -1078,3 +1078,70 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# --- cross-source shingle overlap (round 6 wave 9) -------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram overlap between corpus sources: for every
+    source pair sharing ≥1 distinct 3-gram shingle, the shared/total
+    set sizes and Jaccard similarity — the cross-source contamination
+    / syndication matrix a curation pass reads before fixing mixture
+    weights (two "different" sources with high Jaccard are mirrors).
+
+    Scale shape: documents shingle once via the engine's two-step
+    shingle projection (HOF CSE trap), collapse to DISTINCT
+    (source, shingle) — the only content-keyed shuffle, and the unit
+    of work is a shingle, never a document pair; the intersection
+    self-join meets only within a shingle (fan bounded by
+    #sources²/shingle, ≤190 here), and the per-source set sizes join
+    back as a broadcast of #sources rows. Counts are BIGINT; jaccard
+    is the rounded display column (round+0.0 convention)."""
+    from .dedup import shingle_frame
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ss = (
+        shingle_frame(docs, 3, "source")
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # both sides of the intersection join + the size aggregate
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -2708,3 +2708,262 @@ ORACLES["knn_join"] = f"""
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {KNN_K}
 """
+
+# --- round-6 wave-8 oracles -------------------------------------------------
+
+# Snapshot-diff twin: same deterministic old/new derivation
+# (maintenance.DIFF_*_MOD constants), FULL OUTER JOIN on the key,
+# column-wise IS DISTINCT FROM comparison (never a row digest — doubles
+# and timestamps hash engine-dependently; null-safe inequality is exact).
+ORACLES["table_diff"] = """
+    WITH oldsnap AS (SELECT * FROM orders),
+    newsnap AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                      OR (o.o_orderpriority
+                          IS DISTINCT FROM n.o_orderpriority)
+                    THEN 'changed' ELSE 'unchanged' END AS change_type
+        FROM oldsnap o FULL OUTER JOIN newsnap n
+          ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change_type FROM d
+    WHERE change_type <> 'unchanged'
+    ORDER BY o_orderkey
+"""
+
+# Data-quality audit twin: COUNT(*) FILTER counts exactly the rows where
+# the predicate is TRUE (NULL predicates fall out on both engines — the
+# engine's WHEN cond THEN 1 OTHERWISE 0 has identical null semantics).
+ORACLES["dq_report"] = """
+    SELECT * FROM (
+        SELECT 'li_quantity_range' AS check_name,
+               COUNT(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))
+                   AS violations FROM lineitem
+        UNION ALL
+        SELECT 'li_price_nonpositive',
+               COUNT(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+        UNION ALL
+        SELECT 'li_discount_range',
+               COUNT(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.5))
+               FROM lineitem
+        UNION ALL
+        SELECT 'li_tax_range',
+               COUNT(*) FILTER (WHERE NOT (l_tax BETWEEN 0.0 AND 0.5))
+               FROM lineitem
+        UNION ALL
+        SELECT 'li_returnflag_null',
+               COUNT(*) FILTER (WHERE l_returnflag IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'li_pk_duplicates',
+               CAST(COUNT(*)
+                    - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+               FROM lineitem
+        UNION ALL
+        SELECT 'ord_status_domain',
+               COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+               FROM orders
+        UNION ALL
+        SELECT 'ord_price_nonpositive',
+               COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+        UNION ALL
+        SELECT 'ord_custkey_null',
+               COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+        UNION ALL
+        SELECT 'ev_ts_null',
+               COUNT(*) FILTER (WHERE ts IS NULL) FROM events
+        UNION ALL
+        SELECT 'ev_props_null',
+               COUNT(*) FILTER (WHERE props IS NULL) FROM events
+        UNION ALL
+        SELECT 'ev_value_negative',
+               COUNT(*) FILTER (WHERE value < 0) FROM events
+        UNION ALL
+        SELECT 'li_fk_orphans', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'li_ship_before_order',
+               COUNT(*) FILTER (WHERE l_shipdate < o_orderdate)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) ORDER BY check_name
+"""
+
+# Sweep-line twin: identical total order (t, delta, event_id) with ends
+# (-1) before starts (+1) at equal instants — the half-open interval
+# convention pinned on both engines.
+ORACLES["max_concurrency"] = """
+    WITH b AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 60 MINUTE, -1, event_id FROM events
+    ), r AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS open_now
+        FROM b
+    )
+    SELECT date_trunc('day', t) AS day,
+           CAST(MAX(open_now) AS BIGINT) AS max_concurrency
+    FROM r WHERE delta = 1
+    GROUP BY date_trunc('day', t)
+    ORDER BY day
+"""
+
+# OHLC twin: open/close via the same (ts, event_id) unique order —
+# selections, never arithmetic, so the doubles are bit-identical.
+ORACLES["resample_ohlc"] = f"""
+    WITH m AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                               date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rn_close
+        FROM events
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           {{XSUM_VALUE}} AS sum_value
+    FROM m GROUP BY event_type, hour
+    ORDER BY event_type, hour
+""".replace("{XSUM_VALUE}", _xsum("value", 2))
+
+# BFS twin: hop-limited recursive CTE with UNION dedup on (node, hop)
+# pairs; MIN(hop) over hops ≤ 4 equals the frontier BFS's min distance
+# whenever that distance is ≤ 4 — exactly the engine's bound.
+ORACLES["bfs_reach"] = """
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+               CAST(l_suppkey AS BIGINT) + 1000000 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), sym AS (
+        SELECT cust AS src, supp AS dst FROM base
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM base
+    ), srcs AS (
+        SELECT DISTINCT cust AS node FROM base WHERE cust % 100 = 0
+    ), r AS (
+        SELECT node, CAST(0 AS BIGINT) AS hop FROM srcs
+        UNION
+        SELECT s.dst AS node, r.hop + 1 AS hop
+        FROM r JOIN sym s ON s.src = r.node
+        WHERE r.hop < 4
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM r GROUP BY node ORDER BY node
+"""
+
+# Order-statistic twin: the k-th 1-based ascending cent value via
+# ROW_NUMBER (ties between equal cents are rank-ambiguous but
+# value-deterministic). Cents via the 2-decimal DECIMAL route — never
+# ROUND on a double product (the .5-boundary engine divergence).
+ORACLES["order_stat"] = """
+    WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ), n AS (SELECT COUNT(*) AS n FROM c),
+    ks AS (
+        SELECT 'p50' AS stat_name, CAST((n + 1) // 2 AS BIGINT) AS k FROM n
+        UNION ALL
+        SELECT 'p90', CAST((9 * n + 9) // 10 AS BIGINT) FROM n
+    ), ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+    )
+    SELECT ks.stat_name, ks.k, ranked.cents AS value_cents
+    FROM ks JOIN ranked ON ranked.rn = ks.k
+    ORDER BY stat_name
+"""
+
+# Last-touch attribution twin: identical (ts, kind, event_id) running
+# order, last_value IGNORE NULLS for the asof touch pick, same 72 h
+# window and 'direct' fallback.
+ORACLES["attribution"] = f"""
+    WITH e AS (
+        SELECT user_id, ts, event_type, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ), t AS (
+        SELECT *,
+               last_value(CASE WHEN kind = 0 THEN
+                   struct_pack(tts := ts, ttype := event_type) END
+                   IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS touch
+        FROM e
+    ), p AS (
+        SELECT COALESCE(CASE WHEN (touch).tts >= ts - INTERVAL 72 HOUR
+                             THEN (touch).ttype END, 'direct')
+                   AS touch_type,
+               date_trunc('day', ts) AS day,
+               value
+        FROM t WHERE kind = 1
+    )
+    SELECT touch_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {_xsum('value', 2)} AS revenue
+    FROM p GROUP BY touch_type, day
+    ORDER BY touch_type, day
+"""
+
+# Cross-source shingle-overlap twin: same 3-gram shingles (short-doc
+# fallback included), DISTINCT (source, shingle) sets, intersection
+# self-join + per-source sizes.
+ORACLES["source_overlap"] = """
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT source, list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE t END) AS shingles
+        FROM toks
+    ), ss AS (
+        SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ss GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ss a JOIN ss b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - i.n_shared), 6) + 0.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+"""

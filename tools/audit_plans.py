@@ -111,6 +111,7 @@ WINDOW_OK = {
     "retention_cohorts": "window over O(cohorts) aggregate",
     "revenue_share": "window over O(nations) aggregate",
     "skyline": "prefix-min offset frame is O(partitions) rows",
+    "max_concurrency": "offset frame is O(partitions) rows",
 }
 
 # ordering token as it appears in plan text: "col#123L ASC NULLS FIRST"
