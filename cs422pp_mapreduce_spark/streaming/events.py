@@ -197,6 +197,66 @@ def _drain_to_memory(
     return agg.sparkSession.table(name)
 
 
+def staged_slice_parts(
+    spark: SparkSession, sf_dir: str, n_files: int, by: str = "time"
+) -> list[str]:
+    """Session-memoized deterministic slices of the events table:
+    built ONCE per (application, sf_dir, n_files, by) and returned as
+    n parquet file paths in slice order. ``by='time'``: equal-size
+    event-time slices (ntile over (ts, event_id) — the ingestion-
+    directory convention); ``by='hash'``: event_id % n.
+
+    The slices are pure functions of the fixture, so reusing them is
+    semantics-free for the streaming contract queries — what those
+    queries verify is the LANDING/RESTART sequence over per-call
+    source/checkpoint dirs, not the slicing. Memoizing here removes
+    the per-invocation global sort + n writes that dominated
+    stream_foreach_upsert/stream_event_recovery's fixed cost (a
+    r06 bench finding: 13 s/invocation at sf0.1, most of it
+    re-slicing identical input)."""
+    import os
+
+    from ..sources.catalog import load_table
+    from ..sources.staging import session_staging_dir, sf_tag
+
+    base = session_staging_dir(
+        spark, f"slices_{by}_{sf_tag(sf_dir)}_{n_files}"
+    )
+    marker = os.path.join(base, "_COMPLETE")
+
+    def _paths() -> list[str]:
+        out = []
+        for i in range(1, n_files + 1):
+            d = os.path.join(base, f"s{i}")
+            f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+            out.append(os.path.join(d, f))
+        return out
+
+    if os.path.isfile(marker):
+        return _paths()
+
+    ev = load_table(spark, sf_dir, "events")
+    if by == "time":
+        from pyspark.sql.window import Window
+
+        sliced = ev.withColumn(
+            "_slice",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+        )
+        for i in range(1, n_files + 1):
+            sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
+    else:
+        for i in range(1, n_files + 1):
+            ev.where(F.col("event_id") % n_files == i - 1).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return _paths()
+
+
 def stage_event_files(
     spark: SparkSession, sf_dir: str, n_files: int = 2
 ) -> str:
@@ -221,13 +281,11 @@ def stage_event_files(
     import shutil
     import time as _time
 
-    from ..sources.catalog import load_table
     from ..sources.staging import session_staging_dir, sf_tag
 
     base = session_staging_dir(
         spark, f"stream_stage_{sf_tag(sf_dir)}_{n_files}"
     )
-    parts = os.path.join(base, "parts")
     src = os.path.join(base, "src")
     # Wipe stale staged files: callers may add extras AFTER staging
     # (stream_dedup's redelivered copies), which a later reuse of the
@@ -236,25 +294,14 @@ def stage_event_files(
         shutil.rmtree(src)
     os.makedirs(src)
 
-    ev = load_table(spark, sf_dir, "events")
-    # ntile over ts (event_id tiebreak) gives equal-size time slices
-    from pyspark.sql.window import Window
-
-    sliced = ev.withColumn(
-        "_slice",
-        F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
-    )
+    # slices are session-memoized (pure function of the fixture);
+    # per-call work is n file copies + mtime stamps only
+    slice_files = staged_slice_parts(spark, sf_dir, n_files, by="time")
     now = _time.time()
-    for i in range(1, n_files + 1):
-        d = f"{parts}/s{i}"
-        sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
-            1
-        ).write.mode("overwrite").parquet(d)
-        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
+    for i, part in enumerate(slice_files, start=1):
         dst = os.path.join(src, f"slice{i}.parquet")
-        shutil.copy(os.path.join(d, f), dst)
+        shutil.copy(part, dst)
         os.utime(dst, (now + i * 10, now + i * 10))
-    shutil.rmtree(parts)
     return src
 
 
@@ -353,8 +400,11 @@ def q_stream_event_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is the decimal-routed tumbling window (accumulation-
     order-independent), and complete mode re-emits converged state at
     the final trigger. Temp source/checkpoint dirs are per-call (this
-    query IS the restart sequence; memoizing it would skip the thing
-    being verified). At scale this is the operational contract that
+    query IS the restart sequence; memoizing THOSE would skip the
+    thing being verified) — but the slices themselves are a pure
+    function of the fixture and come from the session-memoized
+    staged_slice_parts, so repeat invocations pay file copies, not a
+    re-slicing job. At scale this is the operational contract that
     matters most: a 1000-executor streaming job WILL be restarted —
     deploys, spot loss — and correctness across that boundary is what
     the checkpoint buys."""
@@ -362,24 +412,15 @@ def q_stream_event_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..sources.catalog import load_table
-
     base = tempfile.mkdtemp(prefix="stream_recovery_")
-    stage = os.path.join(base, "stage")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
 
-    ev = load_table(spark, sf_dir, "events")
-    for i in range(4):
-        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
-            f"{stage}/s{i}"
-        )
+    parts = staged_slice_parts(spark, sf_dir, 4, by="hash")
 
     def land(i: int) -> None:
-        d = f"{stage}/s{i}"
-        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
-        shutil.copy(os.path.join(d, f), os.path.join(src, f"s{i}.parquet"))
+        shutil.copy(parts[i], os.path.join(src, f"s{i}.parquet"))
 
     def agg() -> DataFrame:
         raw = (
@@ -461,45 +502,31 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Update mode matters: unlike the recovery query's complete-mode
     re-emission, each trigger emits only changed keys, so the final
     table is correct ONLY if every merge applied exactly once — which
-    is the property under test. Per-call temp dirs by design (the
-    restart sequence IS the query; reuse would skip it)."""
+    is the property under test. Source/checkpoint/target dirs are
+    per-call by design (the restart sequence IS the query); the
+    TIME-ORDERED slices (update mode honors the watermark, so arrival
+    order must track event time — the complete-mode recovery query
+    could slice arbitrarily, this one cannot) are the session-memoized
+    staged_slice_parts, so repeat invocations pay file copies, not a
+    re-slicing job."""
     import os
     import shutil
     import tempfile
     import time as _time
 
-    from ..sources.catalog import load_table
-
     base = tempfile.mkdtemp(prefix="stream_upsert_")
-    stage = os.path.join(base, "stage")
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     tdir = os.path.join(base, "target")
     os.makedirs(src)
     os.makedirs(tdir)
 
-    # TIME-ORDERED slices (ntile over ts, the stage_event_files
-    # convention): update mode honors the watermark, so arrival order
-    # must track event time like a real ingestion directory — the
-    # complete-mode recovery query could slice arbitrarily, this one
-    # cannot (late-beyond-watermark input is correctly dropped).
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "_slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    )
-    for i in range(4):
-        ev.where(F.col("_slice") == i + 1).drop("_slice").coalesce(
-            1
-        ).write.parquet(f"{stage}/s{i}")
-
+    parts = staged_slice_parts(spark, sf_dir, 4, by="time")
     _t0 = _time.time()
 
     def land(i: int) -> None:
-        d = f"{stage}/s{i}"
-        f = next(n for n in os.listdir(d) if n.endswith(".parquet"))
         dst = os.path.join(src, f"s{i}.parquet")
-        shutil.copy(os.path.join(d, f), dst)
+        shutil.copy(parts[i], dst)
         # monotone mtimes: the file source orders new files by mtime,
         # and slice order IS event-time order here
         os.utime(dst, (_t0 + i * 10, _t0 + i * 10))
