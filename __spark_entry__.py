@@ -109,6 +109,7 @@ _QUERIES: dict[str, QueryFn] = {
     # semantic_dedup candidate path rewritten (cell+LSH-banded — the
     # r06 curve caught the within-cell all-pairs at 11.3×/10×)
     "attribution": EV.q_attribution,
+    "funnel_windowed": EV.q_funnel_windowed,
     "source_overlap": TX.q_source_overlap,
     "table_diff": MT.q_table_diff,
     "dq_report": MT.q_dq_report,

@@ -131,6 +131,7 @@ HEADLINE = [
     "resample_ohlc",
     "attribution",
     "source_overlap",
+    "funnel_windowed",
 ]
 
 RUNS = 3

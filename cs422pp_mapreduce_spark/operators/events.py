@@ -742,3 +742,69 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type", "day")
     )
+
+
+# --- windowed conversion funnel (round 6 wave 9) ---------------------------
+
+FUNNEL_WINDOW_HOURS = 48
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with per-step COMPLETION WINDOWS: signup →
+    click within 48 h of the first signup → purchase within 48 h of
+    the first qualifying click (greedy earliest-completion, the
+    product-analytics semantics plain q_funnel's any-time ordering
+    doesn't capture — a purchase a month after the click is not a
+    funnel conversion).
+
+    Single-exchange plan: everything is chained running-min windows
+    over ONE user-hash partitioning ordered by (ts, event_id) — the
+    strictly-preceding frame carries "first signup so far" onto each
+    click (which decides whether that click qualifies), then "first
+    qualifying click so far" onto each purchase. No per-step
+    self-joins: at 100 TB a 3-step funnel via joins is three full-log
+    shuffles; here the log shuffles once and the two extra window
+    passes reuse the same sort. Counts are BIGINT ⇒ hash-verified."""
+    w_hours = FUNNEL_WINDOW_HOURS
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    win = F.expr(f"INTERVAL {w_hours} HOURS")
+    e1 = ev.withColumn(
+        "sg", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(prev)
+    ).withColumn(
+        "qc",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("sg").isNotNull()
+            & (F.col("ts") <= F.col("sg") + win),
+            F.col("ts"),
+        ),
+    )
+    e2 = e1.withColumn("ck", F.min("qc").over(prev)).withColumn(
+        "qp",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("ck").isNotNull()
+            & (F.col("ts") <= F.col("ck") + win),
+            F.col("ts"),
+        ),
+    )
+    per_user = e2.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.min("qc").alias("t2"),
+        F.min("qp").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_then_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )

@@ -2967,3 +2967,46 @@ ORACLES["source_overlap"] = """
     JOIN sizes sb ON sb.source = i.src_b
     ORDER BY src_a, src_b
 """
+
+# Windowed-funnel twin: identical strictly-preceding frames over the
+# same (ts, event_id) order carry first-signup onto clicks and
+# first-qualifying-click onto purchases.
+ORACLES["funnel_windowed"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('signup', 'click', 'purchase')
+    ), w1 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS sg
+        FROM e
+    ), w2 AS (
+        SELECT *, CASE WHEN event_type = 'click' AND sg IS NOT NULL
+                        AND ts <= sg + INTERVAL 48 HOUR THEN ts END AS qc
+        FROM w1
+    ), w3 AS (
+        SELECT *,
+               MIN(qc) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS ck
+        FROM w2
+    ), w4 AS (
+        SELECT *, CASE WHEN event_type = 'purchase' AND ck IS NOT NULL
+                        AND ts <= ck + INTERVAL 48 HOUR THEN ts END AS qp
+        FROM w3
+    ), per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+               MIN(qc) AS t2,
+               MIN(qp) AS t3
+        FROM w4 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2) AS BIGINT) AS n_signup_then_click,
+           CAST(COUNT(t3) AS BIGINT) AS n_full_funnel
+    FROM per_user
+"""

@@ -334,3 +334,53 @@ def test_source_overlap_recompute(spark, sf_dir):
         if a < b and sets[a] & sets[b]
     }
     assert seen == expect_pairs
+
+
+def test_funnel_windowed_recompute(spark, sf_dir):
+    """Greedy earliest-completion funnel equals a literal per-user
+    replay; windowed counts never exceed plain funnel's any-time
+    ordering counts."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from cs422pp_mapreduce_spark.operators.events import (
+        FUNNEL_WINDOW_HOURS,
+        q_funnel,
+        q_funnel_windowed,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    got = q_funnel_windowed(spark, sf_dir).collect()[0]
+    plain = q_funnel(spark, sf_dir).collect()[0]
+    W = dt.timedelta(hours=FUNNEL_WINDOW_HOURS)
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        if r["event_type"] in ("signup", "click", "purchase"):
+            by_user[r["user_id"]].append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+    n_signup = n_click = n_purchase = 0
+    for rows in by_user.values():
+        rows.sort()
+        t1 = t2 = t3 = None
+        for ts, _eid, et in rows:
+            # iteration follows the engine's (ts, event_id) order, so
+            # "strictly preceding frame" = already-seen rows
+            if et == "signup" and t1 is None:
+                t1 = ts
+            elif (et == "click" and t2 is None and t1 is not None
+                    and ts <= t1 + W):
+                t2 = ts
+            elif (et == "purchase" and t3 is None and t2 is not None
+                    and ts <= t2 + W):
+                t3 = ts
+        n_signup += t1 is not None
+        n_click += t2 is not None
+        n_purchase += t3 is not None
+    assert got["n_users"] == len(by_user)
+    assert got["n_signup"] == n_signup
+    assert got["n_signup_then_click"] == n_click
+    assert got["n_full_funnel"] == n_purchase
+    assert got["n_signup"] == plain["n_signup"]
