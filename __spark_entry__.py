@@ -93,9 +93,12 @@ _QUERIES: dict[str, QueryFn] = {
     # that plans its literal bucket predicate), q_bucketed_join writes
     # its two bucketed tables at build time (the write IS the operator
     # under test), and q_bpe_train runs its bounded per-round argmax
-    # jobs at build time; every other query builds without executing
-    # anything (streaming contract queries are intercepted by
-    # STREAM_PLAN_BUILDERS in the analysis tools).
+    # jobs at build time, and q_order_stat runs its count + bounded
+    # ≤1024-row histogram collects at build time (iterative selection
+    # is driver-paced by nature); every other query builds without
+    # executing anything (streaming contract queries AND order_stat
+    # are intercepted by the lazy plan twins in
+    # plans.analysis.ANALYSIS_PLAN_BUILDERS for the analysis tools).
     # --- round-6 wave-8 NEW operators (six fresh families, all
     # hash-verified): table_diff (snapshot reconciliation / CDC diff),
     # dq_report (single-scan-per-table expectations audit), bfs_reach

@@ -949,13 +949,15 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents pass through identity and are not re-hashed.
 
     Shape: the span table (O(spans) ≪ O(tokens)) is exploded to
-    flagged token positions, grouped per doc into a sorted position
-    array (spans are disjoint maximal runs, so no double counting),
-    key-joined back to the tokenized docs, and each doc is cut by ONE
-    array filter on 1-based position — evaluated once (n_kept is pure
-    arithmetic: spans are disjoint ⇒ n_kept = n_tokens − n_removed,
-    so the HOF result is referenced only by the re-join; HOFs are
-    CodegenFallback, no CSE). Everything after detection is one key
+    flagged token positions, grouped per doc into a sorted DISTINCT
+    position array (two maximal runs within a shingle width of each
+    other produce overlapping token spans, so positions must be
+    deduplicated before counting), key-joined back to the tokenized
+    docs, and each doc is cut by ONE array filter on 1-based position —
+    evaluated once (n_kept is pure arithmetic over the distinct
+    position count: n_kept = n_tokens − n_removed, so the HOF result
+    is referenced only by the re-join; HOFs are CodegenFallback, no
+    CSE). Everything after detection is one key
     join + map-only array work; no shuffle carries text except the
     final affected-doc rows. At 100 TB-scale doc lengths, swap the
     per-position membership probe for an interval search over the
@@ -975,7 +977,11 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ps"),
         )
         .groupBy("doc_id")
-        .agg(F.array_sort(F.flatten(F.collect_list("ps"))).alias("flagged"))
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("ps")))
+            ).alias("flagged")
+        )
     )
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.repartition(default_parallelism(), "doc_id").select(

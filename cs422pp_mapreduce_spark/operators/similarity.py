@@ -478,8 +478,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast argmin; candidate pairs are the within-cell
     self-join; the keep rule is deterministic greedy — prune any
     vector with a ≥SEMDEDUP_COS neighbor of SMALLER vec_id in its
-    cell (first-occurrence-wins, the id-ordered analog of the paper's
-    one-per-group selection; one distinct + one left anti-join).
+    cell (one distinct + one left anti-join). NOTE on chains: the
+    prune is by neighbor EXISTENCE, not by surviving-neighbor
+    existence — in a similarity chain a~b, b~c (a≁c) both b and c are
+    pruned even though b, c's only near-neighbor, was itself removed.
+    This is transitive-closure-style pruning (keep each connected
+    group's minimum id), which matches the paper's one-per-group
+    selection exactly when groups are cliques (the planted-twin
+    fixtures are pairs, so cliques); a sequential greedy pass would
+    additionally keep chain-interior survivors like c. One anti-join
+    vs an inherently sequential scan is the right trade at cluster
+    scale, and downstream keep-list consumers only require that ≥1
+    representative per group survives — which minimum-id retention
+    guarantees.
 
     Scale: the paper bounds the pair space by growing k with the
     corpus (k=50k for LAION) so Σ|cell|² stays linear; this engine's

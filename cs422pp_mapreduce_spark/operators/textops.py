@@ -453,10 +453,13 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     1949; the PPS design survey samplers and data-mixture builders
     use): lay every document on one global axis of cumulative weight
     (weight = n_chars — longer docs carry more training signal), drop
-    a regular grid of PPS_K points step = total_weight div PPS_K
-    apart, and select the documents the grid points land in. Inclusion
-    probability is proportional to weight, the sample size is fixed
-    (±1), and — unlike rand()-keyed weighted reservoirs — membership
+    a regular grid of points step = total_weight div PPS_K apart, and
+    select the documents the grid points land in. Inclusion
+    probability is proportional to weight, the sample size is
+    approximately PPS_K (exactly total div step grid picks — the
+    floor in step makes this drift above K when total is far from a
+    multiple of step), and — unlike rand()-keyed weighted reservoirs —
+    membership
     is a pure INTEGER function of the corpus, so the sample is
     identical across engines, partitionings, and reruns: hash-verified,
     not rows-only.

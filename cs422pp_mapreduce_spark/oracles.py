@@ -1409,7 +1409,7 @@ ORACLES: dict[str, str] = {
             FROM runs GROUP BY doc_id, grp
             HAVING MAX(pos) - MIN(pos) + 5 >= 30
         ), flagged AS (
-            SELECT doc_id, list_sort(flatten(list(ps))) AS flagged
+            SELECT doc_id, list_sort(list_distinct(flatten(list(ps)))) AS flagged
             FROM (SELECT doc_id,
                          generate_series(span_start,
                                          span_start + span_tokens - 1) AS ps

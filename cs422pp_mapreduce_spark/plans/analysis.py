@@ -1,0 +1,80 @@
+"""Analysis-only plan twins for queries that execute work at
+plan-BUILD time.
+
+The plan-audit / dtype-sweep tools call every registered query builder
+to get a DataFrame whose plan and schema they inspect WITHOUT running
+it. Two classes of queries break that assumption:
+
+* streaming contract queries — calling them runs a real streaming job
+  and returns a memory-sink scan that hides the aggregation plan
+  (``STREAM_PLAN_BUILDERS`` in ``streaming.events``);
+* driver-paced iterative queries (order_stat) — calling them pays the
+  real scans eagerly and returns a trivial ``LocalTableScan``.
+
+``ANALYSIS_PLAN_BUILDERS`` maps each such query to a lazy builder that
+(a) has the exact output schema of the real query (the dtype sweep
+compares it column-by-column against the oracle) and (b) exposes the
+representative distributed plan shape (the audit scans it for
+anti-patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def order_stat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy twin of ``q_order_stat`` (which is driver-paced: the real
+    query runs a count plus ≤3 bounded histogram collects per statistic
+    at build time, so its returned plan is a LocalTableScan).
+
+    This twin builds ONE representative selection round — the
+    column-pruned cents scan feeding a ≤ORDER_STAT_BUCKETS-cell
+    partial-aggregating histogram — then folds the histogram into the
+    real output schema (stat_name string, k long, value_cents long)
+    via a second aggregate + a 2-element explode, all without a single
+    driver job. The audit sees the plan shape that dominates the real
+    query's cost; the dtype sweep sees the exact driver schema.
+    """
+    from ..functions.numeric import money_dec
+    from ..operators.relational import ORDER_STAT_BUCKETS
+    from ..sources.catalog import load_table
+
+    cents = (
+        load_table(spark, sf_dir, "lineitem")
+        .select((money_dec("l_extendedprice") * 100).cast("long").alias("cents"))
+    )
+    hist = (
+        cents.groupBy((F.col("cents") % ORDER_STAT_BUCKETS).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    summ = hist.agg(
+        F.sum("n").alias("n_rows"), F.min("b").alias("bmin")
+    )
+    stat = lambda name, k: F.struct(  # noqa: E731 — local plan shaping
+        F.lit(name).alias("stat_name"),
+        k.cast("long").alias("k"),
+        F.col("bmin").cast("long").alias("value_cents"),
+    )
+    n = F.col("n_rows")
+    return (
+        summ.select(
+            F.explode(
+                F.array(
+                    stat("p50", (n + 1) / 2),
+                    stat("p90", (9 * n + 9) / 10),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stat_name")
+    )
+
+
+def analysis_plan_builders() -> dict:
+    """Full name → lazy-builder map for the analysis tools (streaming
+    twins + driver-paced twins)."""
+    from ..streaming.events import STREAM_PLAN_BUILDERS
+
+    return {**STREAM_PLAN_BUILDERS, "order_stat": order_stat_plan}

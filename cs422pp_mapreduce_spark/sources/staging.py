@@ -20,6 +20,7 @@ import threading
 from pyspark.sql import SparkSession
 
 _STAGING: dict[tuple[str, str], str] = {}
+_TAG_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 _LOCK = threading.Lock()
 
 
@@ -36,6 +37,19 @@ def session_staging_dir(spark: SparkSession, tag: str) -> str:
             path = tempfile.mkdtemp(prefix=f"{tag}_")
             _STAGING[key] = path
         return path
+
+
+def tag_lock(spark: SparkSession, tag: str) -> threading.Lock:
+    """One lock per (Spark application, tag), for callers that must
+    serialize a build-once/reuse-later section over a shared staging
+    dir (e.g. the memoized event-slice build: two concurrent threads
+    must not race interleaved overwrite writes into the same parts)."""
+    key = (spark.sparkContext.applicationId, tag)
+    with _LOCK:
+        lk = _TAG_LOCKS.get(key)
+        if lk is None:
+            lk = _TAG_LOCKS[key] = threading.Lock()
+        return lk
 
 
 def sf_tag(sf_dir: str) -> str:

@@ -110,6 +110,9 @@ def run_stream_foreach_batch(
 
 
 _MEMSINK_SEQ = itertools.count()
+# per-invocation src-dir suffix for stage_event_files (see its
+# docstring: shared src dirs race concurrent file-source streams)
+_STAGE_SRC_SEQ = itertools.count()
 
 
 def read_event_stream_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,11 +220,10 @@ def staged_slice_parts(
     import os
 
     from ..sources.catalog import load_table
-    from ..sources.staging import session_staging_dir, sf_tag
+    from ..sources.staging import session_staging_dir, sf_tag, tag_lock
 
-    base = session_staging_dir(
-        spark, f"slices_{by}_{sf_tag(sf_dir)}_{n_files}"
-    )
+    tag = f"slices_{by}_{sf_tag(sf_dir)}_{n_files}"
+    base = session_staging_dir(spark, tag)
     marker = os.path.join(base, "_COMPLETE")
 
     def _paths() -> list[str]:
@@ -232,29 +234,33 @@ def staged_slice_parts(
             out.append(os.path.join(d, f))
         return out
 
-    if os.path.isfile(marker):
+    # check-marker + build is serialized per tag: two concurrent
+    # first-callers must not race interleaved overwrite writes into
+    # the same slice parts (ADVICE r06)
+    with tag_lock(spark, tag):
+        if os.path.isfile(marker):
+            return _paths()
+
+        ev = load_table(spark, sf_dir, "events")
+        if by == "time":
+            from pyspark.sql.window import Window
+
+            sliced = ev.withColumn(
+                "_slice",
+                F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+            )
+            for i in range(1, n_files + 1):
+                sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
+                    1
+                ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
+        else:
+            for i in range(1, n_files + 1):
+                ev.where(F.col("event_id") % n_files == i - 1).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
         return _paths()
-
-    ev = load_table(spark, sf_dir, "events")
-    if by == "time":
-        from pyspark.sql.window import Window
-
-        sliced = ev.withColumn(
-            "_slice",
-            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
-        )
-        for i in range(1, n_files + 1):
-            sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
-    else:
-        for i in range(1, n_files + 1):
-            ev.where(F.col("event_id") % n_files == i - 1).coalesce(
-                1
-            ).write.mode("overwrite").parquet(os.path.join(base, f"s{i}"))
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return _paths()
 
 
 def stage_event_files(
@@ -272,11 +278,16 @@ def stage_event_files(
     time column rather than a hash keeps cross-batch watermark
     semantics honest: each batch's data is newer than the last.
 
-    The staging dir is SESSION-SCOPED per (sf_dir, n_files) — reused
-    and re-stamped on later calls instead of leaking one temp dir per
-    invocation across gate/bench/pytest runs (ADVICE r05); each
-    streaming query still gets a fresh checkpoint, so re-staged files
-    are re-consumed."""
+    The staging BASE dir is SESSION-SCOPED per (sf_dir, n_files) —
+    amortized across gate/bench/pytest runs instead of leaking one
+    temp dir per invocation (ADVICE r05) — but each invocation gets
+    its OWN src/ subdir (ADVICE r06): a shared src/ that is rmtree'd
+    per call would delete slice files out from under a concurrent
+    invocation's still-running file-source stream, and callers that
+    add extras after staging (stream_dedup's redelivered copies) must
+    never leak them into another invocation's stream. Only the
+    memoized slice parquet files are shared; per-call cost is n file
+    copies + mtime stamps."""
     import os
     import shutil
     import time as _time
@@ -286,12 +297,7 @@ def stage_event_files(
     base = session_staging_dir(
         spark, f"stream_stage_{sf_tag(sf_dir)}_{n_files}"
     )
-    src = os.path.join(base, "src")
-    # Wipe stale staged files: callers may add extras AFTER staging
-    # (stream_dedup's redelivered copies), which a later reuse of the
-    # shared dir must not feed into ITS stream.
-    if os.path.isdir(src):
-        shutil.rmtree(src)
+    src = os.path.join(base, f"src{next(_STAGE_SRC_SEQ)}")
     os.makedirs(src)
 
     # slices are session-memoized (pure function of the fixture);

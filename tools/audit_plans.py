@@ -123,16 +123,18 @@ def audit(sf_dir: str) -> int:
     from cs422pp_mapreduce_spark.plans.explain import explain_str
     from cs422pp_mapreduce_spark.session import get_spark
 
-    from cs422pp_mapreduce_spark.streaming.events import STREAM_PLAN_BUILDERS
+    from cs422pp_mapreduce_spark.plans.analysis import analysis_plan_builders
 
+    plan_twins = analysis_plan_builders()
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
     for name, fn in E.queries().items():
-        # streaming contract queries: executing them runs a real
-        # streaming job and returns a memory-sink scan that HIDES the
-        # aggregation plan — audit the un-started streaming plan instead
-        fn = STREAM_PLAN_BUILDERS.get(name, fn)
+        # streaming contract queries would run a real streaming job and
+        # return a memory-sink scan that HIDES the aggregation plan;
+        # driver-paced queries (order_stat) would pay real scans and
+        # return a LocalTableScan — audit the lazy plan twin instead
+        fn = plan_twins.get(name, fn)
         try:
             plan = explain_str(fn(spark, sf_dir), mode="simple")
         except Exception as exc:  # analysis failure is itself a finding

@@ -74,18 +74,19 @@ def sweep(sf_dir: str, only: set[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    from cs422pp_mapreduce_spark.streaming.events import STREAM_PLAN_BUILDERS
+    from cs422pp_mapreduce_spark.plans.analysis import analysis_plan_builders
 
+    plan_twins = analysis_plan_builders()
     qs, oracles = E.queries(), E.oracle_sql()
     violations: list[str] = []
     n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        # streaming contract queries: take the schema from the
-        # un-started streaming plan (identical to the sink output)
-        # instead of executing a streaming job
-        fn = STREAM_PLAN_BUILDERS.get(name, fn)
+        # streaming/driver-paced queries: take the schema from the
+        # lazy plan twin (identical to the real output schema)
+        # instead of executing jobs at plan-build time
+        fn = plan_twins.get(name, fn)
         try:
             schema = fn(spark, sf_dir).schema
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
