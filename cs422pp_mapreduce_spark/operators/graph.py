@@ -80,17 +80,32 @@ def pagerank(
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
     for i in range(n_iterations):
+        # Contribution sum is made cross-engine EXACT by quantizing
+        # each term at the atto scale: floor((rank/outdeg)·1e18) is a
+        # pure IEEE-double pipeline (division, multiply by the exactly-
+        # representable 1e18, floor) that yields the identical integer
+        # in any engine, the integers sum exactly in decimal(38,0)
+        # (per-node inflow < 1 ⇒ scaled sum < 1e18, far under both
+        # long and decimal(38) range), and sum/1e18 is one correctly-
+        # rounded double op. The earlier decimal(38,20) per-element
+        # cast was NOT portable: DuckDB's double→decimal conversion
+        # differs from the JVM's exact-expansion HALF_UP in the tail
+        # digits ~half the time (measured), while floor-in-double is
+        # bit-identical. Quantization error ≤1e-18/term stays ~1e-12
+        # after 8 rounds — invisible at the round-12 output and far
+        # inside the replica test's 1e-9 bound — and buys a DuckDB-
+        # expressible twin: pagerank is hash-verified, not rows-only.
         contrib = (
             out_edges.join(ranks, out_edges.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                F.floor((F.col("rank") / F.col("outdeg")) * F.lit(1e18))
+                .cast("decimal(38,0)")
+                .alias("c18"),
             )
             .groupBy("node")
             .agg(
-                F.sum(F.col("c").cast("decimal(38,20)"))
-                .cast("double")
-                .alias("inflow")
+                (F.sum("c18").cast("double") / F.lit(1e18)).alias("inflow")
             )
         )
         ranks = contrib.select(
@@ -108,8 +123,11 @@ def pagerank(
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the transaction graph, 8 fixed rounds; output is
     rounded to 12 decimals per the engine's float-output convention.
-    Iterative + float accumulation ⇒ rows-only driver check; the exact
-    NumPy power-iteration replica is asserted in tests."""
+    HASH-VERIFIED (r07): the atto-quantized contribution sum (see
+    ``pagerank``) makes every round's arithmetic engine-exact, so the
+    DuckDB oracle unrolls the 8 damped iterations as CTEs and matches
+    bit-for-bit; the exact NumPy power-iteration replica is
+    additionally asserted in tests."""
     edges = transaction_edges(spark, sf_dir)
     sym = edges.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")

@@ -3010,3 +3010,65 @@ ORACLES["funnel_windowed"] = """
            CAST(COUNT(t3) AS BIGINT) AS n_full_funnel
     FROM per_user
 """
+
+
+# PageRank: the fixed damped iterations unrolled as chained CTEs (r07 —
+# converts the engine's largest rows-only query to hash-verified).
+# Exactness contract with operators/graph.py:pagerank: each round's
+# contribution sum is quantized at the atto scale — FLOOR((pr/outdeg)
+# * 1e18) is a pure IEEE-double pipeline (division, multiply by the
+# exactly-representable 1e18, floor), bit-identical in any engine; the
+# resulting integers sum EXACTLY (HUGEINT here, decimal(38,0) in
+# Spark; per-node inflow < 1 keeps the scaled sum < 1e18); the
+# integer→double reconstruction routes through VARCHAR (DuckDB's
+# decimal→double cast double-rounds — the _xsum convention) and
+# divides by 1e18 (one correctly-rounded op). The damping literals are
+# embedded as the repr of the exact Python doubles the Spark side uses
+# and parsed via string→double, which is correctly rounded — writing
+# (1 - 0.85)/n inline would run in DuckDB's DECIMAL domain and land on
+# a different double than Python's 0.15000000000000002.
+def _pagerank_sql() -> str:
+    from .operators.graph import DAMPING, N_ITERATIONS, SUPP_OFFSET
+
+    base = repr(1.0 - DAMPING)
+    damp = repr(DAMPING)
+    sql = f"""
+        WITH e0 AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+                   CAST(l_suppkey AS BIGINT) + {SUPP_OFFSET} AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), sym AS (
+            SELECT cust AS src, supp AS dst FROM e0
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM e0
+        ), deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM deg
+        ), r0 AS (
+            SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS pr
+            FROM deg, nn
+        )"""
+    for k in range(1, N_ITERATIONS + 1):
+        sql += f""", r{k} AS (
+            SELECT i.node,
+                   CAST('{base}' AS DOUBLE) / nn.n
+                     + CAST('{damp}' AS DOUBLE) * i.inflow AS pr
+            FROM (
+                SELECT s.dst AS node,
+                       CAST(CAST(SUM(CAST(FLOOR((r.pr / dg.outdeg) * 1e18)
+                                          AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                         / 1e18 AS inflow
+                FROM sym s
+                JOIN deg dg ON dg.src = s.src
+                JOIN r{k - 1} r ON r.node = s.src
+                GROUP BY s.dst
+            ) i, nn
+        )"""
+    sql += f"""
+        SELECT node, ROUND(pr, 12) + 0.0 AS pagerank FROM r{N_ITERATIONS}
+    """
+    return sql
+
+
+ORACLES["pagerank"] = _pagerank_sql()
