@@ -62,112 +62,40 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 _QUERIES: dict[str, QueryFn] = {
+
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-6 order, refreshed per VERDICT r05 ask #1:
-    # 1. slots 1-6: round-6 NEW operators (first driver rows) —
-    #    dedup_substring_apply (span-cut corpus materialization),
-    #    png_meta/jpeg_meta (REAL-format header kernels: PNG IHDR with
-    #    CRC-32 cross-verification, JPEG SOF0 marker walk),
-    #    semantic_dedup (SemDeDup keep-list; rows-only, pytest pins),
-    #    kll_quantiles (mergeable quantile sketches; rows-only),
-    #    stream_foreach_upsert (foreachBatch exactly-once upsert with
-    #    mid-stream restart; runs its two real streaming queries at
-    #    call time by design, like stream_event_recovery);
-    # 2. slots 7-10: round-6 CHANGED queries whose outputs/oracles
-    #    moved — zorder_stats (0-based bucket fix), dedup_keep (keep
-    #    list now built from the EXACT prefix-filtered graph — the
-    #    sf0.3 gate caught the LSH banding missing 36 near-threshold
-    #    pairs), knn_join /
-    #    topk_similarity (signed-zero oracle normalization), ann_pq
-    #    (codes now consistent with the shipped codebooks; builds its
-    #    session-cached index at first call, like ann_ivf);
-    # 3. the 10 queries whose newest driver row was still ROUND 1,
-    #    then the 17 remaining r02-banked, then r03-banked, then
-    #    r04-banked, with the r05-fresh block last. Every ordering
-    #    decision is validated locally by tools/check_oracles.py
-    #    (driver-exact) + tools/sweep_dtypes.py, full-surface green at
-    #    sf0.01.
-    # NOTE (declared contract caveat, ADVICE r04): q_ann_lsh runs one
-    # bounded 1-row Spark job at plan-BUILD time (query-vector fetch
-    # that plans its literal bucket predicate), q_bucketed_join writes
-    # its two bucketed tables at build time (the write IS the operator
-    # under test), and q_bpe_train runs its bounded per-round argmax
-    # jobs at build time, and q_order_stat runs its count + bounded
-    # ≤1024-row histogram collects at build time (iterative selection
-    # is driver-paced by nature); every other query builds without
-    # executing anything (streaming contract queries AND order_stat
-    # are intercepted by the lazy plan twins in
-    # plans.analysis.ANALYSIS_PLAN_BUILDERS for the analysis tools).
-    # --- round-6 wave-8 NEW operators (six fresh families, all
-    # hash-verified): table_diff (snapshot reconciliation / CDC diff),
-    # dq_report (single-scan-per-table expectations audit), bfs_reach
-    # (multi-source BFS vs a recursive-CTE oracle — the first
-    # hash-verified iterative graph traversal), max_concurrency
-    # (interval sweep-line via the range-exchange prefix sum),
-    # order_stat (exact distributed selection, no global sort),
-    # resample_ohlc (deterministic OHLC downsampling) ---
-    # wave 9: last-touch attribution (asof-by-window, no self-join) and
-    # the cross-source shingle-overlap contamination matrix; plus the
-    # semantic_dedup candidate path rewritten (cell+LSH-banded — the
-    # r06 curve caught the within-cell all-pairs at 11.3×/10×)
-    "attribution": EV.q_attribution,
-    "funnel_windowed": EV.q_funnel_windowed,
-    "source_overlap": TX.q_source_overlap,
-    "table_diff": MT.q_table_diff,
-    "dq_report": MT.q_dq_report,
-    "bfs_reach": GR.q_bfs_reach,
-    "max_concurrency": EV.q_max_concurrency,
-    "order_stat": R.q_order_stat,
-    "resample_ohlc": EV.q_resample_ohlc,
-    "dedup_substring_apply": D.q_dedup_substring_apply,
-    # pps_sample: integer-exact PPS systematic sampling (hash-verified,
-    # range-exchange prefix sum); rolling_hll: trailing-window distinct
-    # via pre-aggregated mergeable sketches (rows-only, error pinned).
-    "pps_sample": TX.q_pps_sample,
-    "rolling_hll": EV.q_rolling_hll,
-    "png_meta": MM.q_png_meta,
-    "jpeg_meta": MM.q_jpeg_meta,
-    "semantic_dedup": S.q_semantic_dedup,
-    "kll_quantiles": R.q_kll_quantiles,
-    "stream_foreach_upsert": q_stream_foreach_upsert,
-    # --- round-6 changed queries ---
-    "zorder_stats": MT.q_zorder_stats,
-    "dedup_keep": D.q_dedup_keep,
-    "knn_join": S.q_knn_join,
-    "topk_similarity": S.q_topk_similarity,
-    "ann_pq": S.q_ann_pq,
-    # --- driver row was r01 — refreshed first ---
-    "union_all": R.q_union_all,
-    "except_op": R.q_except_op,
-    "intersect_op": R.q_intersect_op,
-    "case_expr": R.q_case_expr,
-    "null_handling": R.q_null_handling,
-    "array_funcs": R.q_array_funcs,
-    "string_funcs2": R.q_string_funcs2,
-    "date_funcs2": R.q_date_funcs2,
-    "math_funcs": R.q_math_funcs,
-    "json_funcs": R.q_json_funcs,
-    # --- driver row was r02 ---
-    "asof_join": AJ.q_asof_join,
-    "tpch_q3": TQ.q_tpch_q3,
-    "corpus_prep": CP.q_corpus_prep,
-    "merge_upsert": MT.q_merge_upsert,
-    "text_stats": TX.q_text_stats,
-    "lang_id": TX.q_lang_id,
-    "tfidf": TX.q_tfidf,
-    "keyword_extract": TX.q_keyword_extract,
-    "doc_chunk": TX.q_doc_chunk,
+    # round). Round-7 order, per VERDICT r06 asks #2/#3/#5:
+    # 1. slots 1-3: r07 NEW/CHANGED — text_roundtrip (NEW: the
+    #    reference-format '{key} {value}' text sink round-trip,
+    #    closing reference ops #8/#9 inside the driver gate),
+    #    pagerank (CHANGED: atto-quantized contribution sums + an
+    #    unrolled-CTE DuckDB oracle flip it from rows-only to
+    #    hash-verified after six rounds), dedup_substring_apply
+    #    (CHANGED: overlapping-span positions now deduplicated on
+    #    both engines — ADVICE r06);
+    # 2. the 45 queries whose newest driver row was r03 (the
+    #    staleness floor: after r07 no row should be older than r04),
+    #    in their round-6 relative order;
+    # 3. then the r04-banked, r05-banked, and r06-fresh blocks.
+    # Every ordering decision is validated locally by
+    # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
+    # full-surface green at sf0.01.
+    # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
+    # one bounded 1-row Spark job at plan-BUILD time (query-vector
+    # fetch that plans its literal bucket predicate), q_bucketed_join
+    # writes its two bucketed tables at build time (the write IS the
+    # operator under test), q_bpe_train runs its bounded per-round
+    # argmax jobs at build time, and q_order_stat runs its count +
+    # bounded <=1024-row histogram collects at build time (iterative
+    # selection is driver-paced by nature); every other query builds
+    # without executing anything (streaming contract queries and
+    # order_stat are intercepted by the lazy plan twins in
+    # plans/analysis.py for the analysis tools).
+    "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
-    "dedup_exact": D.q_dedup_exact,
-    "corpus_to_sequences": CP.q_corpus_to_sequences,
-    "dedup_minhash": D.q_dedup_minhash,
-    "label_centroid": S.q_label_centroid,
-    "kmeans_clusters": S.q_kmeans_clusters,
-    "media_meta": MM.q_media_meta,
-    "corpus_pipeline": CP.q_corpus_pipeline,
-    # --- driver row was r03 ---
-    "fuzzy_name_match": D.q_fuzzy_name_match,
+    "dedup_substring_apply": D.q_dedup_substring_apply,
+    # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,
     "retention_cohorts": EV.q_retention_cohorts,
@@ -213,7 +141,7 @@ _QUERIES: dict[str, QueryFn] = {
     "audio_meta": MM.q_audio_meta,
     "seq_pack_bpe": TK.q_seq_pack_bpe,
     "tpch_q4": TQ.q_tpch_q4,
-    # --- driver row was r04 ---
+    # --- newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,
     "map_funcs": R.q_map_funcs,
@@ -263,7 +191,7 @@ _QUERIES: dict[str, QueryFn] = {
     "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
-    # --- r05-fresh block (newest rows — last in line) ---
+    # --- newest driver row was r05 ---
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,
@@ -310,6 +238,55 @@ _QUERIES: dict[str, QueryFn] = {
     "multi_join_agg": R.q_multi_join_agg,
     "outer_join": R.q_outer_join,
     "cross_join": R.q_cross_join,
+    # --- r06-fresh block (newest rows - last in line) ---
+    "attribution": EV.q_attribution,
+    "funnel_windowed": EV.q_funnel_windowed,
+    "source_overlap": TX.q_source_overlap,
+    "table_diff": MT.q_table_diff,
+    "dq_report": MT.q_dq_report,
+    "bfs_reach": GR.q_bfs_reach,
+    "max_concurrency": EV.q_max_concurrency,
+    "order_stat": R.q_order_stat,
+    "resample_ohlc": EV.q_resample_ohlc,
+    "pps_sample": TX.q_pps_sample,
+    "rolling_hll": EV.q_rolling_hll,
+    "png_meta": MM.q_png_meta,
+    "jpeg_meta": MM.q_jpeg_meta,
+    "semantic_dedup": S.q_semantic_dedup,
+    "kll_quantiles": R.q_kll_quantiles,
+    "stream_foreach_upsert": q_stream_foreach_upsert,
+    "zorder_stats": MT.q_zorder_stats,
+    "dedup_keep": D.q_dedup_keep,
+    "knn_join": S.q_knn_join,
+    "topk_similarity": S.q_topk_similarity,
+    "ann_pq": S.q_ann_pq,
+    "union_all": R.q_union_all,
+    "except_op": R.q_except_op,
+    "intersect_op": R.q_intersect_op,
+    "case_expr": R.q_case_expr,
+    "null_handling": R.q_null_handling,
+    "array_funcs": R.q_array_funcs,
+    "string_funcs2": R.q_string_funcs2,
+    "date_funcs2": R.q_date_funcs2,
+    "math_funcs": R.q_math_funcs,
+    "json_funcs": R.q_json_funcs,
+    "asof_join": AJ.q_asof_join,
+    "tpch_q3": TQ.q_tpch_q3,
+    "corpus_prep": CP.q_corpus_prep,
+    "merge_upsert": MT.q_merge_upsert,
+    "text_stats": TX.q_text_stats,
+    "lang_id": TX.q_lang_id,
+    "tfidf": TX.q_tfidf,
+    "keyword_extract": TX.q_keyword_extract,
+    "doc_chunk": TX.q_doc_chunk,
+    "dedup_exact": D.q_dedup_exact,
+    "corpus_to_sequences": CP.q_corpus_to_sequences,
+    "dedup_minhash": D.q_dedup_minhash,
+    "label_centroid": S.q_label_centroid,
+    "kmeans_clusters": S.q_kmeans_clusters,
+    "media_meta": MM.q_media_meta,
+    "corpus_pipeline": CP.q_corpus_pipeline,
+    "fuzzy_name_match": D.q_fuzzy_name_match,
 }
 
 

@@ -435,6 +435,44 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-format TEXT sink contract — the reference's actual
+    output format (one sorted '{key} {value}' text file per reducer
+    partition, /root/reference/thread_pool.cc:232-242, with overwrite
+    ≡ its CleanExistingFile truncation, thread_pool.cc:245-256): the
+    flagship wordcount result is written through
+    ``sources/sinks.write_kv_text`` (8 partitions, ascending within
+    each file), read back as plain text, re-parsed on the single
+    separator, and returned as the full (word, cnt) table —
+    hash-verified against the wordcount oracle computed from the
+    original documents. The round trip must carry every row and every
+    count exactly through the reference's own on-disk format; this
+    closes reference ops #8/#9 inside the driver gate (they were
+    pytest-only before r07).
+
+    Words contain no separator by construction (they are split ON the
+    separator), so the read-back parse is one split — no quoting
+    protocol needed, exactly like the reference. Per-call cost is one
+    linear write + one linear text scan."""
+    from ..sources.sinks import write_kv_text
+    from ..sources.staging import session_staging_dir, sf_tag
+
+    from .wordcount import wordcount_df
+
+    base = session_staging_dir(spark, f"text_roundtrip_{sf_tag(sf_dir)}")
+    wc = wordcount_df(load_table(spark, sf_dir, "documents"), "text")
+    write_kv_text(wc, base, "word", "cnt", num_partitions=8)
+    parts = F.split(F.col("value"), " ")
+    return (
+        spark.read.text(base)
+        .select(
+            parts.getItem(0).alias("word"),
+            parts.getItem(1).cast("long").alias("cnt"),
+        )
+        .orderBy("word")
+    )
+
+
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: every order joined to the SCD2 customer
     VERSION that was valid on its order date — the temporal-join

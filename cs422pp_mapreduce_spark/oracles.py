@@ -3072,3 +3072,8 @@ def _pagerank_sql() -> str:
 
 
 ORACLES["pagerank"] = _pagerank_sql()
+
+# The reference-format text sink round-trip must reproduce the
+# wordcount table exactly — the truth IS the wordcount oracle
+# (aliased, not copied, like the streaming twins).
+ORACLES["text_roundtrip"] = ORACLES["wordcount"]
