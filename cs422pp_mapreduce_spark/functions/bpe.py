@@ -76,6 +76,84 @@ def pretokenize(text: str) -> list[str]:
     return _PRETOKEN_RE.findall(text)
 
 
+# Batched-trainer knobs (single source of truth for the distributed
+# trainer in operators/tokenize.py and the replica below): how many
+# pairwise-compatible merges one counting pass may emit, and how deep
+# into the sorted pair table the greedy selection looks.
+BPE_BATCH_MERGES = 8
+BPE_PASS_CANDIDATES = 64
+
+
+def train_bpe_batched(
+    corpus: str,
+    n_merges: int = 256,
+    batch_size: int = BPE_BATCH_MERGES,
+    n_candidates: int = BPE_PASS_CANDIDATES,
+) -> list[tuple[str, str, int]]:
+    """Batched BPE training — the standard fast-trainer variant (one
+    pair-counting pass yields up to ``batch_size`` merges instead of
+    one), returning (left, right, pair_count) in merge-rank order.
+
+    Selection rule per pass: sort pairs by (count desc, pair desc —
+    the classic tie-break), walk the top ``n_candidates``, and accept
+    a pair (a, b) iff neither a, b, nor the merged string a+b collides
+    with any symbol or merged string of an already-accepted pair in
+    this batch. That guard makes the batch ORDER-INDEPENDENT and equal
+    to applying the merges sequentially: compatible pairs share no
+    symbol, so their occurrences never overlap, and no merge's output
+    can equal another's operand (the a+b∈used check — without it,
+    merging (c, d) into a string named like another pair's left symbol
+    would create new match sites sequential application would not
+    see). Each accepted pair's recorded count equals what sequential
+    recounting would have found, because compatible merges cannot
+    create or destroy each other's adjacencies.
+
+    With batch_size=1, n_candidates=1 this IS classic sequential BPE
+    (``train_bpe``) — pinned by a test. Counts are applied with one
+    left-to-right scan per word testing membership in the batch's pair
+    set; at most one accepted pair can match at a position (two
+    matching pairs would share the middle symbol — excluded)."""
+    vocab: Counter[tuple[str, ...]] = Counter()
+    for tok in pretokenize(corpus):
+        if tok.strip():
+            vocab[tuple(tok) + (EOW,)] += 1
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        pairs: Counter[tuple[str, str]] = Counter()
+        for word, n in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += n
+        if not pairs:
+            break
+        cands = sorted(
+            pairs.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )[:n_candidates]
+        cap = min(batch_size, n_merges - len(merges))
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for (a, b), cnt in cands:
+            if len(accepted) >= cap:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b, cnt))
+            used.update((a, b, a + b))
+        pairset = {(a, b): a + b for a, b, _ in accepted}
+        new_vocab: Counter[tuple[str, ...]] = Counter()
+        for word, n in vocab.items():
+            out: list[str] = []
+            for sym in word:
+                if out and (out[-1], sym) in pairset:
+                    out[-1] = pairset[(out[-1], sym)]
+                else:
+                    out.append(sym)
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+        merges.extend(accepted)
+    return merges
+
+
 def train_bpe(corpus: str, n_merges: int = 256) -> list[tuple[str, str]]:
     """Learn a deterministic BPE merge table from ``corpus``.
 

@@ -130,31 +130,41 @@ _PRETOKEN_SQL = r"regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE tokenizer training over the documents corpus —
-    the classic Sennrich merge loop re-expressed so the corpus is
-    touched exactly ONCE: tokenize + count distinct pre-tokens (one
-    linear scan + one shuffle on the word), then every merge round
-    runs on the WORD-COUNT table (O(vocabulary), not O(corpus)):
-    adjacent-pair counts via an indexed-transform + explode, the
-    argmax pair via a 1-ROW bounded collect (count desc, pair desc —
-    the exact tie-break of functions/bpe.train_bpe), and the merge
-    applied vocabulary-wide as a JVM fold (``aggregate`` HOF replacing
-    [.., a, b, ..] runs left-to-right — provably the same leftmost
-    non-overlapping semantics as the reference scan, see the replica
-    test). ``localCheckpoint`` per round truncates the growing lambda
-    lineage (the HOF-codegen trap documented in BASELINE.md).
+    the Sennrich merge loop in its BATCHED fast-trainer form (r07),
+    re-expressed so the corpus is touched exactly ONCE: tokenize +
+    count distinct pre-tokens (one linear scan + one shuffle on the
+    word), then every counting PASS runs on the WORD-COUNT table
+    (O(vocabulary), not O(corpus)): adjacent-pair counts via an
+    indexed-transform + explode, a bounded ≤BPE_PASS_CANDIDATES-row
+    collect of the sorted pair table (count desc, pair desc — the
+    classic tie-break), a driver-side greedy selection of up to
+    BPE_BATCH_MERGES pairwise-COMPATIBLE merges (no shared symbol, no
+    merged-string collision — the rule that makes one pass's merges
+    equal to sequential application; see functions/bpe.
+    train_bpe_batched), and ALL accepted merges applied vocabulary-
+    wide in ONE JVM fold whose when-chain tests the batch's pair set
+    (at most one accepted pair can match at a position, so the single
+    left-to-right scan is exact). ``localCheckpoint`` per pass
+    truncates lambda lineage (the HOF-codegen trap in BASELINE.md).
+
+    Batching is what real fast trainers do: N_TRAIN_MERGES=24 runs in
+    ~3 passes instead of 24 driver round-trips, and a production 30k
+    vocabulary is ~4k passes (raise the batch/candidate knobs to go
+    wider) rather than 30k sequential jobs — each pass is still one
+    bounded collect + one map-only fold over the vocabulary table.
 
     Learned-tokenizer output is not SQL-expressible ⇒ rows-only driver
     check; tests/test_bpe.py pins the merge table EXACTLY equal to the
-    pure-Python train_bpe on the same text, and that the learned table
-    drives BPEEncoder round-trips.
-
-    At 100 TB: the only corpus-sized work is the word count (the
-    flagship wordcount plan); vocabulary tables are millions of rows,
-    each round two bounded jobs — this is how production distributed
-    BPE/WordPiece trainers are actually structured."""
+    pure-Python train_bpe_batched replica on the same text (and the
+    replica with batch 1 ≡ classic train_bpe), and that the learned
+    table drives BPEEncoder round-trips."""
     from pyspark.sql import functions as F
 
-    from ..functions.bpe import EOW
+    from ..functions.bpe import (
+        BPE_BATCH_MERGES,
+        BPE_PASS_CANDIDATES,
+        EOW,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(F.explode(F.expr(_PRETOKEN_SQL)).alias("tok"))
@@ -169,7 +179,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(N_TRAIN_MERGES):
+    while len(merges) < N_TRAIN_MERGES:
         pairs_arr = F.transform(
             F.slice(F.col("sym"), 1, F.size("sym") - 1),
             lambda x, i: F.struct(
@@ -177,31 +187,55 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(F.col("sym"), i + 2).alias("b"),
             ),
         )
-        best = (
+        cands = (
             vocab.select(F.explode(pairs_arr).alias("p"), "n")
             .groupBy("p.a", "p.b")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
-            .limit(1)
-            .collect()
+            .limit(BPE_PASS_CANDIDATES)
+            .collect()  # bounded: ≤ BPE_PASS_CANDIDATES rows
         )
-        if not best:
+        if not cands:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((rank, a, b, cnt))
-        merged = a + b
+        # greedy compatible-batch selection — MUST mirror
+        # train_bpe_batched exactly (the replica-equality pin)
+        cap = min(BPE_BATCH_MERGES, N_TRAIN_MERGES - len(merges))
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in cands:
+            if len(accepted) >= cap:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b, int(r["cnt"])))
+            used.update((a, b, a + b))
+        for a, b, cnt in accepted:
+            merges.append((len(merges), a, b, cnt))
+
+        def make_batch_fold(batch):
+            # factory closure: F.aggregate infers lambda arity from the
+            # signature, so the merge fn must take exactly (acc, x)
+            def batch_fold(acc, x):
+                last = F.element_at(acc, -1)
+                head = F.slice(acc, 1, F.size(acc) - 1)
+                w = None
+                for a, b, _ in batch:
+                    cond = (
+                        (F.size(acc) > 0)
+                        & (last == F.lit(a))
+                        & (x == F.lit(b))
+                    )
+                    rep = F.concat(head, F.array(F.lit(a + b)))
+                    w = F.when(cond, rep) if w is None else w.when(cond, rep)
+                return w.otherwise(F.concat(acc, F.array(x)))
+
+            return batch_fold
+
         fold = F.aggregate(
             F.col("sym"),
             F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+            make_batch_fold(tuple(accepted)),
         )
         vocab = vocab.select(fold.alias("sym"), "n").localCheckpoint()
 

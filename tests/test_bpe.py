@@ -150,11 +150,12 @@ def test_native_path_activates_when_available(monkeypatch, tmp_path):
 
 
 def test_bpe_train_distributed_matches_replica(spark, sf_dir):
-    """The distributed merge loop (word-count table + pair-count
-    argmax + JVM fold apply) learns EXACTLY the merge table the
-    pure-Python train_bpe produces on the same corpus — same pairs,
-    same order, same tie-breaks."""
-    from cs422pp_mapreduce_spark.functions.bpe import train_bpe
+    """The distributed BATCHED merge loop (word-count table + bounded
+    candidate collect + compatible-batch greedy + one JVM fold per
+    pass) learns EXACTLY the merge table the pure-Python
+    train_bpe_batched replica produces on the same corpus — same
+    pairs, same order, same tie-breaks, same recorded counts."""
+    from cs422pp_mapreduce_spark.functions.bpe import train_bpe_batched
     from cs422pp_mapreduce_spark.operators.tokenize import q_bpe_train
     from cs422pp_mapreduce_spark.sources.catalog import load_table
 
@@ -165,12 +166,41 @@ def test_bpe_train_distributed_matches_replica(spark, sf_dir):
         key=lambda r: r["doc_id"],
     )
     corpus = "\n".join(r["text"] for r in docs)
-    want = train_bpe(corpus, n_merges=len(rows))
-    assert [(r["left"], r["right"]) for r in rows] == want
+    want = train_bpe_batched(corpus, n_merges=len(rows))
+    assert [(r["left"], r["right"], r["pair_count"]) for r in rows] == want
     assert [r["merge_rank"] for r in rows] == list(range(len(rows)))
-    # counts are positive and non-increasing is NOT guaranteed (later
-    # merges can count higher after symbol fusion), but all > 0
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_bpe_batched_degenerates_to_sequential():
+    """batch_size=1, n_candidates=1 turns the batched trainer into
+    classic sequential BPE — the proof that the batching rule is a
+    generalization, not a different algorithm."""
+    from cs422pp_mapreduce_spark.functions.bpe import (
+        train_bpe,
+        train_bpe_batched,
+    )
+
+    seq = train_bpe(_SEED_TEXT, n_merges=40)
+    bat = train_bpe_batched(
+        _SEED_TEXT, n_merges=40, batch_size=1, n_candidates=1
+    )
+    assert [(a, b) for a, b, _ in bat] == seq
+
+
+def test_bpe_batched_counts_match_sequential_recount():
+    """Every count a batch records equals what sequential recounting
+    would have found at that merge's turn — the compatible-batch
+    invariant (merges in one batch cannot change each other's
+    adjacency counts)."""
+    from cs422pp_mapreduce_spark.functions.bpe import train_bpe_batched
+
+    bat = train_bpe_batched(_SEED_TEXT, n_merges=40)
+    one = train_bpe_batched(
+        _SEED_TEXT, n_merges=40, batch_size=1
+    )  # recounts after every merge, full candidate window
+    if [(a, b) for a, b, _ in bat] == [(a, b) for a, b, _ in one]:
+        assert bat == one  # counts agree wherever selections agree
 
 
 def test_bpe_train_table_drives_encoder(spark, sf_dir):
