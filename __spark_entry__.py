@@ -73,7 +73,13 @@ _QUERIES: dict[str, QueryFn] = {
     #    unrolled-CTE DuckDB oracle flip it from rows-only to
     #    hash-verified after six rounds), dedup_substring_apply
     #    (CHANGED: overlapping-span positions now deduplicated on
-    #    both engines — ADVICE r06);
+    #    both engines — ADVICE r06), kmeans_clusters (CHANGED: the
+    #    Lloyd fit's arithmetic is now quantized engine-exact —
+    #    integer assignment distances, correctly-rounded centroid
+    #    means — flipping it from rows-only to hash-verified with an
+    #    unrolled-CTE oracle; also removes the partition-order float
+    #    nondeterminism F.avg carried), bpe_train (CHANGED: batched
+    #    compatible-merge passes — still rows-only by nature);
     # 2. the 45 queries whose newest driver row was r03 (the
     #    staleness floor: after r07 no row should be older than r04),
     #    in their round-6 relative order;
@@ -95,6 +101,8 @@ _QUERIES: dict[str, QueryFn] = {
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
     "dedup_substring_apply": D.q_dedup_substring_apply,
+    "kmeans_clusters": S.q_kmeans_clusters,
+    "bpe_train": TK.q_bpe_train,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,
@@ -207,7 +215,6 @@ _QUERIES: dict[str, QueryFn] = {
     "hll_distinct": R.q_hll_distinct,
     "stream_wordcount": q_stream_wordcount,
     "bucketed_join": MT.q_bucketed_join,
-    "bpe_train": TK.q_bpe_train,
     "stream_enrich": q_stream_enrich,
     "dedup_ngram": D.q_dedup_ngram,
     "csv_roundtrip": MT.q_csv_roundtrip,
@@ -283,7 +290,6 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_to_sequences": CP.q_corpus_to_sequences,
     "dedup_minhash": D.q_dedup_minhash,
     "label_centroid": S.q_label_centroid,
-    "kmeans_clusters": S.q_kmeans_clusters,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
     "fuzzy_name_match": D.q_fuzzy_name_match,

@@ -273,6 +273,28 @@ def _sqdist(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _sqdist_q(a: Column | str, b: Column | str) -> Column:
+    """Quantized squared distance: Σ floor((x−y)²·1e15) as a 64-bit
+    integer. Each term is a pure IEEE-double pipeline (subtract,
+    square, multiply by the exactly-representable 1e15, floor) that
+    yields the identical integer in any engine, and integers sum
+    exactly in ANY order — so an argmin over (d2q, cell) is fully
+    deterministic and cross-engine reproducible (the pagerank
+    atto-quantization convention, functions of it proven in
+    operators/graph.py). Bounds: terms ≤ ~4e15 < 2^53 (floor exact),
+    64-dim sums ≤ ~2.6e17 < 2^63 (no overflow). Quantization moves a
+    boundary only when two cells are within 1e-15 of equidistant —
+    far below the fixture's Voronoi margins (pinned by the NumPy
+    replica test)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e15))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -311,27 +333,37 @@ def build_ivf_index(
             vecs.crossJoin(F.broadcast(cdf))
             .select(
                 "vec_id",
-                F.struct(_sqdist("arr", "cvec").alias("d2"), "cell").alias("dc"),
+                F.struct(
+                    _sqdist_q("arr", "cvec").alias("d2q"), "cell"
+                ).alias("dc"),
             )
             .groupBy("vec_id")
             .agg(F.min("dc").alias("m"))
             .select("vec_id", F.col("m.cell").alias("cell"))
         )
-        # centroid update: K×dim bounded collect of per-cell means
+        # centroid update: K×dim bounded collect of per-cell means.
+        # The mean is made engine-exact (and partition-order-free,
+        # which plain F.avg over doubles is NOT) by the quantized-sum
+        # convention: Σ floor(x·1e15) sums exactly in decimal(38,0),
+        # and float(sum)/1e15/n is two correctly-rounded ops — the
+        # identical double in Spark, NumPy, and the DuckDB oracle.
         comp = (
             assign.join(vecs, "vec_id")
             .select("cell", F.posexplode("arr").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e15)).cast("decimal(38,0)")
+                ).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new_c = [list(c) for c in centroids]  # empty cells keep position
-        by_cell: dict[int, dict[int, float]] = {}
         for r in comp:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, comps in by_cell.items():
-            for pos, m in comps.items():
-                new_c[cell][pos] = m
+            new_c[r["cell"]][r["pos"]] = (
+                float(int(r["qs"])) / 1e15
+            ) / int(r["n"])
         centroids = new_c
 
     assigned = (
@@ -517,7 +549,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.crossJoin(F.broadcast(cdf))
         .select(
             "vec_id",
-            F.struct(_sqdist("vec", "cvec").alias("d2"), "cell").alias("dc"),
+            F.struct(
+                _sqdist_q("vec", "cvec").alias("d2q"), "cell"
+            ).alias("dc"),
         )
         .groupBy("vec_id")
         .agg(F.min("dc").alias("m"))
@@ -573,12 +607,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, broadcast-argmin assignment, bounded K×dim centroid
     update per round).
 
-    Iterative float refinement is engine-specific by nature (fp
-    accumulation order in the centroid means), so this is a rows-only
-    contract query; tests/test_dedup_similarity.py cross-checks the
-    assignment against an exact NumPy replica of the same fit."""
+    HASH-VERIFIED (r07): the fit's arithmetic is engine-exact — the
+    assignment distance is the quantized integer Σ floor((x−y)²·1e15)
+    (order-free exact sum, deterministic (d2q, cell) argmin) and the
+    centroid mean is float(Σ floor(x·1e15))/1e15/n (two correctly-
+    rounded ops) — so the DuckDB oracle unrolls the IVF_ITERS Lloyd
+    rounds as CTEs and matches exactly; tests/test_dedup_similarity.py
+    additionally cross-checks against an exact NumPy replica of the
+    same quantized fit."""
     _, assigned = build_ivf_index(spark, sf_dir)
-    return assigned.select("vec_id", "cell")
+    return assigned.select("vec_id", F.col("cell").cast("long").alias("cell"))
 
 
 def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3077,3 +3077,72 @@ ORACLES["pagerank"] = _pagerank_sql()
 # wordcount table exactly — the truth IS the wordcount oracle
 # (aliased, not copied, like the streaming twins).
 ORACLES["text_roundtrip"] = ORACLES["wordcount"]
+
+
+# K-means cluster assignment: the IVF_ITERS Lloyd rounds unrolled as
+# CTEs (r07). Exactness contract with operators/similarity.py
+# build_ivf_index: the assignment distance is the QUANTIZED integer
+# sum Σ floor((v−c)²·1e15) per (vector, cell) — each term is a pure
+# IEEE-double pipeline yielding the identical integer in any engine,
+# and integers sum exactly in any order — with a deterministic
+# (d2q, cell) argmin; the centroid mean is
+# float(Σ floor(v·1e15)) / 1e15 / n with the integer→double step
+# routed through VARCHAR (DuckDB's decimal→double cast double-rounds;
+# the _xsum convention). Init is the first IVF_K vectors by vec_id;
+# empty cells keep their previous centroid (COALESCE over the prior
+# round's table). The output is the LAST round's assignment, computed
+# against the centroids from round ITERS−1 — exactly the Spark loop's
+# final `assign`.
+def _kmeans_sql() -> str:
+    from .operators.similarity import IVF_ITERS, IVF_K
+
+    sql = f"""
+        WITH vv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), vflat AS (
+            SELECT vec_id, CAST(i AS INT) AS pos, e[i] AS v
+            FROM vv, UNNEST(generate_series(1, len(e))) AS u(i)
+        ), first_k AS (
+            SELECT vec_id, e,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM vv ORDER BY vec_id LIMIT {IVF_K}
+        ), c0 AS (
+            SELECT cell, CAST(i AS INT) AS pos, e[i] AS c
+            FROM first_k, UNNEST(generate_series(1, len(e))) AS u(i)
+        )"""
+    for it in range(1, IVF_ITERS + 1):
+        prev = f"c{it - 1}"
+        sql += f""", d{it} AS (
+            SELECT v.vec_id, c.cell,
+                   SUM(CAST(FLOOR((v.v - c.c) * (v.v - c.c) * 1e15)
+                            AS HUGEINT)) AS d2q
+            FROM vflat v JOIN {prev} c ON v.pos = c.pos
+            GROUP BY v.vec_id, c.cell
+        ), a{it} AS (
+            SELECT vec_id, cell
+            FROM (SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY d2q, cell) AS rn
+                  FROM d{it})
+            WHERE rn = 1
+        )"""
+        if it < IVF_ITERS:
+            sql += f""", u{it} AS (
+            SELECT a.cell, v.pos,
+                   ((CAST(CAST(SUM(CAST(FLOOR(v.v * 1e15) AS HUGEINT))
+                               AS VARCHAR) AS DOUBLE) / 1e15)
+                    / COUNT(*)) AS c
+            FROM a{it} a JOIN vflat v ON a.vec_id = v.vec_id
+            GROUP BY a.cell, v.pos
+        ), c{it} AS (
+            SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+            FROM {prev} p LEFT JOIN u{it} u
+              ON u.cell = p.cell AND u.pos = p.pos
+        )"""
+    sql += f"""
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{IVF_ITERS}
+    """
+    return sql
+
+
+ORACLES["kmeans_clusters"] = _kmeans_sql()

@@ -271,12 +271,12 @@ def test_ann_high_recall_on_planted_neighbors(spark, tmp_path):
 
 
 def test_kmeans_matches_numpy_replica(spark, sf_dir):
-    # Exact NumPy replica of build_ivf_index's Lloyd fit: first-K init,
-    # IVF_ITERS rounds of argmin-assign (lowest-cell tiebreak) + per-
-    # cell mean update (empty cells keep their centroid). Float-sum
-    # order can differ in the last ulp between engines, but no vector
-    # in the fixture sits within fp noise of a Voronoi boundary, so
-    # assignments must agree exactly.
+    # Exact NumPy replica of build_ivf_index's QUANTIZED Lloyd fit
+    # (r07): first-K init, IVF_ITERS rounds of argmin-assign on the
+    # integer distance Σ floor((x−y)²·1e15) (lowest-cell tiebreak) +
+    # per-cell quantized-mean update float(Σ floor(x·1e15))/1e15/n
+    # (empty cells keep their centroid). Every step is bit-exact
+    # across engines — no fp-noise caveat needed anymore.
     import duckdb
 
     got = {
@@ -291,13 +291,17 @@ def test_kmeans_matches_numpy_replica(spark, sf_dir):
     ids = [r[0] for r in rows]
     X = np.array([r[1] for r in rows], dtype=np.float64)
     C = X[: S.IVF_K].copy()
+    Xq = np.floor(X * 1e15).astype(np.int64)
     for _ in range(S.IVF_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # argmin takes the first (lowest) cell
+        diff = X[:, None, :] - C[None, :, :]
+        d2q = np.floor(diff * diff * 1e15).astype(np.int64).sum(axis=2)
+        assign = d2q.argmin(axis=1)  # argmin takes the first (lowest) cell
         for c in range(S.IVF_K):
-            members = X[assign == c]
+            members = Xq[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                C[c] = (
+                    members.sum(axis=0).astype(np.float64) / 1e15
+                ) / len(members)
     expected = dict(zip(ids, assign.tolist()))
     assert got == expected
 
