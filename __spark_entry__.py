@@ -80,6 +80,9 @@ _QUERIES: dict[str, QueryFn] = {
     #    unrolled-CTE oracle; also removes the partition-order float
     #    nondeterminism F.avg carried), bpe_train (CHANGED: batched
     #    compatible-merge passes — still rows-only by nature);
+    #    ann_ivf (in the stale block below) also flipped rows-only →
+    #    hash-verified this round: quantized probe ranking over the
+    #    exact fit + the topk_similarity re-rank convention;
     # 2. the 45 queries whose newest driver row was r03 (the
     #    staleness floor: after r07 no row should be older than r04),
     #    in their round-6 relative order;

@@ -384,18 +384,32 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer comes from ``build_ivf_index`` — built once per
     dataset, cached; the query path contains no fitting. The only
     collects are the 1-row query vector and the K-row centroid list.
-    Approximate ⇒ rows-only check; recall asserted in tests on planted
-    neighbors."""
+
+    HASH-VERIFIED (r07): with the Lloyd fit engine-exact, the whole
+    query path is oracle-expressible — probe cells are ranked by the
+    same quantized integer distance Σ floor((q−c)²·1e15) with a
+    deterministic (dq, cell) order (plain Python ints here: K×dim
+    driver-side work on already-collected index metadata), and the
+    re-rank follows the proven topk_similarity cosine/ROUND-4
+    convention; the DuckDB oracle replays fit → probe → re-rank."""
+    import math
+
     centroids, assigned = build_ivf_index(spark, sf_dir)
 
     qrow = assigned.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("arr").alias("qvec")
     )
-    q = np.array(qrow.collect()[0]["qvec"])  # 1×dim: bounded
-    dists = [float(np.linalg.norm(q - np.array(c))) for c in centroids]
-    probe_cells = sorted(range(len(centroids)), key=lambda i: dists[i])[
-        :IVF_NPROBE
-    ]
+    q = [float(x) for x in qrow.collect()[0]["qvec"]]  # 1×dim: bounded
+
+    def dq(c: list[float]) -> int:
+        return sum(
+            int(math.floor((qi - ci) * (qi - ci) * 1e15))
+            for qi, ci in zip(q, c)
+        )
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda i: (dq(centroids[i]), i)
+    )[:IVF_NPROBE]
 
     sim = cosine(F.col("arr"), F.col("qvec"))
     return (

@@ -3093,7 +3093,12 @@ ORACLES["text_roundtrip"] = ORACLES["wordcount"]
 # round's table). The output is the LAST round's assignment, computed
 # against the centroids from round ITERS−1 — exactly the Spark loop's
 # final `assign`.
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> str:
+    """The shared Lloyd-fit CTE chain: WITH ... ending after
+    a{ITERS} (the final assignment, computed against c{ITERS-1}) and
+    c{ITERS} (the final centroid update — what build_ivf_index
+    returns as the shipped centroids). kmeans_clusters selects from
+    a{ITERS}; ann_ivf additionally probes c{ITERS}."""
     from .operators.similarity import IVF_ITERS, IVF_K
 
     sql = f"""
@@ -3125,9 +3130,7 @@ def _kmeans_sql() -> str:
                                             ORDER BY d2q, cell) AS rn
                   FROM d{it})
             WHERE rn = 1
-        )"""
-        if it < IVF_ITERS:
-            sql += f""", u{it} AS (
+        ), u{it} AS (
             SELECT a.cell, v.pos,
                    ((CAST(CAST(SUM(CAST(FLOOR(v.v * 1e15) AS HUGEINT))
                                AS VARCHAR) AS DOUBLE) / 1e15)
@@ -3139,10 +3142,70 @@ def _kmeans_sql() -> str:
             FROM {prev} p LEFT JOIN u{it} u
               ON u.cell = p.cell AND u.pos = p.pos
         )"""
-    sql += f"""
-        SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{IVF_ITERS}
-    """
     return sql
 
 
+def _kmeans_sql() -> str:
+    from .operators.similarity import IVF_ITERS
+
+    return (
+        _kmeans_ctes()
+        + f"""
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{IVF_ITERS}
+    """
+    )
+
+
 ORACLES["kmeans_clusters"] = _kmeans_sql()
+
+
+# ANN via IVF (r07 flip to hash-verified): the engine-exact Lloyd fit
+# above makes the whole query path oracle-expressible — probe the
+# IVF_NPROBE cells whose FINAL centroids (c{ITERS}) are nearest the
+# query under the same quantized integer distance (deterministic
+# (dq, cell) ranking, mirrored driver-side in q_ann_ivf), then
+# exact-cosine re-rank only vectors whose FINAL assignment (a{ITERS})
+# lands in a probed cell. Re-rank ordering/rounding follows the
+# proven topk_similarity convention (order on the unrounded cosine,
+# vec_id tiebreak, ROUND(.,4)+0.0 output).
+def _ann_ivf_sql() -> str:
+    from .operators.similarity import (
+        IVF_ITERS,
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    return (
+        _kmeans_ctes()
+        + f""", qv AS (
+            SELECT e AS qvec FROM vv WHERE vec_id = {QUERY_VEC_ID}
+        ), qflat AS (
+            SELECT CAST(i AS INT) AS pos, qvec[i] AS qx
+            FROM qv, UNNEST(generate_series(1, len(qvec))) AS u(i)
+        ), pd AS (
+            SELECT c.cell,
+                   SUM(CAST(FLOOR((q.qx - c.c) * (q.qx - c.c) * 1e15)
+                            AS HUGEINT)) AS dq
+            FROM c{IVF_ITERS} c JOIN qflat q ON q.pos = c.pos
+            GROUP BY c.cell
+        ), probe AS (
+            SELECT cell FROM (
+                SELECT cell,
+                       ROW_NUMBER() OVER (ORDER BY dq, cell) AS rn
+                FROM pd
+            ) WHERE rn <= {IVF_NPROBE}
+        )
+        SELECT vec_id, ROUND(sim, 4) + 0.0 AS sim FROM (
+            SELECT v.vec_id,
+                   list_cosine_similarity(v.e, q.qvec) AS sim
+            FROM vv v
+            JOIN a{IVF_ITERS} a ON a.vec_id = v.vec_id, qv q
+            WHERE a.cell IN (SELECT cell FROM probe)
+              AND v.vec_id <> {QUERY_VEC_ID}
+        ) ORDER BY sim DESC, vec_id LIMIT {TOP_K}
+    """
+    )
+
+
+ORACLES["ann_ivf"] = _ann_ivf_sql()
