@@ -132,6 +132,12 @@ HEADLINE = [
     "attribution",
     "source_overlap",
     "funnel_windowed",
+    # round-7 additions: the reference-format text sink round-trip and
+    # the newly hash-verified iterative fits (kmeans assignment table,
+    # IVF probe+re-rank; pagerank was already headline)
+    "text_roundtrip",
+    "kmeans_clusters",
+    "ann_ivf",
 ]
 
 RUNS = 3
