@@ -66,7 +66,13 @@ _QUERIES: dict[str, QueryFn] = {
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
     # round). Round-7 order, per VERDICT r06 asks #2/#3/#5:
-    # 1. slots 1-3: r07 NEW/CHANGED — text_roundtrip (NEW: the
+    # 0. slots 1-2: r07 wave-2 CHANGED — dedup_minhash +
+    #    dedup_clusters flipped rows-only → hash-verified: the MinHash
+    #    signature now uses the cross-engine md5-prefix +
+    #    universal-hash convention ((A_i·h+B_i) mod 2^31-1) instead of
+    #    engine-private xxhash64, so the DuckDB oracle replays the
+    #    banded LSH pipeline bit-for-bit (and the CC labels over it);
+    # 1. r07 NEW/CHANGED — text_roundtrip (NEW: the
     #    reference-format '{key} {value}' text sink round-trip,
     #    closing reference ops #8/#9 inside the driver gate),
     #    pagerank (CHANGED: atto-quantized contribution sums + an
@@ -101,6 +107,8 @@ _QUERIES: dict[str, QueryFn] = {
     # without executing anything (streaming contract queries and
     # order_stat are intercepted by the lazy plan twins in
     # plans/analysis.py for the analysis tools).
+    "dedup_minhash": D.q_dedup_minhash,
+    "dedup_clusters": D.q_dedup_clusters,
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
     "dedup_substring_apply": D.q_dedup_substring_apply,
@@ -146,7 +154,6 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q19": TQ.q_tpch_q19,
     "tpch_q22": TQ.q_tpch_q22,
     "exact_distinct_agg": R.q_exact_distinct_agg,
-    "dedup_clusters": D.q_dedup_clusters,
     "token_count_bpe": TK.q_token_count_bpe,
     "dedup_substring": D.q_dedup_substring,
     "audio_meta": MM.q_audio_meta,
@@ -291,7 +298,6 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_chunk": TX.q_doc_chunk,
     "dedup_exact": D.q_dedup_exact,
     "corpus_to_sequences": CP.q_corpus_to_sequences,
-    "dedup_minhash": D.q_dedup_minhash,
     "label_centroid": S.q_label_centroid,
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,

@@ -324,44 +324,73 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH --------------------------------------------------------
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne): a·h + b < 2^62, exact in int64
+MINHASH_A_MULT = 2654435761  # Knuth multiplicative constant → per-i slope
+MINHASH_B_MULT = 40503  # 16-bit Knuth constant → per-i intercept
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """Long-form (doc_id, i, mh) signature table from a (doc_id,
-    shingles) frame: explode shingles × hash indexes, hash each
-    (shingle, i) pair once, min-aggregate per (doc_id, i).
+    shingles) frame, using the engine's CROSS-ENGINE hash convention:
+    base hash H = md5-prefix (15 hex chars = 60 bits, sign-safe) of the
+    shingle reduced mod P, permutation i = (A_i·H + B_i) mod P with
+    A_i = (A_MULT·(i+1)) mod P, B_i = (B_MULT·(i+1)) mod P — the
+    classic universal-hash family over the Mersenne prime P = 2^31-1.
+    Every term is exact int64 arithmetic, so a DuckDB oracle reproduces
+    the signature bit-for-bit (same convention as dedup_simhash /
+    doc_winnow), which is what converts this query from rows-only to
+    hash-verified.
 
-    Deliberately NOT 32 per-row ``transform(shingles, xxhash64)`` array
-    traversals and NOT 32 flat hash columns + 32 min aggregates: both
-    shapes generate very large whole-stage codegen (Janino compile time
-    dominated cold runtime in profiling). The fully long-form explode
-    keeps every generated function tiny and constant-size in
-    N_MINHASHES, and map-side partial min-aggregation collapses the
-    ×N_MINHASHES row blowup to N_MINHASHES rows per doc before the
-    shuffle."""
+    Shape notes: the md5 base hash is PROJECTED once per (doc, shingle)
+    row BEFORE the ×N_MINHASHES index explode — the 32 permutations are
+    then pure arithmetic on a 64-bit int (cheaper than the previous 32
+    xxhash64 string hashes per shingle). Deliberately NOT 32 per-row
+    ``transform(shingles, ...)`` array traversals and NOT 32 flat hash
+    columns + 32 min aggregates: both shapes generate very large
+    whole-stage codegen (Janino compile time dominated cold runtime in
+    profiling). The fully long-form explode keeps every generated
+    function tiny and constant-size in N_MINHASHES, and map-side
+    partial min-aggregation collapses the ×N_MINHASHES row blowup to
+    N_MINHASHES rows per doc before the shuffle."""
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    perm = (
+        (F.lit(MINHASH_A_MULT) * (F.col("i") + 1)) % MINHASH_P * F.col("hb")
+        + (F.lit(MINHASH_B_MULT) * (F.col("i") + 1)) % MINHASH_P
+    ) % MINHASH_P
     return (
         sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", base.alias("hb"))
         .select(
             "doc_id",
-            "shingle",
+            "hb",
             F.explode(F.sequence(F.lit(0), F.lit(N_MINHASHES - 1))).alias("i"),
         )
         .groupBy("doc_id", "i")
-        .agg(F.min(F.xxhash64("shingle", "i")).alias("mh"))
+        .agg(F.min(perm).alias("mh"))
     )
 
 
 def lsh_band_buckets(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH buckets from the long-form signature:
-    band = i div rows_per_band; the bucket is the hash of the band's
-    (i, mh) rows in canonical order (array_sort fixes collect_list's
-    nondeterministic order, so equal signatures hash equal)."""
+    band = i div rows_per_band; the bucket key is the band's mh values
+    joined in i order (array_sort fixes collect_list's nondeterministic
+    order). A string key instead of a hash of the rows keeps the bucket
+    cross-engine-reproducible (DuckDB: string_agg ORDER BY i) and
+    collision-free; it lives only in the tiny docs×bands table."""
     rows_per_band = N_MINHASHES // LSH_BANDS
     return (
         sig.withColumn("band", F.expr(f"CAST(i div {rows_per_band} AS INT)"))
         .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.array_sort(F.collect_list(F.struct("i", "mh")))
-            ).alias("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("rows"))
+        .select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                ",", F.transform("rows", lambda s: s["mh"].cast("string"))
+            ).alias("bucket"),
         )
     )
 
@@ -369,11 +398,17 @@ def lsh_band_buckets(sig: DataFrame) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
-    Pipeline: shingle → 32 min-hashes → 8 band-hashes → explode bands →
+    Pipeline: shingle → 32 min-hashes → 8 band keys → explode bands →
     bucket self-join (only docs agreeing on a full band meet) → distinct
     candidate pairs → exact Jaccard on the candidates → threshold.
     Result ⊆ q_dedup_ngram's result (LSH trades recall, never adds
     false positives past the verify step) — tests assert containment.
+
+    HASH-VERIFIED since r07: the signature arithmetic is the
+    cross-engine md5-prefix + universal-hash convention (see
+    minhash_signatures), so the DuckDB oracle replays the entire banded
+    pipeline bit-for-bit — the probabilistic candidate set itself is
+    cross-engine-verified, not merely contained in the exact graph.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -684,21 +719,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge graph comes from ``q_dedup_minhash`` — the banded
     candidates-then-verify pipeline whose join cost is O(docs × bands),
     never the quadratic-in-hot-shingle worst case of the exact
-    inverted-index self-join. That exact graph (``q_dedup_ngram``) is
-    kept as the verification twin: the DuckDB oracle runs WITH
-    RECURSIVE over it, and because every LSH edge is exact-Jaccard-
-    verified (LSH edges ⊆ exact edges, equality on the fixtures —
-    asserted in tests), the deterministic min labels agree.
+    inverted-index self-join.
 
-    Declared rows-only for the driver (r04): banding is probabilistic,
-    so label equality with the exact-graph oracle holds only because
-    LSH recovers every exact pair on the current fixtures — a
-    regenerated fixture with a pair at Jaccard barely over threshold
-    could miss all bands and flip the row spuriously (ADVICE r03).
-    The general invariant — LSH clusters refine exact clusters — is
-    pinned in tests, and the hash-verified driver row for the CC
-    operator itself lives on ``q_dedup_clusters_exact``, whose input
-    graph is definitionally the oracle's."""
+    HASH-VERIFIED since r07 (was rows-only r04–r06): the oracle's
+    recursive min-label walk now runs over a bit-exact DuckDB replica
+    of the LSH pipeline itself (the portable md5-prefix signature
+    convention, see minhash_signatures), so label equality is an
+    identity again — not an empirical property of the fixtures, which
+    was the r03 ADVICE concern that forced the rows-only declaration
+    while the edge set came from engine-private xxhash64. The exact-
+    graph twin ``q_dedup_clusters_exact`` stays as the
+    fixture-independent CC contract on the q_dedup_ngram graph."""
     pairs = q_dedup_minhash(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

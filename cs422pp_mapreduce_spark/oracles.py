@@ -111,6 +111,58 @@ _NEARDUP_CC_CTE = """toks AS (
             FROM walk w JOIN edges e ON e.src = w.node
         )"""
 
+# Bit-exact replica of the MinHash+LSH pipeline (dedup.py
+# minhash_signatures / lsh_band_buckets / q_dedup_minhash): md5-prefix
+# 60-bit base hash mod P=2^31-1, permutation i = (A_i·h + B_i) mod P
+# with A_i=(2654435761·(i+1)) mod P, B_i=(40503·(i+1)) mod P, 32
+# hashes, 8 bands of 4 (bucket = the band's mh values in i order),
+# candidates = same-(band,bucket) pairs, exact-Jaccard verify. Every
+# step is exact int64 arithmetic, so candidates — and therefore the
+# verified pair set — match Spark's bit-for-bit.
+_MINHASH_PAIRS_CTE = """toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), hs AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                       % 2147483647 AS hb
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN((((2654435761 * (i + 1)) % 2147483647) * hb
+                        + (40503 * (i + 1)) % 2147483647)
+                       % 2147483647) AS mhv
+            FROM hs, UNNEST(generate_series(0, 31)) AS u(i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(mhv::VARCHAR, ',' ORDER BY i) AS bucket
+            FROM mh GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+        ), mh_pairs AS (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles))
+                        AS DOUBLE)
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)))
+                       AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+        )"""
+
 ORACLES: dict[str, str] = {
     # --- wordcount family -------------------------------------------------
     "wordcount": """
@@ -993,6 +1045,34 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    # MinHash+LSH twin: see _MINHASH_PAIRS_CTE — the full banded
+    # pipeline reproduces bit-for-bit under the md5-prefix convention,
+    # so the probabilistic candidate set itself is verified, not just
+    # containment in the exact graph.
+    "dedup_minhash": f"""
+        WITH {_MINHASH_PAIRS_CTE}
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs WHERE jaccard >= 0.5
+    """,
+    # Connected components over the (bit-exact-replicated) MinHash-LSH
+    # near-dup graph — min-label walk, same pattern as
+    # dedup_clusters_exact but on the LSH edge set itself.
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        lsh_pairs AS (
+            SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.5
+        ), lsh_edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM lsh_pairs
+        ), lsh_walk AS (
+            SELECT src AS node, src AS comp FROM lsh_edges
+            UNION
+            SELECT e.dst AS node, w.comp
+            FROM lsh_walk w JOIN lsh_edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, MIN(comp) AS cluster_id
+        FROM lsh_walk GROUP BY node
     """,
     # Window-bounded dedup: first event per (hour, user, type).
     "dedup_windowed": """
