@@ -66,12 +66,19 @@ _QUERIES: dict[str, QueryFn] = {
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
     # round). Round-7 order, per VERDICT r06 asks #2/#3/#5:
-    # 0. slots 1-2: r07 wave-2 CHANGED — dedup_minhash +
-    #    dedup_clusters flipped rows-only → hash-verified: the MinHash
-    #    signature now uses the cross-engine md5-prefix +
-    #    universal-hash convention ((A_i·h+B_i) mod 2^31-1) instead of
-    #    engine-private xxhash64, so the DuckDB oracle replays the
-    #    banded LSH pipeline bit-for-bit (and the CC labels over it);
+    # 0. slots 1-5: r07 wave-2 CHANGED — five rows-only → hash-verified
+    #    flips via cross-engine hash/quantization conventions:
+    #    dedup_minhash + dedup_clusters (MinHash signatures moved from
+    #    engine-private xxhash64 to the md5-prefix + universal-hash
+    #    convention ((A_i·h+B_i) mod 2^31-1), so the DuckDB oracle
+    #    replays the banded LSH pipeline bit-for-bit, and the CC
+    #    labels over it); embedding_neardup + ann_lsh + semantic_dedup
+    #    (sign-LSH hyperplanes moved from NumPy Gaussian RNG to
+    #    md5-derived INTEGER planes with power-of-two vector
+    #    quantization — every plane dot is exact int64 arithmetic, so
+    #    the signs, candidates, and SemDeDup keep-list replay in SQL;
+    #    semantic_dedup's prune threshold now uses the engine's
+    #    round-to-4 cosine convention);
     # 1. r07 NEW/CHANGED — text_roundtrip (NEW: the
     #    reference-format '{key} {value}' text sink round-trip,
     #    closing reference ops #8/#9 inside the driver gate),
@@ -109,6 +116,9 @@ _QUERIES: dict[str, QueryFn] = {
     # plans/analysis.py for the analysis tools).
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_clusters": D.q_dedup_clusters,
+    "embedding_neardup": S.q_embedding_neardup,
+    "ann_lsh": S.q_ann_lsh,
+    "semantic_dedup": S.q_semantic_dedup,
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
     "dedup_substring_apply": D.q_dedup_substring_apply,
@@ -175,8 +185,6 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q20": TQ.q_tpch_q20,
     "stream_event_tumbling": q_stream_event_tumbling,
     "stream_event_session": q_stream_event_session,
-    "ann_lsh": S.q_ann_lsh,
-    "embedding_neardup": S.q_embedding_neardup,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
     "dedup_incremental": D.q_dedup_incremental,
     "source_cap": CP.q_source_cap,
@@ -269,7 +277,6 @@ _QUERIES: dict[str, QueryFn] = {
     "rolling_hll": EV.q_rolling_hll,
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
-    "semantic_dedup": S.q_semantic_dedup,
     "kll_quantiles": R.q_kll_quantiles,
     "stream_foreach_upsert": q_stream_foreach_upsert,
     "zorder_stats": MT.q_zorder_stats,

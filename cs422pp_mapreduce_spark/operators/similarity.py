@@ -6,7 +6,8 @@ Three paths, per the standard ANN playbook:
   no Python, no UDF. O(n·d) per query; fine as a verification baseline
   and for one-off queries.
 - banded sign-LSH: the near-dup/top-k scale path. 64 deterministic
-  Gaussian hyperplanes give each vector a 64-bit sign signature, split
+  md5-derived integer hyperplanes (cross-engine convention, r07)
+  give each vector a 64-bit sign signature, split
   into 8 bands of 8 bits; two vectors are candidates iff they agree on
   some full band. Candidate volume is O(n × bands) through an
   equi-join on (band, bucket) — never all-pairs — and exact cosine
@@ -42,7 +43,6 @@ QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
 LSH_PLANES = 64
 LSH_BANDS = 8
 BITS_PER_BAND = LSH_PLANES // LSH_BANDS
-LSH_SEED = 42
 EMBED_DIM = 64
 NEARDUP_COS = 0.95
 
@@ -87,11 +87,45 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplanes(dim: int = EMBED_DIM, n_planes: int = LSH_PLANES,
-                seed: int = LSH_SEED) -> list[list[float]]:
-    """Deterministic Gaussian hyperplanes for sign-LSH."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def hyperplanes(dim: int = EMBED_DIM,
+                n_planes: int = LSH_PLANES) -> list[list[int]]:
+    """Deterministic INTEGER hyperplanes for sign-LSH — the
+    cross-engine convention (r07): plane[j][k] = (md5("j_k")-prefix
+    60-bit int mod 33) − 16, i.e. symmetric uniform ints in [−16, 16].
+
+    Integer planes (together with the power-of-two vector quantization
+    in sign_band_buckets) make every plane dot product EXACT int64
+    arithmetic — associative, so BLAS/NumPy blocking order doesn't
+    matter and a DuckDB oracle derives the identical signs from the
+    same md5 formula, with no 4096-double literal table and no
+    engine-private RNG. Replaces the r01 NumPy Gaussian planes
+    (np.random.default_rng(42)), whose float dots were
+    summation-order-dependent and unreproducible outside NumPy; for
+    sign-LSH the plane direction distribution only needs symmetry and
+    independence, which the md5-uniform ints provide (recall pins on
+    planted near-dups are unchanged in tests)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[:15], 16) % 33)
+            - 16
+            for k in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+# Vector quantization scale for the sign kernel: a power of two, so
+# v*SCALE is an exact double op; floor(x + 0.5) is the shared
+# half-up rule (np.rint's half-to-even would diverge from SQL round).
+SIGN_QUANT_SCALE = 1048576.0  # 2^20
+
+
+def quantize_vec(M: "np.ndarray") -> "np.ndarray":
+    """Exact int64 quantization of a (n × dim) double matrix — the
+    kernel-side half of the cross-engine sign convention."""
+    return np.floor(M * SIGN_QUANT_SCALE + 0.5).astype(np.int64)
 
 
 def sign_band_buckets(spark: SparkSession, vecs: DataFrame) -> DataFrame:
@@ -117,7 +151,7 @@ def sign_band_buckets(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    P = np.asarray(hyperplanes())  # (planes, dim), deterministic
+    P = np.asarray(hyperplanes(), dtype=np.int64)  # (planes, dim)
     W = (1 << np.arange(BITS_PER_BAND)).astype(np.int64)  # bit weights
 
     @pandas_udf("array<long>")
@@ -125,7 +159,10 @@ def sign_band_buckets(spark: SparkSession, vecs: DataFrame) -> DataFrame:
         if not len(vec):  # empty Arrow batch from an empty partition
             return pd.Series([], dtype=object)
         M = np.vstack(vec.to_numpy())  # (n, dim)
-        sign = (M @ P.T) > 0  # (n, planes) — strict >0, matches oracle
+        # exact int64 matmul (quantized vectors × integer planes):
+        # order-independent, bit-identical to the DuckDB oracle's
+        # per-plane SUM. |q|≤~2^22, |p|≤16, 64 dims → |dot| < 2^33.
+        sign = (quantize_vec(M) @ P.T) > 0  # strict >0, matches oracle
         B = sign.reshape(len(M), LSH_BANDS, BITS_PER_BAND) @ W  # (n, bands)
         return pd.Series(list(B.astype(np.int64)))
 
@@ -198,9 +235,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.lit(0.0).alias("sim")
         ).limit(0)
     qvec = np.asarray(qrows[0]["vec"])
-    P = np.asarray(hyperplanes())
+    P = np.asarray(hyperplanes(), dtype=np.int64)
     W = (1 << np.arange(BITS_PER_BAND)).astype(np.int64)
-    sign = (qvec @ P.T) > 0  # identical kernel to sign_band_buckets
+    sign = (quantize_vec(qvec) @ P.T) > 0  # identical kernel to sign_band_buckets
     qbuckets = sign.reshape(LSH_BANDS, BITS_PER_BAND) @ W  # (bands,)
 
     bb = sign_band_buckets(spark, vecs.where(F.col("vec_id") != QUERY_VEC_ID))
@@ -549,9 +586,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× data: n²/K with fixed K is still quadratic). A ≥0.95-cos
     pair agrees on some full band w.h.p. (miss probability ≈2e-8 at
     cos 0.999), so planted-twin recall is preserved — still pinned in
-    tests. Iterative float k-means makes cell ids engine-specific ⇒
-    rows-only contract; planted-twin recall, keep-exactly-one, and
-    determinism are pinned in tests/test_dedup_similarity.py."""
+    tests. HASH-VERIFIED since r07 wave 2 (was rows-only r06): every
+    stage is now cross-engine-exact — cells from the quantized Lloyd
+    fit (the kmeans_clusters/ann_ivf convention), bands from the
+    integer sign-LSH kernel (hyperplanes/quantize_vec), and the prune
+    from the round-to-4 cosine convention — so the DuckDB oracle
+    replays the full decision table bit-for-bit; planted-twin recall,
+    keep-exactly-one, and determinism remain pinned in
+    tests/test_dedup_similarity.py."""
     centroids, _ = build_ivf_index(spark, sf_dir)
     vecs = contract_vectors(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -598,7 +640,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
+        # round-to-4 threshold: the engine's cross-engine cosine
+        # convention (topk_similarity / embedding_neardup) — keeps the
+        # prune decision bit-identical in the DuckDB oracle
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= SEMDEDUP_COS)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )

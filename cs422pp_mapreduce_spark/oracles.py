@@ -119,6 +119,37 @@ _NEARDUP_CC_CTE = """toks AS (
 # candidates = same-(band,bucket) pairs, exact-Jaccard verify. Every
 # step is exact int64 arithmetic, so candidates — and therefore the
 # verified pair set — match Spark's bit-for-bit.
+# Bit-exact replica of the banded sign-LSH signature kernel
+# (similarity.py hyperplanes / quantize_vec / sign_band_buckets):
+# integer hyperplanes p[j][k] = (md5("j_k")-prefix mod 33) − 16,
+# vectors quantized floor(v·2^20 + 0.5) → every plane dot is exact
+# int64 arithmetic, so NumPy's blocked matmul and this per-plane SUM
+# produce identical signs. Expects a CTE named `vecs(vec_id, v)` with
+# v DOUBLE[] of length 64 in scope; yields `sbands(vec_id, band,
+# bucket)`.
+_SIGNLSH_BANDS_CTE = """qelem AS (
+            SELECT vec_id, k,
+                   CAST(floor(v[k] * 1048576.0 + 0.5) AS BIGINT) AS qv
+            FROM vecs, UNNEST(generate_series(1, 64)) AS g(k)
+        ), planes AS (
+            SELECT j, k,
+                   ((('0x' || substr(md5(j::VARCHAR || '_' ||
+                                         (k - 1)::VARCHAR), 1, 15))::BIGINT)
+                    % 33) - 16 AS p
+            FROM generate_series(0, 63) t(j),
+                 generate_series(1, 64) u(k)
+        ), dots AS (
+            SELECT vec_id, j, SUM(qv * p) AS d
+            FROM qelem JOIN planes USING (k)
+            GROUP BY vec_id, j
+        ), sbands AS (
+            SELECT vec_id, j // 8 AS band,
+                   SUM(CASE WHEN d > 0
+                            THEN CAST(1 AS BIGINT) << (j % 8)
+                            ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, j // 8
+        )"""
+
 _MINHASH_PAIRS_CTE = """toks AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1525,6 +1556,57 @@ ORACLES: dict[str, str] = {
         FROM vecs a
         JOIN vecs b ON a.vec_id < b.vec_id
         WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+    """,
+    # Banded sign-LSH near-dup twin: replays the integer-plane
+    # signature pipeline (see _SIGNLSH_BANDS_CTE) over the planted
+    # contract vectors, joins candidates on (band, bucket) agreement,
+    # and exact-cosine-verifies — the probabilistic candidate set
+    # itself is cross-engine-verified.
+    "embedding_neardup": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat([d[1] * 0.9], d[2:])
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+                  FROM embeddings WHERE vec_id % 25 = 0)
+        ), {_SIGNLSH_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sbands a
+            JOIN sbands b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               ROUND(list_cosine_similarity(va.v, vb.v), 4) AS sim
+        FROM cand c
+        JOIN vecs va ON va.vec_id = c.vec_a
+        JOIN vecs vb ON vb.vec_id = c.vec_b
+        WHERE ROUND(list_cosine_similarity(va.v, vb.v), 4) >= 0.95
+    """,
+    # Sign-LSH ANN twin: the query vector's 8 band buckets come from
+    # the same replica pipeline; candidates = vectors sharing any
+    # band; exact-cosine top-10 re-rank (ordering convention as in
+    # topk_similarity).
+    "ann_lsh": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), {_SIGNLSH_BANDS_CTE},
+        qb AS (SELECT band, bucket FROM sbands WHERE vec_id = 0),
+        cand AS (
+            SELECT DISTINCT s.vec_id
+            FROM sbands s
+            JOIN qb ON s.band = qb.band AND s.bucket = qb.bucket
+            WHERE s.vec_id <> 0
+        )
+        SELECT vec_id, ROUND(sim, 4) + 0.0 AS sim FROM (
+            SELECT c.vec_id,
+                   list_cosine_similarity(
+                       v.v, (SELECT v FROM vecs WHERE vec_id = 0)) AS sim
+            FROM cand c JOIN vecs v ON v.vec_id = c.vec_id
+        ) ORDER BY sim DESC, vec_id LIMIT 10
     """,
     "tpch_q14": f"""
         SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
@@ -3289,3 +3371,64 @@ def _ann_ivf_sql() -> str:
 
 
 ORACLES["ann_ivf"] = _ann_ivf_sql()
+
+
+# SemDeDup decision table (r07 wave-2 flip to hash-verified): every
+# stage is engine-exact — cells = quantized-argmin assignment of the
+# planted contract vectors against the Lloyd fit's FINAL centroids
+# (c{ITERS}, what build_ivf_index ships); candidates must agree on
+# (cell, band, bucket) with bands from the integer sign-LSH replica
+# (_SIGNLSH_BANDS_CTE); prune rule = exists a smaller-id candidate
+# neighbor with ROUND(cos, 4) ≥ 0.95 (the engine's cosine
+# convention). Output is the full (vec_id, cell, keep) table.
+def _semantic_dedup_sql() -> str:
+    from .operators.similarity import IVF_ITERS, PLANT_MOD, PLANT_OFFSET
+
+    return (
+        _kmeans_ctes()
+        + f""", vecs AS (
+            SELECT vec_id, e AS v FROM vv
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET},
+                   list_concat([e[1] * 0.9], e[2:])
+            FROM vv WHERE vec_id % {PLANT_MOD} = 0
+        ), cvflat AS (
+            SELECT vec_id, CAST(i AS INT) AS pos, v[i] AS x
+            FROM vecs, UNNEST(generate_series(1, len(v))) AS u(i)
+        ), ad AS (
+            SELECT f.vec_id, c.cell,
+                   SUM(CAST(FLOOR((f.x - c.c) * (f.x - c.c) * 1e15)
+                            AS HUGEINT)) AS d2q
+            FROM cvflat f JOIN c{IVF_ITERS} c ON f.pos = c.pos
+            GROUP BY f.vec_id, c.cell
+        ), acell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2q, cell) AS rn
+                FROM ad
+            ) WHERE rn = 1
+        ), {_SIGNLSH_BANDS_CTE},
+        bbc AS (
+            SELECT s.vec_id, s.band, s.bucket, a.cell
+            FROM sbands s JOIN acell a USING (vec_id)
+        ), scand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bbc a
+            JOIN bbc b ON a.cell = b.cell AND a.band = b.band
+                      AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), pruned AS (
+            SELECT DISTINCT c.vec_b AS vec_id
+            FROM scand c
+            JOIN vecs va ON va.vec_id = c.vec_a
+            JOIN vecs vb ON vb.vec_id = c.vec_b
+            WHERE ROUND(list_cosine_similarity(va.v, vb.v), 4) >= 0.95
+        )
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               (p.vec_id IS NULL) AS keep
+        FROM acell a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    """
+    )
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_sql()

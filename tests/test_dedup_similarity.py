@@ -115,10 +115,10 @@ def test_brute_cosine_matches_numpy(spark, sf_dir):
 def _numpy_band_buckets(vecs: dict[int, np.ndarray]) -> dict[int, list[int]]:
     """Independent NumPy twin of sign_band_buckets: vec_id → per-band
     bucket values under the same deterministic hyperplanes."""
-    planes = np.array(S.hyperplanes())
+    planes = np.array(S.hyperplanes(), dtype=np.int64)
     out = {}
     for vid, v in vecs.items():
-        bits = (planes @ v > 0).astype(int)
+        bits = (planes @ S.quantize_vec(v) > 0).astype(int)
         out[vid] = [
             int(
                 sum(
