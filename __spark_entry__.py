@@ -78,7 +78,10 @@ _QUERIES: dict[str, QueryFn] = {
     #    quantization — every plane dot is exact int64 arithmetic, so
     #    the signs, candidates, and SemDeDup keep-list replay in SQL;
     #    semantic_dedup's prune threshold now uses the engine's
-    #    round-to-4 cosine convention);
+    #    round-to-4 cosine convention); ann_pq (the per-subspace PQ
+    #    fit, integer LUT, ADC fold, and re-rank all moved to the
+    #    quantized engine-exact conventions — the oracle unrolls
+    #    fit → codes → LUT → shortlist → re-rank);
     # 1. r07 NEW/CHANGED — text_roundtrip (NEW: the
     #    reference-format '{key} {value}' text sink round-trip,
     #    closing reference ops #8/#9 inside the driver gate),
@@ -119,6 +122,7 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": S.q_embedding_neardup,
     "ann_lsh": S.q_ann_lsh,
     "semantic_dedup": S.q_semantic_dedup,
+    "ann_pq": S.q_ann_pq,
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
     "dedup_substring_apply": D.q_dedup_substring_apply,
@@ -283,7 +287,6 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_keep": D.q_dedup_keep,
     "knn_join": S.q_knn_join,
     "topk_similarity": S.q_topk_similarity,
-    "ann_pq": S.q_ann_pq,
     "union_all": R.q_union_all,
     "except_op": R.q_except_op,
     "intersect_op": R.q_intersect_op,

@@ -856,7 +856,7 @@ def build_pq_index(
                 "vec_id",
                 "m",
                 F.struct(
-                    _sqdist("sub", "cvec").alias("d2"), "cell"
+                    _sqdist_q("sub", "cvec").alias("d2q"), "cell"
                 ).alias("dc"),
             )
             .groupBy("vec_id", "m")
@@ -869,15 +869,27 @@ def build_pq_index(
             # codebooks, or ADC LUT distances aren't true
             # reconstruction distances of the stored codes (ADVICE r05).
             break
+        # quantized-mean update (the build_ivf_index convention):
+        # Σ floor(x·1e15) sums exactly in decimal(38,0), and
+        # float(sum)/1e15/n is two correctly-rounded ops — the same
+        # double in Spark, Python, and the DuckDB oracle (plain avg
+        # over doubles is partition-order-dependent).
         comp = (
             assign.join(subs, ["vec_id", "m"])
             .select("m", "code", F.posexplode("sub").alias("pos", "x"))
             .groupBy("m", "code", "pos")
-            .agg(F.avg("x").alias("mean"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e15)).cast("decimal(38,0)")
+                ).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         for r in comp:  # empty cells keep their previous centroid
-            books[r["m"]][r["code"]][r["pos"]] = r["mean"]
+            books[r["m"]][r["code"]][r["pos"]] = (
+                float(int(r["qs"])) / 1e15
+            ) / int(r["n"])
 
     codes = assign.persist(StorageLevel.MEMORY_AND_DISK)
     codes.count()  # materialize: queries never re-run the fit
@@ -902,9 +914,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximize. Deterministic: codes fold in fixed subspace order, ties
     break on vec_id at both stages.
 
-    Approximate ⇒ rows-only; recall vs the exact L2 top-10,
-    ADC-reconstruction fidelity, and code-range/compression invariants
-    are pinned in tests/test_round5_pq.py. At 100 TB the codes table
+    HASH-VERIFIED since r07 wave 2 (was rows-only r05/r06): the
+    per-subspace Lloyd fit now uses the engine-exact quantized
+    conventions (integer Σ floor((x−y)²·1e15) assignment distances,
+    correctly-rounded quantized centroid means), the LUT is an integer
+    table of the same quantized distances, the ADC fold and the
+    re-rank are exact int64 sums, and the output distance is the
+    shared long→double/1e15 reconstruction — so the DuckDB oracle
+    unrolls fit → codes → LUT → shortlist → re-rank bit-for-bit.
+    Recall vs the exact L2 top-10, ADC-reconstruction fidelity, and
+    code-range/compression invariants remain pinned in
+    tests/test_round5_pq.py. At 100 TB the codes table
     is the only thing scanned (per-vector cost: 8 byte reads + 8
     float adds); the re-rank touches SHORTLIST raw vectors, and IVF
     cell pruning composes in front of the scan."""
@@ -916,15 +936,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_as_double("embedding").alias("arr"))
         .collect()[0]["arr"]
     )
+    # quantized integer LUT (exact in any summation order, replayable
+    # in SQL): each entry is Σ_pos floor((q−c)²·1e15) over the
+    # subspace's PQ_DSUB dims — plain Python float ops, bit-identical
+    # to the oracle's per-element FLOOR pipeline.
+    import math
+
     lut = [
         [
-            float(
-                np.sum(
-                    (
-                        q[m * PQ_DSUB : (m + 1) * PQ_DSUB]
-                        - np.array(books[m][c])
-                    )
-                    ** 2
+            sum(
+                int(math.floor((qi - ci) * (qi - ci) * 1e15))
+                for qi, ci in zip(
+                    q[m * PQ_DSUB : (m + 1) * PQ_DSUB], books[m][c]
                 )
             )
             for c in range(PQ_K)
@@ -932,7 +955,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(PQ_M)
     ]
     lut_col = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in lut]
     )
     per_vec = (
         codes.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -945,7 +968,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = F.aggregate(
         "mc",
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, s: acc
         + F.element_at(
             F.element_at(lut_col, s["m"] + 1), s["code"] + 1
@@ -963,17 +986,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         raw.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", _sqdist_q("arr", qlit).alias("l2q"))
+        .orderBy("l2q", "vec_id")
+        .limit(TOP_K)
         .select(
             "vec_id",
-            F.aggregate(
-                F.zip_with("arr", qlit, lambda x, qq: (x - qq) * (x - qq)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
+            # reconstruction: long→double is one correctly-rounded op
+            # in both engines (the DECIMAL→DOUBLE double-round trap
+            # does not apply to BIGINT)
+            (
+                F.round(F.col("l2q").cast("double") / F.lit(1e15), 6) + 0.0
             ).alias("l2_dist"),
         )
-        .orderBy("l2_dist", "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", (F.round("l2_dist", 6) + 0.0).alias("l2_dist"))
     )
 
 

@@ -3432,3 +3432,108 @@ def _semantic_dedup_sql() -> str:
 
 
 ORACLES["semantic_dedup"] = _semantic_dedup_sql()
+
+
+# PQ ADC+R pipeline (r07 wave-2 flip to hash-verified). Exactness
+# contract with operators/similarity.py build_pq_index / q_ann_pq:
+# per-subspace Lloyd fit with quantized integer assignment distances
+# (Σ floor((x−c)²·1e15), deterministic (d2q, cell) argmin) and
+# correctly-rounded quantized centroid means; PQ_ITERS updates + ONE
+# closing assignment pass against the SHIPPED books; integer LUT of
+# the same quantized query↔centroid distances; ADC = exact int64 sum
+# of PQ_M lookups; shortlist/top-k order on the exact integers with
+# vec_id tiebreak; output distance reconstructed via the
+# VARCHAR-routed int→double /1e15 convention, rounded to 6.
+def _ann_pq_sql() -> str:
+    from .operators.similarity import (
+        PQ_DSUB,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SHORTLIST,
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    sql = f"""
+        WITH vv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), sflat AS (
+            SELECT vec_id, CAST((i - 1) // {PQ_DSUB} AS INT) AS m,
+                   CAST((i - 1) % {PQ_DSUB} AS INT) AS pos, e[i] AS x
+            FROM vv, UNNEST(generate_series(1, len(e))) AS u(i)
+        ), firstk AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM vv ORDER BY vec_id LIMIT {PQ_K}
+        ), b0 AS (
+            SELECT s.m, f.cell, s.pos, s.x AS c
+            FROM firstk f JOIN sflat s USING (vec_id)
+        )"""
+    for it in range(1, PQ_ITERS + 2):
+        prev = f"b{it - 1}"
+        sql += f""", d{it} AS (
+            SELECT s.vec_id, s.m, b.cell,
+                   SUM(CAST(FLOOR((s.x - b.c) * (s.x - b.c) * 1e15)
+                            AS HUGEINT)) AS d2q
+            FROM sflat s JOIN {prev} b ON b.m = s.m AND b.pos = s.pos
+            GROUP BY s.vec_id, s.m, b.cell
+        ), a{it} AS (
+            SELECT vec_id, m, cell AS code FROM (
+                SELECT vec_id, m, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2q, cell) AS rn
+                FROM d{it}
+            ) WHERE rn = 1
+        )"""
+        if it <= PQ_ITERS:
+            sql += f""", u{it} AS (
+            SELECT a.m, a.code AS cell, s.pos,
+                   ((CAST(CAST(SUM(CAST(FLOOR(s.x * 1e15) AS HUGEINT))
+                               AS VARCHAR) AS DOUBLE) / 1e15)
+                    / COUNT(*)) AS c
+            FROM a{it} a
+            JOIN sflat s ON s.vec_id = a.vec_id AND s.m = a.m
+            GROUP BY a.m, a.code, s.pos
+        ), b{it} AS (
+            SELECT p.m, p.cell, p.pos, COALESCE(u.c, p.c) AS c
+            FROM {prev} p LEFT JOIN u{it} u
+              ON u.m = p.m AND u.cell = p.cell AND u.pos = p.pos
+        )"""
+    final_a = f"a{PQ_ITERS + 1}"
+    final_b = f"b{PQ_ITERS}"
+    sql += f""", qflat AS (
+            SELECT m, pos, x AS qx FROM sflat
+            WHERE vec_id = {QUERY_VEC_ID}
+        ), lut AS (
+            SELECT b.m, b.cell,
+                   SUM(CAST(FLOOR((q.qx - b.c) * (q.qx - b.c) * 1e15)
+                            AS HUGEINT)) AS dq
+            FROM {final_b} b JOIN qflat q ON q.m = b.m AND q.pos = b.pos
+            GROUP BY b.m, b.cell
+        ), adc AS (
+            SELECT a.vec_id, SUM(l.dq) AS adcq
+            FROM {final_a} a
+            JOIN lut l ON l.m = a.m AND l.cell = a.code
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+            GROUP BY a.vec_id
+        ), short AS (
+            SELECT vec_id FROM adc ORDER BY adcq, vec_id
+            LIMIT {PQ_SHORTLIST}
+        ), rer AS (
+            SELECT s.vec_id,
+                   SUM(CAST(FLOOR((f.x - q.qx) * (f.x - q.qx) * 1e15)
+                            AS HUGEINT)) AS l2q
+            FROM short s
+            JOIN sflat f USING (vec_id)
+            JOIN qflat q ON q.m = f.m AND q.pos = f.pos
+            GROUP BY s.vec_id
+        )
+        SELECT vec_id,
+               ROUND(CAST(CAST(l2q AS VARCHAR) AS DOUBLE) / 1e15, 6)
+                   + 0.0 AS l2_dist
+        FROM rer ORDER BY l2q, vec_id LIMIT {TOP_K}
+    """
+    return sql
+
+
+ORACLES["ann_pq"] = _ann_pq_sql()
