@@ -66,7 +66,15 @@ _QUERIES: dict[str, QueryFn] = {
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
     # round). Round-7 order, per VERDICT r06 asks #2/#3/#5:
-    # 0. slots 1-5: r07 wave-2 CHANGED — five rows-only → hash-verified
+    # -1. slots 1-3: r07 wave-3 NEW — sssp (bounded Bellman-Ford over
+    #    the weighted customer–supplier graph, exact BIGINT distances,
+    #    unrolled-CTE oracle), ewma_smooth (per-user sequential EWMA
+    #    fold, bit-identical left fold in both engines — the batch
+    #    twin of the applyInPandasWithState recurrence), and
+    #    cluster_silhouette (simplified centroid-based silhouette over
+    #    the engine-exact Lloyd fit — linear, never within-cell
+    #    all-pairs); all three hash-verified on arrival;
+    # 0. slots 4-9: r07 wave-2 CHANGED — six rows-only → hash-verified
     #    flips via cross-engine hash/quantization conventions:
     #    dedup_minhash + dedup_clusters (MinHash signatures moved from
     #    engine-private xxhash64 to the md5-prefix + universal-hash
@@ -117,6 +125,9 @@ _QUERIES: dict[str, QueryFn] = {
     # without executing anything (streaming contract queries and
     # order_stat are intercepted by the lazy plan twins in
     # plans/analysis.py for the analysis tools).
+    "sssp": GR.q_sssp,
+    "ewma_smooth": EV.q_ewma_smooth,
+    "cluster_silhouette": S.q_cluster_silhouette,
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_clusters": D.q_dedup_clusters,
     "embedding_neardup": S.q_embedding_neardup,

@@ -138,6 +138,9 @@ HEADLINE = [
     "text_roundtrip",
     "kmeans_clusters",
     "ann_ivf",
+    "sssp",
+    "ewma_smooth",
+    "cluster_silhouette",
 ]
 
 RUNS = 3

@@ -808,3 +808,48 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_signup_then_click"),
         F.count("t3").alias("n_full_funnel"),
     )
+
+
+EWMA_ALPHA = 0.25  # exactly representable: 1-alpha = 0.75 is too
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (s_t = α·x_t + (1−α)·s_{t−1}, s_0 = first value, events in
+    (ts, event_id) order) — the classic streaming smoother, computed
+    batch-side. Returns (user_id, n_events, ewma).
+
+    An EWMA is an inherently sequential per-key recurrence, so it
+    CANNOT be a partition-parallel aggregate; the scale-correct batch
+    shape is groupBy(key) + an ordered in-key fold: collect_list the
+    per-user sequence (bounded by per-user activity, the same bound
+    every sessionization query relies on), array_sort for the
+    deterministic (ts, event_id) order, and a sequential
+    ``F.aggregate`` fold seeded with the first element. Both engines
+    fold left-to-right over the identical sequence with α = 0.25 and
+    1−α = 0.75 (both exactly representable doubles), so the result is
+    bit-identical cross-engine with no quantization convention —
+    DuckDB's list_reduce is the oracle twin. The streaming twin of
+    this recurrence is applyInPandasWithState (streaming/stateful.py).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+    # project the value array ONCE before the fold references it three
+    # times (slice/init/size) — the repo-wide HOF-projection rule (CSE
+    # does not reach inside higher-order lambdas)
+    xs = F.col("xs")
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * F.lit(1.0 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.transform("seq", lambda s: s["value"]).alias("xs"),
+    ).select("user_id", "n_events", ewma.alias("ewma"))

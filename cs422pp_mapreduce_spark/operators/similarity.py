@@ -1051,3 +1051,54 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette score over the engine's
+    k-means fit (build_ivf_index): for each vector, a = quantized
+    squared distance to its own cell's shipped centroid, b = the
+    minimum over the other K−1 centroids, sil = (b−a)/max(a,b);
+    returns (cell, n, mean_sil) — the standard clustering-quality
+    diagnostic a curation pipeline reads before trusting
+    semantic_dedup / IVF cell routing.
+
+    The "simplified" (centroid-based) variant is deliberate: true
+    silhouette needs all within-cell pairwise distances — n²/K with
+    fixed K, the exact quadratic family the r06 scale gate killed in
+    semantic_dedup — while the centroid form is one broadcast of K×dim
+    index metadata and a map-side K-way argmin per vector, linear at
+    any corpus size. Every distance is the engine-exact integer
+    Σ floor((x−c)²·1e15) (as int64), the ratio is two correctly-
+    rounded BIGINT→DOUBLE casts and one division, and the per-cell
+    mean uses the quantized-mean convention — fully hash-verified
+    against the unrolled Lloyd-fit oracle."""
+    centroids, assigned = build_ivf_index(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(centroids)],
+        "ocell int, cvec array<double>",
+    )
+    d = assigned.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cell", "ocell", _sqdist_q("arr", "cvec").alias("d2q")
+    )
+    ab = d.groupBy("vec_id", "cell").agg(
+        F.min(F.when(F.col("ocell") == F.col("cell"), F.col("d2q"))).alias("a"),
+        F.min(F.when(F.col("ocell") != F.col("cell"), F.col("d2q"))).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")).cast("double")
+        / F.greatest("a", "b").cast("double")
+    )
+    return (
+        ab.select("cell", sil.alias("sil"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("sil") * F.lit(1e15)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1))
+            ).alias("mean_sil"),
+        )
+    )

@@ -3537,3 +3537,109 @@ def _ann_pq_sql() -> str:
 
 
 ORACLES["ann_pq"] = _ann_pq_sql()
+
+
+# Bounded Bellman-Ford SSSP (r07 wave 3): SSSP_ROUNDS relaxation
+# rounds unrolled as chained CTEs — distances are exact BIGINTs
+# (edge weight = MIN(l_quantity) per customer–supplier pair), so no
+# float convention is needed anywhere.
+def _sssp_sql() -> str:
+    from .operators.graph import SSSP_ROUNDS, SUPP_OFFSET
+
+    sql = f"""
+        WITH ew AS (
+            SELECT CAST(o_custkey AS BIGINT) AS cust,
+                   CAST(l_suppkey AS BIGINT) + {SUPP_OFFSET} AS supp,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ), wsym AS (
+            SELECT cust AS src, supp AS dst, w FROM ew
+            UNION ALL
+            SELECT supp, cust, w FROM ew
+        ), s0 AS (
+            SELECT MIN(cust) AS node, CAST(0 AS BIGINT) AS dist FROM ew
+        )"""
+    for k in range(1, SSSP_ROUNDS + 1):
+        sql += f""", s{k} AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM s{k - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM s{k - 1} d JOIN wsym e ON e.src = d.node
+            ) GROUP BY node
+        )"""
+    sql += f"""
+        SELECT node, dist FROM s{SSSP_ROUNDS}
+    """
+    return sql
+
+
+ORACLES["sssp"] = _sssp_sql()
+
+
+def _ewma_sql() -> str:
+    from .operators.events import EWMA_ALPHA
+
+    a = repr(EWMA_ALPHA)
+    b = repr(1.0 - EWMA_ALPHA)
+    # list_reduce without an initial value seeds with the first
+    # element — exactly the Spark fold's F.element_at(xs, 1) init; the
+    # per-step expression tree (acc·(1−α) + x·α, both literals exactly
+    # representable, parsed as DOUBLE) matches op-for-op, so the fold
+    # is bit-identical with no rounding convention.
+    return f"""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(
+                   list(value ORDER BY ts, event_id),
+                   (acc, x) -> acc * CAST('{b}' AS DOUBLE)
+                               + x * CAST('{a}' AS DOUBLE)) AS ewma
+        FROM events GROUP BY user_id
+    """
+
+
+ORACLES["ewma_smooth"] = _ewma_sql()
+
+
+# Simplified (centroid-based) silhouette over the engine-exact Lloyd
+# fit: a/b are quantized integer distances to the SHIPPED centroids
+# (c{ITERS}), own cell from the final assignment (a{ITERS}); the
+# ratio is two correctly-rounded BIGINT→DOUBLE casts + one division;
+# the per-cell mean uses the quantized-mean VARCHAR-routed convention.
+def _cluster_silhouette_sql() -> str:
+    from .operators.similarity import IVF_ITERS
+
+    return (
+        _kmeans_ctes()
+        + f""", sd AS (
+            SELECT a.vec_id, a.cell, c.cell AS ocell,
+                   CAST(SUM(CAST(FLOOR((v.v - c.c) * (v.v - c.c) * 1e15)
+                                 AS HUGEINT)) AS BIGINT) AS d2q
+            FROM a{IVF_ITERS} a
+            JOIN vflat v ON v.vec_id = a.vec_id
+            JOIN c{IVF_ITERS} c ON c.pos = v.pos
+            GROUP BY a.vec_id, a.cell, c.cell
+        ), ab AS (
+            SELECT vec_id, cell,
+                   MIN(CASE WHEN ocell = cell THEN d2q END) AS a,
+                   MIN(CASE WHEN ocell <> cell THEN d2q END) AS b
+            FROM sd GROUP BY vec_id, cell
+        ), sil AS (
+            SELECT cell,
+                   CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE CAST(b - a AS DOUBLE)
+                             / CAST(greatest(a, b) AS DOUBLE)
+                   END AS sil
+            FROM ab
+        )
+        SELECT CAST(cell AS INT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(FLOOR(sil * 1e15) AS HUGEINT))
+                         AS VARCHAR) AS DOUBLE) / 1e15 / COUNT(*)
+                   AS mean_sil
+        FROM sil GROUP BY cell
+    """
+    )
+
+
+ORACLES["cluster_silhouette"] = _cluster_silhouette_sql()

@@ -69,6 +69,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "semantic_dedup": {
         "BroadcastNestedLoopJoin": "K-row centroid broadcast (argmin)"
     },
+    "cluster_silhouette": {
+        "BroadcastNestedLoopJoin": "K-row centroid broadcast (a/b argmin)"
+    },
     "pps_sample": {
         "BroadcastNestedLoopJoin": "1-row weight-total broadcast (grid step)"
     },
