@@ -40,7 +40,10 @@ from cs422pp_mapreduce_spark.streaming.joins import (
     q_stream_enrich,
     q_stream_interval_join,
 )
-from cs422pp_mapreduce_spark.streaming.stateful import q_stream_profile
+from cs422pp_mapreduce_spark.streaming.stateful import (
+    q_stream_ewma,
+    q_stream_profile,
+)
 from cs422pp_mapreduce_spark.streaming.wordcount import q_stream_wordcount
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -127,6 +130,7 @@ _QUERIES: dict[str, QueryFn] = {
     # plans/analysis.py for the analysis tools).
     "sssp": GR.q_sssp,
     "ewma_smooth": EV.q_ewma_smooth,
+    "stream_ewma": q_stream_ewma,
     "cluster_silhouette": S.q_cluster_silhouette,
     "dedup_minhash": D.q_dedup_minhash,
     "dedup_clusters": D.q_dedup_clusters,

@@ -3600,6 +3600,10 @@ def _ewma_sql() -> str:
 
 ORACLES["ewma_smooth"] = _ewma_sql()
 
+# The streaming EWMA's converged state must equal the batch fold —
+# the truth IS the batch oracle (aliased, the text_roundtrip pattern).
+ORACLES["stream_ewma"] = ORACLES["ewma_smooth"]
+
 
 # Simplified (centroid-based) silhouette over the engine-exact Lloyd
 # fit: a/b are quantized integer distances to the SHIPPED centroids

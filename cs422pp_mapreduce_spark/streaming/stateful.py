@@ -215,3 +215,115 @@ def user_activity_profile_batch(events: DataFrame) -> DataFrame:
         F.max("value").alias("max_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --- streaming EWMA (arbitrary-state recurrence) ---------------------------
+
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from ..operators.events import EWMA_ALPHA
+
+    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    (user_id,) = key
+    if state.exists:
+        n, s = state.get
+    else:
+        n, s = 0, 0.0
+    for pdf in pdfs:
+        # deterministic in-batch order; across micro-batches the staged
+        # slices are (ts, event_id)-ordered, so the full fold order is
+        # exactly the batch twin's array_sort order
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"].tolist():
+            x = float(x)
+            # Python float IS an IEEE double: s*b + x*a is the same two
+            # products + one add the JVM fold runs — bit-identical, so
+            # the batch oracle hash-matches with no tolerance. The
+            # per-row loop is the recurrence itself (inherently
+            # sequential per key), not an avoidable anti-pattern; rows
+            # per (key, batch) are bounded by per-user activity.
+            s = x if n == 0 else s * b + x * a
+            n += 1
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma": [s]}
+    )
+
+
+def user_ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA via applyInPandasWithState — the
+    arbitrary-state form of the inherently sequential per-key
+    recurrence (operators/events.q_ewma_smooth is the batch twin).
+    State is two scalars per user; one hash exchange on user_id per
+    micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_ewma_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started applyInPandasWithState plan behind q_stream_ewma for
+    the analysis tools."""
+    from .events import read_event_stream_auto
+
+    return user_ewma_stream(read_event_stream_auto(spark, sf_dir))
+
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract stateful-streaming EWMA: the per-user
+    exponential smoother run INCREMENTALLY over the events table
+    staged as three time-ordered micro-batches (per-key state carried
+    across batches by applyInPandasWithState), update-mode memory
+    sink, final state = the max-``n_events`` row per user.
+
+    HASH-VERIFIED against the BATCH oracle (the same DuckDB
+    list_reduce SQL as ewma_smooth): the staged slices partition the
+    table on (ts, event_id) ntiles, each batch sorts its rows the same
+    way, and every fold step is the identical IEEE-double expression —
+    so the incremental fold's final state equals the batch fold
+    bit-for-bit. That makes this the engine's second hash-verified
+    applyInPandasWithState row, and the first that carries a FLOAT
+    recurrence (stream_profile's state is integral cents): it proves
+    order-stable state handoff across micro-batch boundaries, which is
+    exactly the property a production streaming smoother needs after
+    restarts/backfills."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .events import (
+        _drain_to_memory,
+        read_staged_event_stream,
+        stage_event_files,
+    )
+
+    src = stage_event_files(spark, sf_dir, n_files=3)
+    ev = read_staged_event_stream(spark, src)
+    out = user_ewma_stream(ev)
+    sink = _drain_to_memory(out, "stream_ewma", output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma")
+    )

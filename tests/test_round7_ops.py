@@ -139,3 +139,20 @@ def test_ewma_single_event_user_is_identity(spark):
     assert len(out) == 1
     assert out[0]["ewma"] == 7.5
     assert out[0]["n_events"] == 1
+
+
+def test_stream_ewma_equals_batch_twin(spark, sf_dir):
+    # The converged incremental state must equal the batch fold
+    # BIT-FOR-BIT (same IEEE expression per step, same (ts, event_id)
+    # fold order across the staged micro-batch boundaries).
+    from cs422pp_mapreduce_spark.streaming.stateful import q_stream_ewma
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in q_stream_ewma(spark, sf_dir).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in EV.q_ewma_smooth(spark, sf_dir).collect()
+    }
+    assert got == exp
