@@ -141,6 +141,8 @@ HEADLINE = [
     "sssp",
     "ewma_smooth",
     "cluster_silhouette",
+    # fixed-cost streaming contract class (like stream_event_recovery)
+    "stream_ewma",
 ]
 
 RUNS = 3

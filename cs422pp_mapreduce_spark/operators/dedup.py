@@ -143,39 +143,77 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     196× (the constant is higher at small scale from the extra
     df-count + regroup stages; the asymptote is what matters).
 
+    r07 upgrade, same output again: (1) shingles are xxhash64'd ONCE
+    up front so the whole pipeline — df-count, canonical order,
+    prefix join, verify intersects — runs on longs, never re-shuffling
+    string content; (2) the PPJoin POSITIONAL filter (Xiao et al.
+    2008) prunes prefix matches whose position-bounded best-case
+    overlap can't reach ⌈t/(1+t)·(n_a+n_b)⌉ — at t = 0.5 the Bayardo
+    prefix is half of each document, so this is the filter with teeth:
+    7.26M → 1.58M candidates at sf1, and warm wall time 14.6 s →
+    4.3 s at sf1 / 3.7 s → 2.3 s at sf0.1 (scale ratio 7.1× → ~1.9×).
+
     The LSH twin (q_dedup_minhash) remains the sub-threshold-recall
     scale path; this is the EXACT path made 100 TB-viable."""
     t = JACCARD_THRESHOLD
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # referenced by the prefix build + both verify joins; at cluster
-    # scale this is the materialized shingle table you'd checkpoint
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    # One xxhash64 per shingle up front: everything downstream — the
+    # df-count, the canonical order, the prefix join, and the verify
+    # intersects — runs on 8-byte longs instead of ~25-byte 3-gram
+    # strings. Content never shuffles after this projection (the
+    # dedup_fingerprint principle), which at sf1 turned the verify
+    # join from a GC-bound string-array exchange into a cheap long-
+    # array one. Exact up to 64-bit collisions — the engine-wide
+    # convention (dedup_substring joins on the same hashes).
+    shh = sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ referenced by the prefix build + both verify joins; at cluster
+    # scale this is the materialized hashed-shingle table you'd
+    # checkpoint
+    inv = shh.select("doc_id", F.explode("hs").alias("hsh"))
+    dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        inv.join(dfreq, "shingle")
+        inv.join(dfreq, "hsh")
         .groupBy("doc_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("df", "shingle"))
+                F.collect_list(F.struct("df", "hsh"))
             ).alias("ordered")
         )
     )
+    # (df, hsh) is a global canonical order exactly like (df, shingle)
+    # was — the prefix theorem only needs SOME shared total order, and
+    # hashing first keeps the sort keys fixed-width.
     n = F.size("ordered")
     plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
     prefix = ranked.select(
         "doc_id",
         n.alias("n_sh"),
-        F.explode(F.slice("ordered", F.lit(1), plen)).alias("ps"),
-    ).select("doc_id", "n_sh", F.col("ps.shingle").alias("shingle"))
+        F.posexplode(F.slice("ordered", F.lit(1), plen)).alias("pos", "ps"),
+    ).select("doc_id", "n_sh", "pos", F.col("ps.hsh").alias("hsh"))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008): a prefix match at
+    # (0-based) positions i_a, i_b can witness at most
+    # 1 + min(n_a − i_a, n_b − i_b) overlapping shingles, and J ≥ t
+    # needs overlap ≥ ⌈t/(1+t)·(n_a+n_b)⌉ — prune the join row when
+    # the bound can't reach it. At t = 0.5 the Bayardo prefix is half
+    # of every document, so this is the filter that bites: measured
+    # 7.26M → 1.58M candidate pairs at sf1 (the verify join was 96%
+    # of the query's cost before).
+    omin = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")))
+    ub = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.hsh") == F.col("b.hsh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh")),
+            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh"))
+            & (ub >= omin),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -183,11 +221,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sha = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    sha = shh.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")
     )
-    shb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    shb = shh.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")
     )
     verified = (
         cand.join(sha, "doc_a")
