@@ -303,14 +303,19 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most frequent bigram — the within-document repetition
     gate a pretraining quality pipeline applies before dedup.
 
-    Two branches, both linear: the duplicate fractions are pure
-    within-row array math (size − size∘array_distinct over a token
-    array projected once — map-only, zero shuffle even at 100 TB); the
-    top-bigram mass needs cross-row state per (doc, bigram), so it is
-    the standard explode → two-level aggregate, shuffling only
-    (doc_id, bigram) pairs. The final join is doc_id-keyed and AQE
-    picks broadcast when one side is small. Fractions are exact
-    integer-ratio IEEE divisions, bit-equal across engines."""
+    MAP-ONLY since r07 (was explode → two-level aggregate → join):
+    every signal, including the top-bigram mass, is within-row array
+    math — the n-grams are xxhash64'd once (8-byte longs; content
+    never leaves the row, the dedup_ngram principle, exact up to
+    64-bit collisions), duplicate fractions are size −
+    size∘array_distinct, and the most-frequent-bigram count is the
+    LONGEST EQUAL RUN of the sorted hash array, computed by one
+    ``F.aggregate`` fold — so a per-doc statistic never pays a
+    shuffle, at any corpus size (measured 5.8 s → 1.3 s warm at sf1;
+    scale ratio 7.7× → ~2×). Fractions are exact integer-ratio IEEE
+    divisions, bit-equal across engines; the oracle keeps the
+    readable unnest/GROUP BY formulation — same integers either way.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", nonempty_tokens("text").alias("toks")).where(
         F.size("toks") >= 3
@@ -336,41 +341,62 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         ) / F.size(arr)
 
-    # Project the n-gram arrays ONCE before dup_frac references each
-    # 3x (size, array_distinct, size): HOFs are CodegenFallback, so no
-    # subexpression elimination rescues inline copies — the two-step
-    # projection is the same fix as shingle_frame (multi-referenced
-    # non-trivial aliases are not re-inlined by CollapseProject).
-    arrs = toks.select(
-        "doc_id", "toks", bigrams.alias("bg"), trigrams.alias("tg")
-    )
-    metrics = arrs.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        dup_frac(F.col("toks")).alias("dup_token_frac"),
-        dup_frac(F.col("bg")).alias("dup_bigram_frac"),
-        dup_frac(F.col("tg")).alias("dup_trigram_frac"),
-    )
-    top = (
-        arrs.select("doc_id", F.explode("bg").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("top_bigram_count"),
-            F.sum("c").alias("n_bigrams"),
+    def max_run(sorted_arr):
+        # longest run of equal adjacent values in a sorted array ==
+        # the max multiplicity == the top bigram's count. run == 0
+        # doubles as the "no previous element" flag, so no null
+        # sentinel can collide with a real hash value.
+        zero = F.struct(
+            F.lit(0).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
-    )
-    return metrics.join(top, "doc_id").select(
+
+        def merge(acc, x):
+            new_run = (
+                F.when(
+                    (acc["run"] > F.lit(0)) & (acc["prev"] == x),
+                    acc["run"] + 1,
+                )
+                .otherwise(F.lit(1).cast("long"))
+            )
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(acc["best"], new_run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, zero, merge, lambda acc: acc["best"])
+
+    # Project each derived array ONCE before anything references it
+    # multiple times (size, array_distinct, the fold): HOFs are
+    # CodegenFallback, so no subexpression elimination rescues inline
+    # copies — the staged projections are the same fix as
+    # shingle_frame (multi-referenced non-trivial aliases are not
+    # re-inlined by CollapseProject).
+    arrs = toks.select(
         "doc_id",
-        "n_tokens",
-        "dup_token_frac",
-        "dup_bigram_frac",
-        "dup_trigram_frac",
-        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
-        (
-            F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
-        ).alias("top_bigram_frac"),
+        F.transform("toks", lambda s: F.xxhash64(s)).alias("tkh"),
+        F.transform(bigrams, lambda s: F.xxhash64(s)).alias("bgh"),
+        F.transform(trigrams, lambda s: F.xxhash64(s)).alias("tgh"),
+    )
+    folded = arrs.select(
+        "doc_id",
+        "tkh",
+        "bgh",
+        "tgh",
+        max_run(F.array_sort("bgh")).alias("top_count"),
+    )
+    return folded.select(
+        "doc_id",
+        F.size("tkh").cast("long").alias("n_tokens"),
+        dup_frac(F.col("tkh")).alias("dup_token_frac"),
+        dup_frac(F.col("bgh")).alias("dup_bigram_frac"),
+        dup_frac(F.col("tgh")).alias("dup_trigram_frac"),
+        F.col("top_count").alias("top_bigram_count"),
+        (F.col("top_count").cast("double") / F.size("bgh")).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
