@@ -35,6 +35,7 @@ from cs422pp_mapreduce_spark.streaming.events import (
     q_stream_event_session,
     q_stream_event_tumbling,
     q_stream_foreach_upsert,
+    q_stream_sliding,
 )
 from cs422pp_mapreduce_spark.streaming.joins import (
     q_stream_enrich,
@@ -122,12 +123,15 @@ _QUERIES: dict[str, QueryFn] = {
     # fetch that plans its literal bucket predicate), q_bucketed_join
     # writes its two bucketed tables at build time (the write IS the
     # operator under test), q_bpe_train runs its bounded per-round
-    # argmax jobs at build time, and q_order_stat runs its count +
+    # argmax jobs at build time, q_order_stat runs its count +
     # bounded <=1024-row histogram collects at build time (iterative
-    # selection is driver-paced by nature); every other query builds
-    # without executing anything (streaming contract queries and
-    # order_stat are intercepted by the lazy plan twins in
-    # plans/analysis.py for the analysis tools).
+    # selection is driver-paced by nature), and q_bloom_semi_join
+    # builds its broadcast bitmap with one distinct-positions collect
+    # bounded by BLOOM_M = 2^20 at build time (a bloom filter is
+    # driver-resident index metadata by design); every other query
+    # builds without executing anything (streaming contract queries,
+    # order_stat, and bloom_semi_join are intercepted by the lazy plan
+    # twins in plans/analysis.py for the analysis tools).
     "sssp": GR.q_sssp,
     "ewma_smooth": EV.q_ewma_smooth,
     "stream_ewma": q_stream_ewma,
@@ -143,6 +147,26 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_substring_apply": D.q_dedup_substring_apply,
     "kmeans_clusters": S.q_kmeans_clusters,
     "bpe_train": TK.q_bpe_train,
+    # --- r07 wave-4 NEW (all hash-verified on arrival): sufficient-
+    # statistics OLS (the distributed closed-form-fit pattern, exact
+    # integer normal equations), the division-free integer 3-sigma
+    # outlier census, blocked fuzzy record linkage (pigeonhole-complete
+    # blocking + levenshtein verify), and the real-pixel perceptual
+    # hash (full PNG encode → independent decode → integer aHash,
+    # oracle recomputes pixels arithmetically) ---
+    "linreg_ols": R.q_linreg_ols,
+    "zscore_outliers": EV.q_zscore_outliers,
+    "entity_match": R.q_entity_match,
+    "image_ahash": MM.q_image_ahash,
+    # --- r07 wave-5 NEW (all hash-verified on arrival): one-pass
+    # Pearson correlation matrix (15 sufficient stats, one scan),
+    # bloom-prefiltered semi join (md5-derived oracle-replayable
+    # filter — the hash match verifies every bloom bit and probe),
+    # and the sliding-window streaming contract (overlapping-window
+    # state, the shape tumbling/session don't cover) ---
+    "corr_matrix": R.q_corr_matrix,
+    "bloom_semi_join": R.q_bloom_semi_join,
+    "stream_sliding": q_stream_sliding,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,

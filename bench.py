@@ -143,6 +143,17 @@ HEADLINE = [
     "cluster_silhouette",
     # fixed-cost streaming contract class (like stream_event_recovery)
     "stream_ewma",
+    # round-7 wave 4: sufficient-stats OLS, integer 3-sigma census,
+    # blocked record linkage, real-pixel PNG perceptual hash
+    "linreg_ols",
+    "zscore_outliers",
+    "entity_match",
+    "image_ahash",
+    # round-7 wave 5: one-pass correlation matrix, bloom-prefiltered
+    # semi join, sliding-window streaming contract (fixed-cost class)
+    "corr_matrix",
+    "bloom_semi_join",
+    "stream_sliding",
 ]
 
 RUNS = 3

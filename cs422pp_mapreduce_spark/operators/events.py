@@ -853,3 +853,61 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.transform("seq", lambda s: s["value"]).alias("xs"),
     ).select("user_id", "n_events", ewma.alias("ewma"))
+
+
+# --- exact-arithmetic statistical outlier gate -----------------------------
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier census with EXACT integer
+    arithmetic: count events whose value lies more than 3 population
+    standard deviations from the per-type mean.
+
+    The naive formulation compares (x − μ)² > 9σ² in floating point —
+    order-dependent (μ, σ² come from double sums) and therefore neither
+    partitioning-stable nor cross-engine verifiable. Multiplying both
+    sides by n² clears every division:
+
+        (n·x − S)²  >  9·(n·Q − S²),   S = Σx, Q = Σx²
+
+    with x routed to exact 1e-4 integer units, so the comparison is
+    INTEGER-EXACT — the flag for every row is identical under any
+    accumulation order, any partitioning, and any engine. DECIMAL(38,0)
+    holds the products (≈1e25 at sf1, cap 1e38).
+
+    Plan shape at 100 TB: one partial-aggregating scan reduces to
+    O(types) stat rows, which BROADCAST back onto the fact scan — the
+    facts are read twice but never shuffled; the only exchange carries
+    a handful of rows. (A window over event_type would instead shuffle
+    the entire fact table — the anti-pattern this query exists to show.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("vi"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("s"),
+        # vi² ≤ ~6e13 per term fits LONG; the sum can pass 2^63 → decimal
+        F.sum((F.col("vi") * F.col("vi")).cast("decimal(20,0)")).alias("q"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = (d(F.col("n")) * d(F.col("vi")) - d(F.col("s"))) * (
+        d(F.col("n")) * d(F.col("vi")) - d(F.col("s"))
+    )
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        d(F.col("n")) * d(F.col("q")) - d(F.col("s")) * d(F.col("s"))
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "n", (lhs > rhs).cast("int").alias("is_outlier")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.first("n").alias("n_events"),
+        F.sum("is_outlier").alias("n_outliers"),
+        (
+            F.sum("is_outlier").cast("double")
+            / F.first("n").cast("double")
+        ).alias("outlier_share"),
+    )

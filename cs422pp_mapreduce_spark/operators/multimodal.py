@@ -769,3 +769,228 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_no", F.hex("frame").alias("frame_hex")
     )
+
+
+# --- REAL pixel path: full PNG encode → decode → perceptual hash ----------
+#
+# Everything above inspects headers; this section exercises the FULL
+# image codec path with zero external libs: the encoder emits a
+# spec-complete 8×8 grayscale PNG (real zlib-compressed IDAT, real
+# per-scanline filters, real CRCs — any standards-compliant viewer
+# opens these), and an INDEPENDENT decoder (separate chunk walk,
+# zlib.decompress, all five PNG filter reconstructions incl. Paeth)
+# recovers the pixels. Pixels are md5-derived from doc_id%IMG_GROUPS,
+# so the DuckDB oracle recomputes the expected pixels ARITHMETICALLY —
+# a hash match proves encode → compress → filter → decompress →
+# unfilter → perceptual-hash round-trips the real format bit-exactly,
+# the same two-independent-implementations argument as the CRC check
+# in q_png_meta.
+
+IMG_SIDE = 8  # 8×8 grayscale → 64 pixels, the classic aHash raster
+IMG_GROUPS = 257  # docs with equal doc_id % IMG_GROUPS are exact-dup images
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def ahash_pixels(doc_id: int) -> list[int]:
+    """The deterministic pixel raster for a document: row r of image
+    g = doc_id % IMG_GROUPS is the first IMG_SIDE bytes of
+    md5(f"{g}:{r}"). The DuckDB twin recomputes this from hex substr
+    arithmetic — no bytes cross the oracle."""
+    import hashlib
+
+    g = doc_id % IMG_GROUPS
+    px: list[int] = []
+    for r in range(IMG_SIDE):
+        px.extend(
+            hashlib.md5(f"{g}:{r}".encode()).digest()[:IMG_SIDE]
+        )
+    return px
+
+
+def encode_png_gray8(pixels: list[int]) -> bytes:
+    """Spec-complete 8-bit grayscale PNG encoder (pure stdlib): rows
+    alternate filter 0 (None) and filter 1 (Sub) so the decoder's
+    reconstruction logic is genuinely exercised, then one zlib stream."""
+    import zlib
+
+    raw = bytearray()
+    for r in range(IMG_SIDE):
+        row = pixels[r * IMG_SIDE : (r + 1) * IMG_SIDE]
+        if r % 2 == 0:
+            raw.append(0)  # filter: None
+            raw.extend(row)
+        else:
+            raw.append(1)  # filter: Sub (delta vs left neighbor)
+            prev = 0
+            for v in row:
+                raw.append((v - prev) % 256)
+                prev = v
+    ihdr = struct.pack(">IIBBBBB", IMG_SIDE, IMG_SIDE, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(blob: bytes) -> list[int] | None:
+    """Independent full PNG decoder for 8-bit grayscale: chunk walk
+    with CRC verification, zlib inflate of the concatenated IDAT
+    stream, and reconstruction of ALL FIVE spec filters (None / Sub /
+    Up / Average / Paeth) — deliberately NOT sharing code with the
+    encoder, so the pytest + oracle agreement is a real
+    two-implementations check."""
+    import zlib
+
+    if blob is None or blob[:8] != PNG_SIG:
+        return None
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln : pos + 12 + ln])
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            return None
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or ctype != 0:
+                return None  # this decoder: 8-bit grayscale only
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        return None
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        return None
+    out: list[int] = []
+    prev_row = [0] * w
+    for r in range(h):
+        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+        filt, vals = line[0], line[1:]
+        row: list[int] = []
+        for c in range(w):
+            a = row[c - 1] if c > 0 else 0  # left
+            b = prev_row[c]  # up
+            cc = prev_row[c - 1] if c > 0 else 0  # up-left
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            elif filt == 3:
+                pred = (a + b) // 2
+            elif filt == 4:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            else:
+                return None
+            row.append((vals[c] + pred) % 256)
+        out.extend(row)
+        prev_row = row
+    return out
+
+
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("px", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def synth_png_images(docs: DataFrame) -> DataFrame:
+    """Arrow-batched encoder pass: one real PNG blob per document."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "blob": [
+                        encode_png_gray8(ahash_pixels(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                    "mime": "image/png",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_png_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched decoder pass (the independent implementation)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "px": [decode_png_gray8(b) for b in pdf["blob"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXELS_SCHEMA)
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: encode a
+    spec-complete PNG per document, decode it back through the
+    independent pure-stdlib decoder, compute the 64-bit average hash
+    (aHash: bit i = pixel_i·64 > Σpixels, integer-exact — the classic
+    near-dup image fingerprint), and group images by hash.
+
+    Plan shape at 100 TB: encode+decode are MAP-ONLY Arrow passes that
+    fuse into the scan stage (no shuffle carries a blob — the only
+    exchange moves 16-char hash strings to a count aggregate with
+    map-side partials, ≤IMG_GROUPS result rows). The aHash bit math
+    runs JVM-side over the decoded pixel array (higher-order functions
+    inside codegen), keeping Python strictly to the byte-level codec —
+    the repo-wide multimodal rule.
+    """
+    px_df = decode_png_pixels(
+        synth_png_images(load_table(spark, sf_dir, "documents"))
+    )
+    # project once before multi-referencing HOF consumers (CSE does not
+    # reach inside higher-order lambdas — the repo-wide projection rule)
+    with_total = px_df.select(
+        "media_id",
+        "px",
+        F.aggregate("px", F.lit(0), lambda a, x: a + x).alias("total"),
+    )
+    bit = lambda i: F.when(  # noqa: E731
+        F.element_at("px", i + 1) * 64 > F.col("total"), 1
+    ).otherwise(0)
+    nibble = lambda k: (  # noqa: E731
+        bit(4 * k) * 8 + bit(4 * k + 1) * 4 + bit(4 * k + 2) * 2 + bit(4 * k + 3)
+    )
+    ahash = F.concat(
+        *[
+            F.substr(
+                F.lit("0123456789abcdef"), nibble(k) + 1, F.lit(1)
+            )
+            for k in range(16)
+        ]
+    )
+    hashed = with_total.select("media_id", ahash.alias("ahash"))
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
+        F.max("media_id").alias("max_media_id"),
+    )

@@ -1120,3 +1120,306 @@ def q_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stat_name string, k long, value_cents long"
     ).orderBy("stat_name")
+
+
+# --- distributed statistics: sufficient-statistics regression -------------
+
+
+def q_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (OLS) of extended price on
+    quantity per (l_returnflag, l_linestatus): slope, intercept, r2 via
+    SUFFICIENT STATISTICS — the canonical distributed-ML aggregation
+    pattern (one partial-aggregating scan computes n, Σx, Σy, Σxy,
+    Σx², Σy² map-side; only O(groups) rows ever reach the exchange).
+    This is how closed-form fits run at 100 TB: the fact table is
+    scanned once, the normal equations are solved on the reduced
+    statistics — no iteration, no driver-side data.
+
+    Determinism convention: x and y are routed to exact integer cents
+    (DECIMAL(18,2)·100 → LONG), the five sums are exact (LONG /
+    DECIMAL(38,0) — addition is associative), and the closed-form
+    combination n·Σxy − Σx·Σy etc. happens in DECIMAL(38,0) (exact at
+    these magnitudes; the scale-0 cap never truncates). Only the final
+    slope/intercept/r2 are DOUBLE, computed with the identical operation
+    sequence as the DuckDB twin (correctly-rounded decimal→double casts,
+    then one division each) — bit-identical cross-engine. The ×100
+    scaling of x and y cancels in slope and r2; intercept divides by
+    100·n explicitly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("xi"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("yi"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        # per-term products fit LONG (x ≤ 5e3·100, y ≤ 1e5·100 cents),
+        # but their SUMs can pass 2^63 at sf ≥ 1 → decimal accumulators
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(20,0)")).alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(20,0)")).alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(20,0)")).alias("syy"),
+    )
+    num = d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))
+    den = d(F.col("n")) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))
+    ssy = d(F.col("n")) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * F.lit(100.0))
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * ssy.cast("double")
+    )
+    return stats.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+# --- record linkage: blocked fuzzy entity matching ------------------------
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage between the customer and supplier
+    name registries: pairs whose 9-digit name suffixes are within
+    Levenshtein distance 1.
+
+    The scale-correct shape is BLOCKING, never all-pairs: for equal-
+    length strings, edit distance ≤ 1 forces a single substitution (an
+    insert or delete would change the length), so by pigeonhole the two
+    suffixes agree exactly on their first 5 characters OR on their last
+    4 — two equi-joins on block keys generate a complete candidate set
+    (provably no recall loss), and the exact ``levenshtein`` verify
+    runs only on candidates. At 100 TB both sides hash-shuffle on the
+    block key (here the supplier side additionally qualifies for a
+    broadcast); candidate fan-out per block is bounded by block
+    selectivity, not table size. This is the standard entity-resolution
+    plan (blocking + verify) every record-linkage system uses.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring("c_name", 10, 9).alias("c_sfx")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring("s_name", 10, 9).alias("s_sfx")
+    )
+    c = cust.withColumn("b1", F.substring("c_sfx", 1, 5)).withColumn(
+        "b2", F.substring("c_sfx", 6, 4)
+    )
+    s = supp.withColumn("b1", F.substring("s_sfx", 1, 5)).withColumn(
+        "b2", F.substring("s_sfx", 6, 4)
+    )
+    cand = (
+        c.join(F.broadcast(s.select("s_suppkey", "s_sfx", "b1")), "b1")
+        .select("c_custkey", "c_sfx", "s_suppkey", "s_sfx")
+        .unionByName(
+            c.join(F.broadcast(s.select("s_suppkey", "s_sfx", "b2")), "b2")
+            .select("c_custkey", "c_sfx", "s_suppkey", "s_sfx")
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("c_sfx", "s_sfx") <= 1
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        F.levenshtein("c_sfx", "s_sfx").cast("int").alias("edit_dist"),
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, extendedprice, discount, tax) from ONE
+    partial-aggregating scan: the 15 sufficient statistics (n, 4 sums,
+    4 sums of squares, 6 cross-sums) reduce map-side to a single row;
+    all 6 correlations are closed-form selections over it. This is the
+    one-pass covariance/corr pattern feature stores run at 100 TB —
+    the fact table is never re-scanned per pair, and nothing but one
+    stat row crosses the exchange.
+
+    Determinism: inputs route to exact integer units (2-decimal
+    DECIMAL·100 → LONG), every sufficient statistic is exact
+    (DECIMAL(20,0)-accumulated products), the n·Σxy − Σx·Σy
+    combinations are exact DECIMAL(38,0), and each corr is the
+    identical double sequence both engines run: num / sqrt(denx·deny)
+    over correctly-rounded decimal→double casts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("p"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("long")
+        .alias("dd"),
+        (F.col("l_tax").cast("decimal(4,2)") * 100).cast("long").alias("t"),
+    )
+    cols = ["q", "p", "dd", "t"]
+    names = {
+        "q": "quantity",
+        "p": "extendedprice",
+        "dd": "discount",
+        "t": "tax",
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(c).alias(f"s_{c}") for c in cols]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i:]
+    ]  # includes (a, a) → the 4 squares + 6 cross products
+    aggs += [
+        F.sum((F.col(a) * F.col(b)).cast("decimal(20,0)")).alias(
+            f"ss_{a}_{b}"
+        )
+        for a, b in pairs
+    ]
+    st = li.agg(*aggs)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = d(F.col("n"))
+
+    def corr(a: str, b: str):
+        num = n * d(F.col(f"ss_{a}_{b}")) - d(F.col(f"s_{a}")) * d(
+            F.col(f"s_{b}")
+        )
+        dena = n * d(F.col(f"ss_{a}_{a}")) - d(F.col(f"s_{a}")) * d(
+            F.col(f"s_{a}")
+        )
+        denb = n * d(F.col(f"ss_{b}_{b}")) - d(F.col(f"s_{b}")) * d(
+            F.col(f"s_{b}")
+        )
+        return num.cast("double") / F.sqrt(
+            dena.cast("double") * denb.cast("double")
+        )
+
+    exprs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            exprs.append(
+                F.struct(
+                    F.lit(names[a]).alias("var_x"),
+                    F.lit(names[b]).alias("var_y"),
+                    corr(a, b).alias("corr_xy"),
+                )
+            )
+    return (
+        st.select(F.explode(F.array(*exprs)).alias("s"), "n")
+        .select("s.var_x", "s.var_y", "s.corr_xy", F.col("n").alias("n_rows"))
+    )
+
+
+# --- Bloom-filter-accelerated semi join ------------------------------------
+
+BLOOM_M = 1 << 20  # bits in the filter (128 KiB bitmap)
+BLOOM_K = 4  # hash probes per key
+
+
+def _bloom_pos(key, i: int):
+    """Probe position i for a join key — the repo's md5-prefix integer
+    convention (15 hex chars < 2^60, always non-negative), replayable
+    in the oracle as ('0x' || substr(md5(...), 1, 15))::BIGINT % M."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join — THE shuffle-avoidance pattern for
+    selective joins at 100 TB: build a Bloom filter over the selective
+    side's keys (urgent orders), broadcast the 128 KiB bitmap, prune
+    the probe side MAP-SIDE (k md5 probes + bit tests, all inside
+    codegen), and only then run the exact semi join on survivors — so
+    the shuffle carries the bloom-surviving fraction instead of the
+    full fact table. Spark's AQE injects this automatically for large
+    plans (runtime bloom filter); this operator makes the mechanism
+    explicit, DETERMINISTIC (md5-derived positions, not engine-private
+    hashing), and cross-engine verifiable.
+
+    Output per return flag: probe rows, bloom-pass rows, exact-match
+    rows, and false positives (pass − match) — the oracle replays the
+    identical filter from the same md5 arithmetic, so the hash match
+    verifies the BLOOM ITSELF (every bit position and every probe),
+    not just the final join.
+
+    Bounded collect: the distinct bit-position set is capped by
+    M = 2^20 (8 MB worst case, 128 KiB packed) — driver-resident BY
+    DESIGN, like the IVF centroids / PQ codebooks: a bloom filter IS
+    bounded index metadata.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    pos_rows = (
+        sel.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("o_orderkey"), i) for i in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [0] * (BLOOM_M // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        bitmap[p >> 6] |= 1 << (p & 63)
+    # Python ints are unbounded — wrap to signed 64-bit so the words
+    # carry the same BIT PATTERN as the JVM's long shiftleft results
+    bitmap = [v - (1 << 64) if v >= (1 << 63) else v for v in bitmap]
+    bm = spark.createDataFrame(
+        [(bitmap,)], "bm: array<long>"
+    )  # 16384 longs → broadcast to every probe task
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    probe = li.crossJoin(F.broadcast(bm))
+    bit_ok = None
+    for i in range(BLOOM_K):
+        p = _bloom_pos(F.col("l_orderkey"), i)
+        t = (
+            F.element_at("bm", (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
+            )
+            != 0
+        )
+        bit_ok = t if bit_ok is None else (bit_ok & t)
+    passed = probe.select(
+        "l_orderkey", "l_returnflag", bit_ok.cast("int").alias("bloom_pass")
+    )
+    matched = passed.join(
+        F.broadcast(sel.withColumn("is_match", F.lit(1))),
+        passed.l_orderkey == F.col("o_orderkey"),
+        "left",
+    ).select(
+        "l_returnflag",
+        "bloom_pass",
+        F.coalesce("is_match", F.lit(0)).alias("is_match"),
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("bloom_pass").alias("n_bloom_pass"),
+        F.sum("is_match").alias("n_match"),
+        (F.sum("bloom_pass") - F.sum("is_match")).alias("n_false_pos"),
+    )

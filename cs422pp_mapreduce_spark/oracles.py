@@ -3647,3 +3647,270 @@ def _cluster_silhouette_sql() -> str:
 
 
 ORACLES["cluster_silhouette"] = _cluster_silhouette_sql()
+
+
+# --- round-7 wave 4: sufficient-stats OLS, exact outlier gate, blocked
+# linkage, real-pixel perceptual hash ---------------------------------
+
+
+# Grouped OLS via exact integer sufficient statistics: x/y routed to
+# cents (DECIMAL(18,2)·100 → BIGINT), the five sums exact (HUGEINT),
+# the normal-equation combination exact integer; slope/intercept/r2 are
+# the only doubles, computed with the identical operation sequence as
+# the Spark side (correctly-rounded HUGEINT→DOUBLE via VARCHAR, then
+# one division each).
+ORACLES["linreg_ols"] = """
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi
+        FROM lineitem
+    ), st AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(xi) AS sx, SUM(yi) AS sy,
+               SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+               SUM(CAST(xi AS HUGEINT) * yi) AS sxy,
+               SUM(CAST(yi AS HUGEINT) * yi) AS syy
+        FROM li GROUP BY l_returnflag, l_linestatus
+    ), comb AS (
+        SELECT l_returnflag, l_linestatus, n, sx, sy,
+               CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+               CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS ssy
+        FROM st
+    )
+    SELECT l_returnflag, l_linestatus, n AS n_rows,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(den AS VARCHAR) AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * 100.0) AS intercept,
+           (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(num AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(ssy AS VARCHAR) AS DOUBLE)) AS r2
+    FROM comb
+"""
+
+
+# 3-sigma outlier census with the division-free integer comparison
+# (n·x − S)² > 9(n·Q − S²) — every product exact in HUGEINT, so the
+# per-row flag is accumulation-order- and engine-independent.
+ORACLES["zscore_outliers"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        FROM events
+    ), st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(vi) AS s,
+               SUM(CAST(vi AS HUGEINT) * vi) AS q
+        FROM ev GROUP BY event_type
+    ), flags AS (
+        SELECT ev.event_type, st.n,
+               CASE WHEN (CAST(st.n AS HUGEINT) * ev.vi - st.s)
+                         * (CAST(st.n AS HUGEINT) * ev.vi - st.s)
+                       > 9 * (CAST(st.n AS HUGEINT) * st.q
+                              - CAST(st.s AS HUGEINT) * st.s)
+                    THEN 1 ELSE 0 END AS is_outlier
+        FROM ev JOIN st USING (event_type)
+    )
+    SELECT event_type,
+           MIN(n) AS n_events,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+           CAST(SUM(is_outlier) AS DOUBLE) / CAST(MIN(n) AS DOUBLE)
+               AS outlier_share
+    FROM flags GROUP BY event_type
+"""
+
+
+# Blocked fuzzy linkage: pigeonhole blocking (first-5 OR last-4 exact)
+# is complete for same-length edit distance ≤ 1 (a single edit that
+# preserves length is one substitution), then the exact levenshtein
+# verify — the identical candidate set + verify the Spark plan runs.
+ORACLES["entity_match"] = """
+    WITH c AS (
+        SELECT c_custkey, substr(c_name, 10, 9) AS c_sfx FROM customer
+    ), s AS (
+        SELECT s_suppkey, substr(s_name, 10, 9) AS s_sfx FROM supplier
+    ), cand AS (
+        SELECT c_custkey, c_sfx, s_suppkey, s_sfx
+        FROM c JOIN s ON substr(c_sfx, 1, 5) = substr(s_sfx, 1, 5)
+        UNION
+        SELECT c_custkey, c_sfx, s_suppkey, s_sfx
+        FROM c JOIN s ON substr(c_sfx, 6, 4) = substr(s_sfx, 6, 4)
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(levenshtein(c_sfx, s_sfx) AS INT) AS edit_dist
+    FROM cand WHERE levenshtein(c_sfx, s_sfx) <= 1
+"""
+
+
+# Real-pixel perceptual hash: the oracle recomputes the md5-derived
+# raster ARITHMETICALLY (hex-substr → ints) and the identical integer
+# aHash (bit = px·64 > Σpx), never touching PNG bytes — agreement with
+# the Spark side proves the full encode → zlib/filter → decode →
+# unfilter → hash pipeline round-trips the real format exactly.
+def _image_ahash_sql() -> str:
+    from .operators.multimodal import IMG_GROUPS
+
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), r ->
+                       md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                           || ':' || CAST(r AS VARCHAR))) AS hs
+            FROM documents
+        ), pxt AS (
+            SELECT doc_id,
+                   flatten(list_transform(hs, h ->
+                     list_transform(range(0, 8), c ->
+                       (strpos('0123456789abcdef', h[2*c+1]) - 1) * 16
+                       + strpos('0123456789abcdef', h[2*c+2]) - 1))) AS px
+            FROM hs
+        ), tot AS (
+            SELECT doc_id, px, list_aggregate(px, 'sum') AS total FROM pxt
+        ), ah AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 16), k ->
+                     substr('0123456789abcdef',
+                       (CASE WHEN px[4*k+1]*64 > total THEN 8 ELSE 0 END
+                      + CASE WHEN px[4*k+2]*64 > total THEN 4 ELSE 0 END
+                      + CASE WHEN px[4*k+3]*64 > total THEN 2 ELSE 0 END
+                      + CASE WHEN px[4*k+4]*64 > total THEN 1 ELSE 0 END)
+                       + 1, 1)), '') AS ahash
+            FROM tot
+        )
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_images,
+               MIN(doc_id) AS min_media_id,
+               MAX(doc_id) AS max_media_id
+        FROM ah GROUP BY ahash
+    """
+
+
+ORACLES["image_ahash"] = _image_ahash_sql()
+
+
+# --- round-7 wave 5: one-pass correlation matrix, bloom semi join,
+# streaming sliding windows ------------------------------------------
+
+
+# One-pass Pearson correlation matrix: 15 exact sufficient statistics
+# (HUGEINT), exact integer combinations, then the identical double
+# sequence per pair (num / sqrt(denx·deny), correctly-rounded casts).
+ORACLES["corr_matrix"] = """
+    WITH li AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS dd,
+               CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS t
+        FROM lineitem
+    ), st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(q) AS s_q, SUM(p) AS s_p, SUM(dd) AS s_dd, SUM(t) AS s_t,
+               SUM(CAST(q AS HUGEINT) * q) AS ss_q_q,
+               SUM(CAST(p AS HUGEINT) * p) AS ss_p_p,
+               SUM(CAST(dd AS HUGEINT) * dd) AS ss_dd_dd,
+               SUM(CAST(t AS HUGEINT) * t) AS ss_t_t,
+               SUM(CAST(q AS HUGEINT) * p) AS ss_q_p,
+               SUM(CAST(q AS HUGEINT) * dd) AS ss_q_dd,
+               SUM(CAST(q AS HUGEINT) * t) AS ss_q_t,
+               SUM(CAST(p AS HUGEINT) * dd) AS ss_p_dd,
+               SUM(CAST(p AS HUGEINT) * t) AS ss_p_t,
+               SUM(CAST(dd AS HUGEINT) * t) AS ss_dd_t
+        FROM li
+    ), pairs(var_x, var_y, num, denx, deny) AS (
+        SELECT 'quantity', 'extendedprice',
+               n*ss_q_p - CAST(s_q AS HUGEINT)*s_p,
+               n*ss_q_q - CAST(s_q AS HUGEINT)*s_q,
+               n*ss_p_p - CAST(s_p AS HUGEINT)*s_p FROM st
+        UNION ALL SELECT 'quantity', 'discount',
+               n*ss_q_dd - CAST(s_q AS HUGEINT)*s_dd,
+               n*ss_q_q - CAST(s_q AS HUGEINT)*s_q,
+               n*ss_dd_dd - CAST(s_dd AS HUGEINT)*s_dd FROM st
+        UNION ALL SELECT 'quantity', 'tax',
+               n*ss_q_t - CAST(s_q AS HUGEINT)*s_t,
+               n*ss_q_q - CAST(s_q AS HUGEINT)*s_q,
+               n*ss_t_t - CAST(s_t AS HUGEINT)*s_t FROM st
+        UNION ALL SELECT 'extendedprice', 'discount',
+               n*ss_p_dd - CAST(s_p AS HUGEINT)*s_dd,
+               n*ss_p_p - CAST(s_p AS HUGEINT)*s_p,
+               n*ss_dd_dd - CAST(s_dd AS HUGEINT)*s_dd FROM st
+        UNION ALL SELECT 'extendedprice', 'tax',
+               n*ss_p_t - CAST(s_p AS HUGEINT)*s_t,
+               n*ss_p_p - CAST(s_p AS HUGEINT)*s_p,
+               n*ss_t_t - CAST(s_t AS HUGEINT)*s_t FROM st
+        UNION ALL SELECT 'discount', 'tax',
+               n*ss_dd_t - CAST(s_dd AS HUGEINT)*s_t,
+               n*ss_dd_dd - CAST(s_dd AS HUGEINT)*s_dd,
+               n*ss_t_t - CAST(s_t AS HUGEINT)*s_t FROM st
+    )
+    SELECT var_x, var_y,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+               / sqrt(CAST(CAST(denx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS corr_xy,
+           (SELECT CAST(n AS BIGINT) FROM st) AS n_rows
+    FROM pairs
+"""
+
+
+# Bloom-prefiltered semi join: the oracle REPLAYS the filter — same
+# md5-derived bit positions over the build keys, same k-probe pass
+# test per probe row — so a hash match verifies every bloom bit and
+# every probe decision, plus the exact-join match/false-positive
+# split.
+def _bloom_semi_join_sql() -> str:
+    from .operators.relational import BLOOM_K, BLOOM_M
+
+    return f"""
+        WITH sel AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                       || ':' || i), 1, 15))::BIGINT
+                       % {BLOOM_M} AS pos
+            FROM sel, range(0, {BLOOM_K}) r(i)
+        ), probe AS (
+            SELECT l_orderkey, l_returnflag,
+                   ROW_NUMBER() OVER () AS rid
+            FROM lineitem
+        ), ppos AS (
+            SELECT rid, l_orderkey, l_returnflag,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                       || ':' || i), 1, 15))::BIGINT
+                       % {BLOOM_M} AS pos
+            FROM probe, range(0, {BLOOM_K}) r(i)
+        ), passed AS (
+            SELECT p.rid, MIN(p.l_orderkey) AS l_orderkey,
+                   MIN(p.l_returnflag) AS l_returnflag,
+                   CASE WHEN COUNT(b.pos) = {BLOOM_K} THEN 1 ELSE 0 END
+                       AS bloom_pass
+            FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY p.rid
+        ), flagged AS (
+            SELECT l_returnflag, bloom_pass,
+                   CASE WHEN l_orderkey IN (SELECT o_orderkey FROM sel)
+                        THEN 1 ELSE 0 END AS is_match
+            FROM passed
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_probe,
+               CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+               CAST(SUM(is_match) AS BIGINT) AS n_match,
+               CAST(SUM(bloom_pass) - SUM(is_match) AS BIGINT)
+                   AS n_false_pos
+        FROM flagged GROUP BY l_returnflag
+    """
+
+
+ORACLES["bloom_semi_join"] = _bloom_semi_join_sql()
+
+# The streaming sliding-window aggregation's converged complete-mode
+# state must equal the batch sliding result — the truth IS the batch
+# oracle (aliased, the stream_event_tumbling pattern).
+ORACLES["stream_sliding"] = ORACLES["event_sliding"]

@@ -169,6 +169,44 @@ def _tumbling_agg(ev: DataFrame) -> DataFrame:
     )
 
 
+def _sliding_agg(ev: DataFrame) -> DataFrame:
+    """Watermark → 1-hour windows sliding every 30 minutes (each event
+    lands in exactly 2 windows) → count/exact-sum. The streaming twin
+    of q_event_sliding: same window expression, same decimal-routed
+    sum, so complete-mode end-of-stream output equals the batch result
+    exactly and the DuckDB oracle is SHARED with event_sliding."""
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 2, "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "n_events", "sum_value"
+        )
+    )
+
+
+def stream_sliding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-started streaming sliding-window aggregation behind
+    q_stream_sliding (see stream_event_tumbling_plan for why)."""
+    return _sliding_agg(read_event_stream_auto(spark, sf_dir))
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract streaming query: sliding (overlapping) windowed
+    aggregation through Structured Streaming — each event contributes
+    to 2 window states — drained with availableNow into a complete-mode
+    memory sink. Overlapping-window state is the one windowing shape
+    the tumbling/session contracts don't cover; scale posture is the
+    incremental form (per-micro-batch partials into windowed state,
+    shuffle O(windows), watermark bounds state size)."""
+    return _drain_to_memory(
+        stream_sliding_plan(spark, sf_dir), "stream_sliding"
+    )
+
+
 def stream_event_tumbling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UN-STARTED streaming aggregation behind
     q_stream_event_tumbling: readStream → watermark → 1-hour tumbling
@@ -603,6 +641,7 @@ def _wave3_plan_builders() -> dict:
 STREAM_PLAN_BUILDERS = {
     "stream_event_tumbling": stream_event_tumbling_plan,
     "stream_event_session": stream_event_session_plan,
+    "stream_sliding": stream_sliding_plan,
     # the recovery query's aggregation plan IS the tumbling plan (same
     # _tumbling_agg over a file stream); mapping it here keeps the
     # analysis tools from executing the whole kill-and-restart sequence

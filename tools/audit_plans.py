@@ -60,6 +60,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
     },
     "tfidf": {"BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"},
+    "bloom_semi_join": {
+        "BroadcastNestedLoopJoin": "1-row 128KiB bloom-bitmap broadcast"
+    },
     "keyword_extract": {
         "BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"
     },
