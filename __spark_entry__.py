@@ -167,6 +167,16 @@ _QUERIES: dict[str, QueryFn] = {
     "corr_matrix": R.q_corr_matrix,
     "bloom_semi_join": R.q_bloom_semi_join,
     "stream_sliding": q_stream_sliding,
+    # --- r07 wave-6 NEW (all hash-verified on arrival): per-user
+    # time-weighted average (one user-hash exchange: window + agg),
+    # CUSUM drift via window algebra (no per-type collect_list — a
+    # type's history is unbounded at scale), real-pixel 2×2 mean-pool
+    # resize over the decoded PNG raster, and the packing-length
+    # histogram with cumulative coverage ---
+    "twap": EV.q_twap,
+    "cusum_drift": EV.q_cusum_drift,
+    "image_resize": MM.q_image_resize,
+    "seq_length_histogram": TX.q_seq_length_histogram,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,

@@ -154,6 +154,12 @@ HEADLINE = [
     "corr_matrix",
     "bloom_semi_join",
     "stream_sliding",
+    # round-7 wave 6: time-weighted average, CUSUM drift, real-pixel
+    # resize, packing-length histogram
+    "twap",
+    "cusum_drift",
+    "image_resize",
+    "seq_length_histogram",
 ]
 
 RUNS = 3

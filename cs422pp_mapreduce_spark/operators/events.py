@@ -911,3 +911,144 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.first("n").cast("double")
         ).alias("outlier_share"),
     )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of event value (TWAP — the
+    metrics/finance aggregate where each observation holds until the
+    next one): Σ (t_{i+1}−t_i)·v_i / (t_n − t_1) over users with ≥2
+    events.
+
+    Plan: ONE user-hash exchange — lead(ts) over (user_id | ts,
+    event_id) pairs each event with its holding interval, then an
+    ordinary partial-aggregating sum per user. No self-join, no
+    collect_list: the window and the aggregate share the same
+    partitioning, so at 100 TB this is one shuffle of (user, ts, v)
+    triples and O(users) output rows.
+
+    Determinism: intervals are exact integer MICROSECONDS, values
+    exact 1e-4 integer units; each area term dt·v routes through
+    DECIMAL(38,0) (dt ≤ 2.6e12 µs × v ≤ ~1e7 overflows a LONG), the
+    sum is exact decimal, and the final division is one double op on
+    correctly-rounded casts — identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("vi"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "t_us",
+        "vi",
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt_us"),
+    )
+    agg = (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t_us") - F.min("t_us")).alias("span_us"),
+            F.sum(
+                (F.col("dt_us").cast("decimal(20,0)") * F.col("vi")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("area"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        (
+            F.col("area").cast("double")
+            / (F.col("span_us").cast("double") * F.lit(10000.0))
+        ).alias("twap"),
+    )
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift statistic: the maximum upward
+    cumulative deviation of value from the type mean over the event
+    sequence — the classic change-point/drift detector a pipeline
+    runs over telemetry before trusting a data source.
+
+    Scale-correct formulation: CUSUM's sequential recurrence
+    c_i = max(0, c_{i-1} + (x_i − μ)) decomposes into WINDOW algebra —
+    with P_j the prefix sum of deviations, max_j c_j =
+    max_j (P_j − min(0, min_{k<j} P_k)). So the plan is one
+    event_type-hash exchange carrying three chained window functions
+    (cumulative sum, running min, max) + one aggregate — NO
+    collect_list of the group (a type's history is unbounded at
+    100 TB; per-key arrays are only legal for bounded keys like
+    users). Division-free integers: deviations are scaled by n
+    ((n·x − S), the zscore_outliers trick), prefix sums route through
+    DECIMAL(38,0), so every comparison is exact in both engines; the
+    output statistic is normalized back to value units by one double
+    division through correctly-rounded casts.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("vi"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vi").alias("s")
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("vi")
+            - F.col("s").cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # two window stages (nested window functions are illegal): prefix
+    # sum first, then the running min of its 0-floor over PRECEDING
+    # rows (exclusive). Both windows share partitioning AND ordering,
+    # so the plan pays ONE exchange + one sort for the chain.
+    pre = dev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum("d").over(w).alias("p"),
+    )
+    cu = pre.select(
+        "event_type",
+        "n",
+        "p",
+        F.min(F.least(F.col("p"), F.lit(0).cast("decimal(38,0)")))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("pmin_prev"),
+    )
+    c = F.col("p") - F.least(
+        F.coalesce("pmin_prev", F.lit(0).cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    return (
+        cu.select("event_type", "n", c.alias("c"))
+        .groupBy("event_type")
+        .agg(F.first("n").alias("n_events"), F.max("c").alias("mc"))
+        .select(
+            "event_type",
+            "n_events",
+            # c is in n-scaled 1e-4 units (d = n·(x−μ) carries one
+            # factor of n; prefix-summing adds none) → value units
+            # divide by n·1e4
+            (
+                F.col("mc").cast("double")
+                / (F.col("n_events").cast("double") * F.lit(10000.0))
+            ).alias("max_cusum"),
+        )
+    )

@@ -994,3 +994,42 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("min_media_id"),
         F.max("media_id").alias("max_media_id"),
     )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-pixel image RESIZE over the decoded PNG path: 8×8 → 4×4
+    mean-pool (2×2 blocks, integer floor division — the downsample
+    every thumbnail/feature pipeline runs before hashing or embedding)
+    plus per-image brightness. The codec stages are the same two fused
+    map-only Arrow passes as q_image_ahash; the pooling arithmetic is
+    JVM-side integer HOF math over the decoded array, and the pooled
+    grid is emitted as a 32-hex-char string so the comparison is
+    engine-portable text. The oracle recomputes the md5-derived raster
+    and the identical pooling arithmetically — a hash match proves the
+    real decode feeds downstream pixel math exactly.
+
+    Scale: map-only end to end — not even a count aggregate; blobs
+    never leave their scan stage, output is one row per image.
+    """
+    px_df = decode_png_pixels(
+        synth_png_images(load_table(spark, sf_dir, "documents"))
+    )
+    # pooled[k] for k in 0..15: r = k/4, c = k%4 → mean of the 2×2
+    # block at (2r, 2c); element_at is 1-based
+    base = lambda k: (k // 4) * 16 + (k % 4) * 2 + 1  # noqa: E731
+    pool = lambda k: (  # noqa: E731
+        F.element_at("px", base(k))
+        + F.element_at("px", base(k) + 1)
+        + F.element_at("px", base(k) + 8)
+        + F.element_at("px", base(k) + 9)
+    ) / 4
+    hexpair = lambda v: F.lpad(F.lower(F.hex(v.cast("long"))), 2, "0")  # noqa: E731
+    pooled_hex = F.concat(*[hexpair(pool(k)) for k in range(16)])
+    brightness = F.aggregate(
+        "px", F.lit(0).cast("long"), lambda a, x: a + x
+    ) / 64
+    return px_df.select(
+        "media_id",
+        pooled_hex.alias("pooled_hex"),
+        brightness.cast("long").alias("brightness"),
+    )

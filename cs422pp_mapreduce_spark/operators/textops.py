@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import (
@@ -1193,4 +1194,50 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with cumulative coverage — the packing
+    diagnostic run before choosing a sequence length for training
+    shards: per 16-token bucket, document count, token mass, and the
+    cumulative share of documents fully covered at that cutoff.
+
+    Plan: the per-doc token count is map-only (size of the split — no
+    n-gram work), the histogram is a partial-aggregating groupBy on
+    ≤ (max_len/16) buckets, and the cumulative shares are windows over
+    the bucket axis — O(buckets) rows after the first aggregate, so
+    the window sort is on a handful of rows at any corpus size.
+    Integer-exact counts; shares are single double divisions of exact
+    longs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Column has no floordiv; counts are non-negative so double-div +
+    # long cast IS floor division
+    lens = docs.select(
+        F.size(nonempty_tokens("text")).cast("long").alias("n_tokens")
+    ).select(
+        (F.col("n_tokens") / 16).cast("long").alias("bucket"), "n_tokens"
+    )
+    hist = lens.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return hist.select(
+        "bucket",
+        ((F.col("bucket") + 1) * 16).alias("cutoff_tokens"),
+        "n_docs",
+        "sum_tokens",
+        (
+            F.sum("n_docs").over(w).cast("double")
+            / F.sum("n_docs").over(tot).cast("double")
+        ).alias("cum_doc_share"),
+        (
+            F.sum("sum_tokens").over(w).cast("double")
+            / F.sum("sum_tokens").over(tot).cast("double")
+        ).alias("cum_token_share"),
     )

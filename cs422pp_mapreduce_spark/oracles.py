@@ -3914,3 +3914,132 @@ ORACLES["bloom_semi_join"] = _bloom_semi_join_sql()
 # state must equal the batch sliding result — the truth IS the batch
 # oracle (aliased, the stream_event_tumbling pattern).
 ORACLES["stream_sliding"] = ORACLES["event_sliding"]
+
+
+# --- round-7 wave 6: time-weighted average, CUSUM drift, real-pixel
+# resize, packing-length histogram --------------------------------------
+
+
+# TWAP: exact integer microsecond intervals × exact 1e-4 value units;
+# per-term products route through HUGEINT, the area sum is exact, the
+# final division is one double op on correctly-rounded casts.
+ORACLES["twap"] = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS t_us, event_id,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        FROM events
+    ), seg AS (
+        SELECT user_id, t_us, vi,
+               lead(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) - t_us AS dt_us
+        FROM ev
+    ), agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(t_us) - MIN(t_us) AS span_us,
+               SUM(CAST(dt_us AS HUGEINT) * vi) AS area
+        FROM seg GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_us,
+           CAST(CAST(area AS VARCHAR) AS DOUBLE)
+               / (CAST(span_us AS DOUBLE) * 10000.0) AS twap
+    FROM agg WHERE span_us > 0
+"""
+
+
+# CUSUM drift via window algebra (prefix sum → running min of its
+# 0-floor over preceding rows → max difference), deviations n-scaled
+# so every intermediate is an exact HUGEINT; the Spark twin stages the
+# same two windows over one sort.
+ORACLES["cusum_drift"] = """
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi
+        FROM events
+    ), st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(vi) AS s
+        FROM ev GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, e.ts, e.event_id, st.n,
+               CAST(st.n AS HUGEINT) * e.vi - st.s AS d
+        FROM ev e JOIN st USING (event_type)
+    ), pre AS (
+        SELECT event_type, ts, event_id, n,
+               SUM(d) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS p
+        FROM dev
+    ), cu AS (
+        SELECT event_type, n, p,
+               MIN(LEAST(p, CAST(0 AS HUGEINT))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmin_prev
+        FROM pre
+    )
+    SELECT event_type, MIN(n) AS n_events,
+           CAST(CAST(MAX(p - LEAST(COALESCE(pmin_prev, 0), 0))
+                     AS VARCHAR) AS DOUBLE)
+               / (CAST(MIN(n) AS DOUBLE) * 10000.0) AS max_cusum
+    FROM cu GROUP BY event_type
+"""
+
+
+# Real-pixel resize: recompute the md5-derived raster arithmetically,
+# apply the identical integer 2×2 mean-pool, emit the same 32-hex-char
+# pooled grid — agreement proves the decode feeds pixel math exactly.
+def _image_resize_sql() -> str:
+    from .operators.multimodal import IMG_GROUPS
+
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), r ->
+                       md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                           || ':' || CAST(r AS VARCHAR))) AS hs
+            FROM documents
+        ), pxt AS (
+            SELECT doc_id,
+                   flatten(list_transform(hs, h ->
+                     list_transform(range(0, 8), c ->
+                       (strpos('0123456789abcdef', h[2*c+1]) - 1) * 16
+                       + strpos('0123456789abcdef', h[2*c+2]) - 1))) AS px
+            FROM hs
+        )
+        SELECT doc_id AS media_id,
+               array_to_string(list_transform(range(0, 16), k ->
+                 printf('%02x',
+                   (px[(k // 4) * 16 + (k % 4) * 2 + 1]
+                    + px[(k // 4) * 16 + (k % 4) * 2 + 2]
+                    + px[(k // 4) * 16 + (k % 4) * 2 + 9]
+                    + px[(k // 4) * 16 + (k % 4) * 2 + 10]) // 4)), '')
+                   AS pooled_hex,
+               CAST(list_aggregate(px, 'sum') // 64 AS BIGINT)
+                   AS brightness
+        FROM pxt
+    """
+
+
+ORACLES["image_resize"] = _image_resize_sql()
+
+
+# Packing-length histogram: integer-exact bucket counts, cumulative
+# shares as single double divisions of exact longs.
+ORACLES["seq_length_histogram"] = """
+    WITH lens AS (
+        SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), hist AS (
+        SELECT n_tokens // 16 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM lens GROUP BY 1
+    )
+    SELECT bucket, (bucket + 1) * 16 AS cutoff_tokens, n_docs,
+           sum_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+               / CAST(SUM(n_docs) OVER () AS DOUBLE) AS cum_doc_share,
+           CAST(SUM(sum_tokens) OVER (ORDER BY bucket) AS DOUBLE)
+               / CAST(SUM(sum_tokens) OVER () AS DOUBLE)
+               AS cum_token_share
+    FROM hist
+"""

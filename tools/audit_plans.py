@@ -118,6 +118,7 @@ WINDOW_OK = {
     "revenue_share": "window over O(nations) aggregate",
     "skyline": "prefix-min offset frame is O(partitions) rows",
     "max_concurrency": "offset frame is O(partitions) rows",
+    "seq_length_histogram": "window over O(length-buckets) aggregate",
 }
 
 # ordering token as it appears in plan text: "col#123L ASC NULLS FIRST"
