@@ -177,6 +177,14 @@ _QUERIES: dict[str, QueryFn] = {
     "cusum_drift": EV.q_cusum_drift,
     "image_resize": MM.q_image_resize,
     "seq_length_histogram": TX.q_seq_length_histogram,
+    # --- r07 wave-7 NEW (all hash-verified on arrival): exact-ratio
+    # stratified train/val/test split (md5-ranked within stratum,
+    # integer cut comparisons), deterministic ring negatives for
+    # contrastive training (pure function of the corpus), and
+    # freshness decay with exact dyadic 2^(30−age) weights ---
+    "stratified_split": TX.q_stratified_split,
+    "negative_sampling": TX.q_negative_sampling,
+    "decay_agg": TX.q_decay_agg,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,

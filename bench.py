@@ -160,6 +160,10 @@ HEADLINE = [
     "cusum_drift",
     "image_resize",
     "seq_length_histogram",
+    # round-7 wave 7: dataset splits, contrastive negatives, decay
+    "stratified_split",
+    "negative_sampling",
+    "decay_agg",
 ]
 
 RUNS = 3

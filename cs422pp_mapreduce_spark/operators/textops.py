@@ -1241,3 +1241,163 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("sum_tokens").over(tot).cast("double")
         ).alias("cum_token_share"),
     )
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-RATIO train/val/test split (80/10/10)
+    stratified by (lang, source) — the dataset-split assignment every
+    training pipeline materializes. Docs are ranked within their
+    stratum by the md5 of their key (a reproducible shuffle — stable
+    across runs, engines, partitionings), then cut at exact 80%/90%
+    boundaries of the stratum size, so every stratum's ratio is exact
+    to ±1 doc (hash-mod splits like q_deterministic_sample only get
+    ratios in expectation).
+
+    Plan: one stratum-hash exchange carrying row_number + count
+    windows (same partitioning, one sort), then a map-side split
+    assignment — linear at any corpus size; the output here aggregates
+    to per-(stratum, split) counts so the driver row stays O(strata).
+    Integer-exact boundaries: r ≤ 8n/10 and r ≤ 9n/10 compare
+    integers (no double ratios anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(key, "doc_id")
+    ranked = docs.select(
+        "lang",
+        "source",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n"),
+    )
+    split = (
+        F.when(F.col("r") * 10 <= F.col("n") * 8, F.lit("train"))
+        .when(F.col("r") * 10 <= F.col("n") * 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+from ..oracles import NEG_K, NEG_STEP  # noqa: E402 — canonical home
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: for every anchor document, NEG_K negatives drawn from
+    the SAME language (hard-ish negatives) at reproducible positions —
+    negative i sits at (rank + i·NEG_STEP) mod n on the language's
+    md5-ranked ring, so the sample is a pure function of the corpus
+    (stable across runs/engines/partitionings, auditable, and
+    collision-free with the anchor for n > NEG_K·NEG_STEP…n not a
+    divisor case handled by the mod).
+
+    Plan: one lang-hash exchange for the ranking windows, then an
+    equi-join of (lang, target_rank) against (lang, rank) — a
+    shuffle-hash join on composite keys, never a cross join; output is
+    NEG_K rows per anchor. At 100 TB the ring join is the same
+    key-partitioned shape as any fact⋈fact join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(1, NEG_K + 1)])
+    ).alias("i")
+    probes = ranked.select(
+        F.col("doc_id").alias("anchor_id"),
+        "lang",
+        "r",
+        "n",
+        offsets,
+    ).select(
+        "anchor_id",
+        "lang",
+        "i",
+        # 1-based ring arithmetic: ((r − 1 + i·STEP) mod n) + 1
+        (
+            (F.col("r") - 1 + F.col("i") * NEG_STEP) % F.col("n") + 1
+        ).alias("tr"),
+    )
+    ring = ranked.select(
+        F.col("lang").alias("lang2"),
+        F.col("r").alias("r2"),
+        F.col("doc_id").alias("neg_id"),
+    )
+    return (
+        probes.join(
+            ring,
+            (F.col("lang") == F.col("lang2")) & (F.col("tr") == F.col("r2")),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "i", "neg_id")
+    )
+
+
+def q_decay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponentially TIME-DECAYED count and value mass
+    (half-life = 1 day against the corpus's newest day) — the
+    freshness weighting a feed/training pipeline applies so yesterday
+    counts half of today.
+
+    Floating-point 0.5^age sums are accumulation-order-dependent; this
+    plan keeps decay EXACT: the weight for age d days is the dyadic
+    integer 2^(30−d) (the event span is bounded by the 31-day fixture
+    window; ages clamp at 30 ⇒ weight ≥ 1), so the decayed count is an
+    exact integer sum divided once by 2^30, and the decayed value mass
+    routes vi·2^(30−d) through DECIMAL(38,0). One 1-row max-day
+    broadcast (bounded scalar, the rolling_active_users pattern) + one
+    partial-aggregating scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("vi"),
+    )
+    mx = ev.groupBy().agg(F.max("day").alias("max_day"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "vi",
+        F.least(F.datediff("max_day", "day"), F.lit(30)).alias("age"),
+    )
+    weight = F.shiftleft(F.lit(1).cast("long"), 30) / F.pow(
+        F.lit(2.0), F.col("age")
+    )
+    # 2^(30-age) as an exact integer: shiftleft needs a literal count,
+    # so compute via the exact double pow (2^age ≤ 2^30 is exact) and
+    # cast — every intermediate is an integer-valued double ≤ 2^30
+    wcol = weight.cast("long")
+    agg = aged.select(
+        "event_type",
+        wcol.alias("w"),
+        (F.col("vi").cast("decimal(20,0)") * wcol.cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("wv"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").alias("wsum"),
+        F.sum("wv").alias("wvsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.col("wsum").cast("double") / F.lit(float(1 << 30))).alias(
+            "decayed_count"
+        ),
+        (
+            F.col("wvsum").cast("double")
+            / (F.lit(float(1 << 30)) * F.lit(10000.0))
+        ).alias("decayed_value"),
+    )

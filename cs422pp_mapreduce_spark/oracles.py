@@ -4043,3 +4043,88 @@ ORACLES["seq_length_histogram"] = """
                AS cum_token_share
     FROM hist
 """
+
+
+# --- round-7 wave 7: dataset splits, contrastive negatives, freshness
+# decay ----------------------------------------------------------------
+
+
+# Exact-ratio stratified split: md5-ranked within stratum, integer cut
+# comparisons (r·10 ≤ n·8 / n·9) — no double ratios anywhere.
+ORACLES["stratified_split"] = """
+    WITH ranked AS (
+        SELECT lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM documents
+    )
+    SELECT lang, source,
+           CASE WHEN r * 10 <= n * 8 THEN 'train'
+                WHEN r * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked GROUP BY 1, 2, 3
+"""
+
+
+# Deterministic ring negatives: same md5 ranking, same 1-based ring
+# arithmetic, same equi-join on (lang, target rank). The constants
+# live HERE (the BM25_* pattern): textops imports them, so the oracle
+# never imports back into operators (circular-import safety).
+NEG_K = 4  # negatives per anchor
+NEG_STEP = 7919  # prime stride through the stratum ring
+
+
+def _negative_sampling_sql() -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS r,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        ), probes AS (
+            SELECT a.doc_id AS anchor_id, a.lang, i.i,
+                   (a.r - 1 + i.i * {NEG_STEP}) % a.n + 1 AS tr
+            FROM ranked a, range(1, {NEG_K} + 1) i(i)
+        )
+        SELECT p.anchor_id, CAST(p.i AS INT) AS i, b.doc_id AS neg_id
+        FROM probes p
+        JOIN ranked b ON b.lang = p.lang AND b.r = p.tr
+        WHERE b.doc_id <> p.anchor_id
+    """
+
+
+ORACLES["negative_sampling"] = _negative_sampling_sql()
+
+
+# Freshness decay with exact dyadic weights 2^(30−age): integer count
+# mass, HUGEINT value mass, single double divisions at the end.
+ORACLES["decay_agg"] = """
+    WITH mx AS (
+        SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+    ), aged AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vi,
+               (CAST(1 AS BIGINT) << (30 - LEAST(
+                   date_diff('day', CAST(ts AS DATE), mx.max_day), 30)))
+                   AS w
+        FROM events, mx
+    ), agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(w) AS wsum,
+               SUM(CAST(vi AS HUGEINT) * w) AS wvsum
+        FROM aged GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / 1073741824.0
+               AS decayed_count,
+           CAST(CAST(wvsum AS VARCHAR) AS DOUBLE)
+               / (1073741824.0 * 10000.0) AS decayed_value
+    FROM agg
+"""

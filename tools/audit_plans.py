@@ -46,6 +46,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "rolling_active_users": {
         "BroadcastNestedLoopJoin": "1-row max-day broadcast"
     },
+    "decay_agg": {"BroadcastNestedLoopJoin": "1-row max-day broadcast"},
     "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
     # ann_lsh/embedding_neardup: no BNLJ since r04 — the signature
     # build is a map-only Arrow matmul and the query side is a literal
