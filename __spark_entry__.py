@@ -185,6 +185,13 @@ _QUERIES: dict[str, QueryFn] = {
     "stratified_split": TX.q_stratified_split,
     "negative_sampling": TX.q_negative_sampling,
     "decay_agg": TX.q_decay_agg,
+    # --- r07 wave-8 NEW (hash-verified): top principal component by
+    # quantized power iteration — one corpus pass builds the exact
+    # integer centered covariance, the O(d²) iteration runs on
+    # bounded driver metadata (the k-means-centroid class), unrolled
+    # HUGEINT oracle. Like bpe_train/order_stat it runs its bounded
+    # d²-row collect at plan-BUILD time (lazy twin in plans/analysis) ---
+    "pca_power": S.q_pca_power,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,

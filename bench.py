@@ -164,6 +164,8 @@ HEADLINE = [
     "stratified_split",
     "negative_sampling",
     "decay_agg",
+    # round-7 wave 8: quantized power-iteration PCA
+    "pca_power",
 ]
 
 RUNS = 3

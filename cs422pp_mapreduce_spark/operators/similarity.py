@@ -1102,3 +1102,127 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sil"),
         )
     )
+
+
+# --- PCA: top principal component via quantized power iteration ------------
+
+PCA_ROUNDS = 8
+PCA_SCALE = 1 << 20  # requantization scale, power of two
+
+
+def centered_cov_ints(spark: SparkSession, sf_dir: str):
+    """The exact-integer centered second-moment matrix n·Σxᵢxⱼ − SᵢSⱼ
+    over the 2^20-quantized embeddings, as a (i, j, c) DataFrame.
+
+    ONE corpus pass: double posexplode fans each vector into its d²
+    (i, j, xᵢ·xⱼ) products, but partial aggregation reduces every
+    partition to ≤ d² rows BEFORE the exchange — the shuffle carries
+    O(partitions·d²), never O(n·d²). Means fold in algebraically
+    (n·Σ − S·S, the corr_matrix trick) so centering costs no second
+    pass and no floats."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(float(PCA_SCALE)) + 0.5).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+    ex = emb.select(F.posexplode("xq").alias("i", "xi"), "xq").select(
+        "i", "xi", F.posexplode("xq").alias("j", "xj")
+    )
+    pair = ex.groupBy("i", "j").agg(
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(20,0)")).alias("sxx")
+    )
+    sums = (
+        emb.select(F.posexplode("xq").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum("xi").alias("s"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        pair.join(
+            F.broadcast(sums.select(F.col("i").alias("i2"), F.col("s").alias("si"))),
+            pair.i == F.col("i2"),
+        )
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j2"), F.col("s").alias("sj"))),
+            pair.j == F.col("j2"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (d(F.col("n")) * d(F.col("sxx")) - d(F.col("si")) * d(F.col("sj")))
+            .alias("c"),
+        )
+    )
+
+
+def _power_iterate(C: dict, dim: int) -> list[int]:
+    """Driver-side quantized power iteration on the collected d×d
+    integer matrix (bounded index metadata: d² = 4096 entries — the
+    IVF-centroid/PQ-codebook class of driver residency). Arbitrary-
+    precision Python ints keep every product exact; requantization
+    floors MAGNITUDES (sign split, so the oracle's nonneg // is
+    bit-identical) back to ≤ 2^20 each round."""
+    v = [PCA_SCALE] + [0] * (dim - 1)
+    for _ in range(PCA_ROUNDS):
+        w = [
+            sum(C.get((i, j), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (abs(x) * PCA_SCALE // m) * (1 if x >= 0 else -1) for x in w
+        ]
+    return v
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by POWER
+    ITERATION over the exact-integer centered covariance — the
+    iterative distributed linear algebra pattern (one corpus pass
+    builds the d×d sufficient matrix; the O(d²)-sized iteration runs
+    on bounded driver metadata, exactly like the k-means centroid
+    loop). PCA_ROUNDS fixed rounds with power-of-two magnitude
+    requantization keep every engine bit-identical: products are
+    exact integers, the floor-divide requantization is replayed by
+    the oracle's HUGEINT arithmetic, and the only double is the final
+    Rayleigh quotient (vᵀCv / vᵀv·scale — two exact integers, one
+    division).
+
+    Convergence note: power iteration converges at (λ₂/λ₁)^k, so what
+    the fixed-round CONTRACT verifies is the iteration itself, not
+    the eigen-limit — the fixture's weak label structure has
+    λ₂/λ₁ ≈ 0.99 (hundreds of rounds to 1e-3 alignment), while a
+    production spiked spectrum converges in a handful
+    (tests pin both: exact replica on the fixture, eigen-limit on a
+    planted spike). A caller needing the limit raises PCA_ROUNDS —
+    cost is O(d²) per round on the driver, corpus untouched.
+
+    Contract note: like bpe_train/order_stat, the covariance job runs
+    at plan-BUILD time (one bounded d²-row collect); the analysis
+    tools see the covariance plan via the lazy twin in
+    plans/analysis.py.
+    """
+    cov = centered_cov_ints(spark, sf_dir)
+    rows = cov.collect()  # bounded: d² = 4096 rows of index metadata
+    C = {(r["i"], r["j"]): int(r["c"]) for r in rows}
+    dim = max(i for i, _ in C) + 1
+    v = _power_iterate(C, dim)
+    num = sum(
+        C.get((i, j), 0) * v[i] * v[j]
+        for i in range(dim)
+        for j in range(dim)
+    )
+    den = sum(x * x for x in v)
+    rayleigh = float(num) / float(den) if den else 0.0
+    out = [(i, v[i], rayleigh) for i in range(dim)]
+    return spark.createDataFrame(
+        out, "pos int, v long, rayleigh double"
+    )

@@ -4128,3 +4128,75 @@ ORACLES["decay_agg"] = """
                / (1073741824.0 * 10000.0) AS decayed_value
     FROM agg
 """
+
+
+# --- round-7 wave 8: PCA top component by quantized power iteration ----
+#
+# Unrolled PCA_ROUNDS-round twin of q_pca_power: the centered integer
+# covariance (n·Σxᵢxⱼ − SᵢSⱼ over 2^20-quantized embeddings), then the
+# identical magnitude-floor requantized iteration in HUGEINT (bounded:
+# the Rayleigh numerator peaks ≈2e36 at sf1, under HUGEINT's 1.7e38).
+def _pca_power_sql() -> str:
+    from .operators.similarity import PCA_ROUNDS, PCA_SCALE
+
+    sql = f"""
+        WITH vv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+            SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                   CAST(FLOOR(e[i] * {float(PCA_SCALE)} + 0.5) AS BIGINT) AS x
+            FROM vv, UNNEST(generate_series(1, len(e))) AS u(i)
+        ), pair AS (
+            SELECT a.pos AS i, b.pos AS j,
+                   SUM(CAST(a.x AS HUGEINT) * b.x) AS sxx
+            FROM q a JOIN q b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        ), sums AS (
+            SELECT pos, SUM(x) AS s FROM q GROUP BY pos
+        ), nn AS (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM q
+        ), cov AS MATERIALIZED (
+            SELECT p.i, p.j,
+                   nn.n * p.sxx
+                       - CAST(si.s AS HUGEINT) * sj.s AS c
+            FROM pair p
+            JOIN sums si ON si.pos = p.i
+            JOIN sums sj ON sj.pos = p.j
+            CROSS JOIN nn
+        ), v0 AS (
+            SELECT pos, CASE WHEN pos = 0
+                             THEN CAST({PCA_SCALE} AS HUGEINT)
+                             ELSE CAST(0 AS HUGEINT) END AS val
+            FROM (SELECT DISTINCT pos FROM q)
+        )"""
+    for k in range(1, PCA_ROUNDS + 1):
+        sql += f""", w{k} AS MATERIALIZED (
+            SELECT c.i AS pos, SUM(c.c * v.val) AS w
+            FROM cov c JOIN v{k - 1} v ON c.j = v.pos
+            GROUP BY c.i
+        ), m{k} AS (
+            SELECT MAX(ABS(w)) AS m FROM w{k}
+        ), v{k} AS MATERIALIZED (
+            SELECT pos,
+                   CASE WHEN w >= 0
+                        THEN (w * {PCA_SCALE}) // m
+                        ELSE -(((-w) * {PCA_SCALE}) // m) END AS val
+            FROM w{k}, m{k}
+        )"""
+    last = f"v{PCA_ROUNDS}"
+    sql += f""", ray AS (
+            SELECT CAST(CAST(SUM(c.c * va.val * vb.val) AS VARCHAR)
+                        AS DOUBLE)
+                   / CAST(CAST((SELECT SUM(val * val) FROM {last})
+                               AS VARCHAR) AS DOUBLE) AS rayleigh
+            FROM cov c
+            JOIN {last} va ON va.pos = c.i
+            JOIN {last} vb ON vb.pos = c.j
+        )
+        SELECT v.pos, CAST(v.val AS BIGINT) AS v, ray.rayleigh
+        FROM {last} v CROSS JOIN ray
+    """
+    return sql
+
+
+ORACLES["pca_power"] = _pca_power_sql()

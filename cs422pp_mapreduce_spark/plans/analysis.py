@@ -129,6 +129,32 @@ def bloom_semi_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pca_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy twin of ``q_pca_power`` (which collects the bounded d²-row
+    covariance at build time and iterates on the driver). The twin
+    exposes the REAL distributed plan — the double-posexplode centered
+    covariance build, the query's entire corpus-scale cost — folded
+    into the exact output schema (pos int, v long, rayleigh double)
+    without a driver job."""
+    from ..operators.similarity import centered_cov_ints
+
+    cov = centered_cov_ints(spark, sf_dir)
+    summ = cov.agg(
+        F.min("i").alias("p0"), F.count(F.lit(1)).alias("cnt")
+    )
+    return summ.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p0").cast("int").alias("pos"),
+                    F.col("cnt").cast("long").alias("v"),
+                    F.lit(0.0).alias("rayleigh"),
+                )
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
 def analysis_plan_builders() -> dict:
     """Full name → lazy-builder map for the analysis tools (streaming
     twins + driver-paced twins)."""
@@ -138,4 +164,5 @@ def analysis_plan_builders() -> dict:
         **STREAM_PLAN_BUILDERS,
         "order_stat": order_stat_plan,
         "bloom_semi_join": bloom_semi_join_plan,
+        "pca_power": pca_power_plan,
     }

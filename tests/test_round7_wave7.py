@@ -109,3 +109,72 @@ def test_decay_agg_matches_exact_fractions(spark, sf_dir):
             float(sum(int(v) * x for v, x in zip(vi, w)))
             / ((1 << 30) * 10000.0)
         )
+
+
+def test_pca_power_matches_independent_replica(spark, sf_dir):
+    """Exact replica pin: recompute the quantized covariance and the
+    magnitude-floor power iteration in INDEPENDENT numpy/int code (no
+    shared helpers) — every component of v and the Rayleigh quotient
+    must match the engine bit-for-bit."""
+    from cs422pp_mapreduce_spark.operators import similarity as S
+
+    rows = sorted(
+        S.q_pca_power(spark, sf_dir).collect(), key=lambda r: r["pos"]
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()
+    )
+    X = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype(np.float64) * S.PCA_SCALE
+        + 0.5
+    ).astype(object)  # python ints → exact arithmetic
+    n, dim = X.shape
+    Xi = [[int(x) for x in row] for row in X]
+    s = [sum(Xi[r][j] for r in range(n)) for j in range(dim)]
+    C = [
+        [
+            n * sum(Xi[r][i] * Xi[r][j] for r in range(n)) - s[i] * s[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v = [S.PCA_SCALE] + [0] * (dim - 1)
+    for _ in range(S.PCA_ROUNDS):
+        w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [(abs(x) * S.PCA_SCALE // m) * (1 if x >= 0 else -1) for x in w]
+    assert [r["v"] for r in rows] == v
+    num = sum(
+        C[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)
+    )
+    den = sum(x * x for x in v)
+    assert rows[0]["rayleigh"] == pytest.approx(float(num) / float(den))
+    assert all(r["rayleigh"] == rows[0]["rayleigh"] for r in rows)
+
+
+def test_power_iterate_finds_planted_spike():
+    """Kernel-level behavioral pin: on a spectrum with a LARGE eigengap
+    the fixed-round iteration does converge to the top eigenvector (the
+    corpus fixture's gap is deliberately weak, so the contract there
+    pins the iteration, not the limit — this pins the limit)."""
+    from cs422pp_mapreduce_spark.operators.similarity import (
+        PCA_SCALE,
+        _power_iterate,
+    )
+
+    rng = np.random.RandomState(0)
+    dim = 16
+    u = rng.randn(dim)
+    u /= np.linalg.norm(u)
+    B = rng.randn(dim, dim)
+    C = 1000.0 * np.outer(u, u) + (B + B.T) / 10.0
+    Cq = {
+        (i, j): int(C[i, j] * 1e6)
+        for i in range(dim)
+        for j in range(dim)
+    }
+    v = np.array(_power_iterate(Cq, dim), dtype=float)
+    cos = abs(v @ u) / np.linalg.norm(v)
+    assert cos > 0.9999

@@ -47,6 +47,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row max-day broadcast"
     },
     "decay_agg": {"BroadcastNestedLoopJoin": "1-row max-day broadcast"},
+    "pca_power": {
+        "BroadcastNestedLoopJoin": "1-row vector-count broadcast (n)"
+    },
     "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
     # ann_lsh/embedding_neardup: no BNLJ since r04 — the signature
     # build is a map-only Arrow matmul and the query side is a literal
