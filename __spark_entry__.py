@@ -111,6 +111,17 @@ _QUERIES: dict[str, QueryFn] = {
     #    ann_ivf (in the stale block below) also flipped rows-only →
     #    hash-verified this round: quantized probe ranking over the
     #    exact fit + the topk_similarity re-rank convention;
+    # 1b. r07 waves 4-8 (15 NEW queries, every one hash-verified on
+    #    arrival) directly after the wave-1-3 block: new queries take
+    #    rotation priority over staleness refresh because an operator
+    #    claimed in SURVEY §2.4 without any driver row is a bigger
+    #    verification hole than a query whose newest row is four
+    #    rounds old but which the full local driver-exact gate
+    #    (tools/check_oracles.py, 201 OK / 0 FAIL at sf0.01 on this
+    #    HEAD) replays green. DELIBERATE TRADE-OFF: with ~50 driven
+    #    slots per round, 30 new/changed slots leave ~20 for the
+    #    45-query r03-stale block below — the rest clear in r08, when
+    #    the new-query pressure drops back to normal.
     # 2. the 45 queries whose newest driver row was r03 (the
     #    staleness floor: after r07 no row should be older than r04),
     #    in their round-6 relative order;

@@ -1106,8 +1106,7 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PCA: top principal component via quantized power iteration ------------
 
-PCA_ROUNDS = 8
-PCA_SCALE = 1 << 20  # requantization scale, power of two
+from ..oracles import PCA_ROUNDS, PCA_SCALE  # noqa: E402 — canonical home
 
 
 def centered_cov_ints(spark: SparkSession, sf_dir: str):

@@ -2848,6 +2848,12 @@ ORACLES["pit_join"] = f"""
 # Constants live here as the single source of truth (BM25 precedent);
 # operators/similarity.py imports them.
 KNN_Q = 10
+
+# PCA power-iteration constants — canonical home HERE (the KNN/BM25
+# pattern): similarity.py imports these mid-module, so they must be
+# defined before any oracle builder below imports similarity back.
+PCA_ROUNDS = 8
+PCA_SCALE = 1 << 20  # requantization scale, power of two
 KNN_K = 3
 
 ORACLES["knn_join"] = f"""
@@ -4137,8 +4143,6 @@ ORACLES["decay_agg"] = """
 # identical magnitude-floor requantized iteration in HUGEINT (bounded:
 # the Rayleigh numerator peaks ≈2e36 at sf1, under HUGEINT's 1.7e38).
 def _pca_power_sql() -> str:
-    from .operators.similarity import PCA_ROUNDS, PCA_SCALE
-
     sql = f"""
         WITH vv AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
