@@ -1190,22 +1190,43 @@ def q_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- record linkage: blocked fuzzy entity matching ------------------------
 
 
+def _wildcard_keys(sfx, n: int = 9):
+    """The 9 position-masked variants of a 9-char string ("wildcard
+    keys"): two equal-length strings are Hamming ≤ 1 iff they share the
+    key with the differing position masked (or every key, when equal)."""
+    return F.array(
+        *[
+            F.concat(
+                F.substring(sfx, 1, i),
+                F.lit("*"),
+                F.substring(sfx, i + 2, n - i - 1),
+            )
+            for i in range(n)
+        ]
+    )
+
+
 def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage between the customer and supplier
     name registries: pairs whose 9-digit name suffixes are within
     Levenshtein distance 1.
 
-    The scale-correct shape is BLOCKING, never all-pairs: for equal-
+    The scale-correct shape is WILDCARD-KEY blocking (the FastSS /
+    deletion-neighborhood technique), never all-pairs: for equal-
     length strings, edit distance ≤ 1 forces a single substitution (an
-    insert or delete would change the length), so by pigeonhole the two
-    suffixes agree exactly on their first 5 characters OR on their last
-    4 — two equi-joins on block keys generate a complete candidate set
-    (provably no recall loss), and the exact ``levenshtein`` verify
-    runs only on candidates. At 100 TB both sides hash-shuffle on the
-    block key (here the supplier side additionally qualifies for a
-    broadcast); candidate fan-out per block is bounded by block
-    selectivity, not table size. This is the standard entity-resolution
-    plan (blocking + verify) every record-linkage system uses.
+    insert or delete would change the length), so two suffixes match
+    iff they share one of the 9 position-masked variants ("00*000042"
+    …) — each side emits 9 keys, candidates come from ONE equi-join on
+    the masked key, and the exact ``levenshtein`` verify runs only on
+    candidates. Every bucket pins 8 of 9 positions, so bucket size is
+    bounded by alphabet size regardless of key-space skew — unlike
+    substring-half blocking (first-5 OR last-4), whose prefix block
+    DEGENERATES on low-entropy prefixes (these registries share
+    leading zeros: at sf0.1 the "00000"/"00001" prefix blocks put 10 M
+    pairs through the verify, 10.8 s and quadratic-at-scale — the r07c
+    bench caught it; the wildcard join is O(9n) and verified
+    identical). At 100 TB both sides hash-shuffle on the masked key
+    (the supplier side additionally qualifies for a broadcast).
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.substring("c_name", 10, 9).alias("c_sfx")
@@ -1213,19 +1234,15 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.substring("s_name", 10, 9).alias("s_sfx")
     )
-    c = cust.withColumn("b1", F.substring("c_sfx", 1, 5)).withColumn(
-        "b2", F.substring("c_sfx", 6, 4)
+    c = cust.select(
+        "c_custkey", "c_sfx", F.explode(_wildcard_keys("c_sfx")).alias("wk")
     )
-    s = supp.withColumn("b1", F.substring("s_sfx", 1, 5)).withColumn(
-        "b2", F.substring("s_sfx", 6, 4)
+    s = supp.select(
+        "s_suppkey", "s_sfx", F.explode(_wildcard_keys("s_sfx")).alias("wk")
     )
     cand = (
-        c.join(F.broadcast(s.select("s_suppkey", "s_sfx", "b1")), "b1")
+        c.join(F.broadcast(s), "wk")
         .select("c_custkey", "c_sfx", "s_suppkey", "s_sfx")
-        .unionByName(
-            c.join(F.broadcast(s.select("s_suppkey", "s_sfx", "b2")), "b2")
-            .select("c_custkey", "c_sfx", "s_suppkey", "s_sfx")
-        )
         .distinct()
     )
     return cand.where(

@@ -1113,33 +1113,66 @@ def centered_cov_ints(spark: SparkSession, sf_dir: str):
     """The exact-integer centered second-moment matrix n·Σxᵢxⱼ − SᵢSⱼ
     over the 2^20-quantized embeddings, as a (i, j, c) DataFrame.
 
-    ONE corpus pass: double posexplode fans each vector into its d²
-    (i, j, xᵢ·xⱼ) products, but partial aggregation reduces every
-    partition to ≤ d² rows BEFORE the exchange — the shuffle carries
-    O(partitions·d²), never O(n·d²). Means fold in algebraically
-    (n·Σ − S·S, the corr_matrix trick) so centering costs no second
-    pass and no floats."""
+    ONE corpus pass with BATCH-LOCAL matmul partials: an Arrow
+    mapInPandas kernel quantizes each batch to int64 and computes its
+    XᵀX block as ONE exact integer matmul (d² = 4096 partials per
+    batch, plus d column sums and a count row) — associative integer
+    addition, so the downstream groupBy sum is order-free. The shuffle
+    carries O(batches·d²) partial rows, never O(n·d²): the r07c bench
+    caught the first cut (double posexplode, n·d² rows through the
+    hash aggregate) at 22 s/sf1; the matmul kernel is the same
+    "vectorized embedding math" slot as sign_band_buckets. Per-batch
+    entries bound: rows·2^40 < 2^63 for any batch under 8M rows.
+    Means fold in algebraically (n·Σ − S·S, the corr_matrix trick) so
+    centering costs no second pass and no floats."""
+    from pyspark.sql import types as T
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.floor(x * F.lit(float(PCA_SCALE)) + 0.5).cast(
-                "long"
-            ),
-        ).alias("xq"),
+        "vec_id", "embedding"
     )
-    ex = emb.select(F.posexplode("xq").alias("i", "xi"), "xq").select(
-        "i", "xi", F.posexplode("xq").alias("j", "xj")
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.LongType()),
+        ]
     )
-    pair = ex.groupBy("i", "j").agg(
-        F.sum((F.col("xi") * F.col("xj")).cast("decimal(20,0)")).alias("sxx")
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * PCA_SCALE
+                + 0.5
+            ).astype(np.int64)
+            d = X.shape[1]
+            P = X.T @ X  # exact int64 (rows·2^40 ≪ 2^63)
+            S = X.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(d, -1), [-1]]
+                    ),
+                    "v": np.concatenate([P.ravel(), S, [len(X)]]),
+                }
+            )
+
+    parts = emb.mapInPandas(partials, schema=schema)
+    pair = (
+        parts.where(F.col("j") >= 0)
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("decimal(20,0)").alias("sxx"))
     )
     sums = (
-        emb.select(F.posexplode("xq").alias("i", "xi"))
+        parts.where((F.col("j") == -1) & (F.col("i") >= 0))
         .groupBy("i")
-        .agg(F.sum("xi").alias("s"))
+        .agg(F.sum("v").alias("s"))
     )
-    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    n = parts.where(F.col("i") == -1).agg(F.sum("v").alias("n"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (
         pair.join(
