@@ -184,3 +184,74 @@ def test_skyline_equals_dominance_definition(spark, pts, nparts):
         )
     )
     assert got == want
+
+
+# --- round-7 kernels: PNG codec + wildcard blocking ------------------------
+
+import struct as _struct
+import zlib as _zlib
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=64, max_size=64
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_png_codec_roundtrips_any_pixels(pixels):
+    """The engine's PNG encode → independent decode must round-trip
+    ANY 8×8 grayscale raster exactly (not just md5-derived ones)."""
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    assert decode_png_gray8(encode_png_gray8(pixels)) == pixels
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 255), min_size=6, max_size=6),
+        min_size=2,
+        max_size=6,
+    ),
+    st.lists(st.integers(0, 4), min_size=2, max_size=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_decoder_handles_any_filter_sequence(rows, filters):
+    """Decode must reconstruct under ANY per-row spec filter choice —
+    built by an independent reference encoder (the wave-4 test helper
+    computes each filter from the spec definitions)."""
+    from test_round7_wave4 import _png_with_filters
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        decode_png_gray8,
+    )
+
+    h = min(len(rows), len(filters))
+    rows, filters = rows[:h], filters[:h]
+    blob = _png_with_filters(rows, filters)
+    assert decode_png_gray8(blob) == [v for r in rows for v in r]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=9, max_size=9),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_wildcard_blocking_complete_for_hamming_le_1(sfx):
+    """Wildcard-key completeness (the entity_match blocking proof):
+    for same-length strings, lev ≤ 1 ⟺ Hamming ≤ 1 ⟺ the two share a
+    position-masked key. Pure-Python replica of _wildcard_keys."""
+
+    def keys(s):
+        return {s[:i] + "*" + s[i + 1 :] for i in range(9)}
+
+    for a in sfx:
+        for b in sfx:
+            ham = sum(x != y for x, y in zip(a, b))
+            share = bool(keys(a) & keys(b))
+            assert share == (ham <= 1)
