@@ -203,6 +203,12 @@ _QUERIES: dict[str, QueryFn] = {
     # HUGEINT oracle. Like bpe_train/order_stat it runs its bounded
     # d²-row collect at plan-BUILD time (lazy twin in plans/analysis) ---
     "pca_power": S.q_pca_power,
+    # --- r07 wave-9 NEW (hash-verified): the composed multimodal
+    # curation pipeline — real codec once, aHash dedup keep-list,
+    # broadcast join-back, thumbnails for keepers only; verifies the
+    # stage COMPOSITION end-to-end (the corpus_to_sequences pattern
+    # on the image side) ---
+    "media_pipeline": MM.q_media_pipeline,
     # --- newest driver row was r03 (staleness floor refresh) ---
     "gap_fill": EV.q_gap_fill,
     "rolling_active_users": EV.q_rolling_active_users,

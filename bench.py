@@ -166,6 +166,8 @@ HEADLINE = [
     "decay_agg",
     # round-7 wave 8: quantized power-iteration PCA
     "pca_power",
+    # round-7 wave 9: composed multimodal curation pipeline
+    "media_pipeline",
 ]
 
 RUNS = 3

@@ -1033,3 +1033,66 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pooled_hex.alias("pooled_hex"),
         brightness.cast("long").alias("brightness"),
     )
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED multimodal curation pipeline (the image-side analog of
+    corpus_to_sequences): encode real PNGs → decode through the
+    independent codec → 64-bit aHash → exact perceptual dedup (keep
+    the lowest media_id per hash) → thumbnail (2×2 mean-pool) +
+    brightness for the KEEPERS only. One manifest row per kept image:
+    (media_id, ahash, n_images, brightness, pooled_hex).
+
+    Plan shape at 100 TB: the codec runs ONCE (two fused map-only
+    Arrow passes; the pixel frame is persisted so dedup and
+    thumbnailing share it rather than re-decoding), the dedup
+    aggregate shuffles 16-char hashes, and the ≤IMG_GROUPS-row
+    keep-list joins BACK as a broadcast — image content never crosses
+    an exchange at any stage. Every stage is individually
+    hash-verified (image_ahash, image_resize); this row verifies the
+    COMPOSITION end-to-end against the composed oracle.
+    """
+    px_df = decode_png_pixels(
+        synth_png_images(load_table(spark, sf_dir, "documents"))
+    ).persist()
+    with_total = px_df.select(
+        "media_id",
+        "px",
+        F.aggregate("px", F.lit(0), lambda a, x: a + x).alias("total"),
+    )
+    bit = lambda i: F.when(  # noqa: E731
+        F.element_at("px", i + 1) * 64 > F.col("total"), 1
+    ).otherwise(0)
+    nibble = lambda k: (  # noqa: E731
+        bit(4 * k) * 8 + bit(4 * k + 1) * 4 + bit(4 * k + 2) * 2 + bit(4 * k + 3)
+    )
+    ahash = F.concat(
+        *[
+            F.substr(F.lit("0123456789abcdef"), nibble(k) + 1, F.lit(1))
+            for k in range(16)
+        ]
+    )
+    hashed = with_total.select("media_id", ahash.alias("ahash"))
+    keep = hashed.groupBy("ahash").agg(
+        F.min("media_id").alias("media_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+    base = lambda k: (k // 4) * 16 + (k % 4) * 2 + 1  # noqa: E731
+    pool = lambda k: (  # noqa: E731
+        F.element_at("px", base(k))
+        + F.element_at("px", base(k) + 1)
+        + F.element_at("px", base(k) + 8)
+        + F.element_at("px", base(k) + 9)
+    ) / 4
+    hexpair = lambda v: F.lpad(F.lower(F.hex(v.cast("long"))), 2, "0")  # noqa: E731
+    pooled_hex = F.concat(*[hexpair(pool(k)) for k in range(16)])
+    brightness = (
+        F.aggregate("px", F.lit(0).cast("long"), lambda a, x: a + x) / 64
+    )
+    return px_df.join(F.broadcast(keep), "media_id").select(
+        "media_id",
+        "ahash",
+        "n_images",
+        brightness.cast("long").alias("brightness"),
+        pooled_hex.alias("pooled_hex"),
+    )

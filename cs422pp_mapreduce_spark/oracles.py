@@ -4204,3 +4204,57 @@ def _pca_power_sql() -> str:
 
 
 ORACLES["pca_power"] = _pca_power_sql()
+
+
+# Composed multimodal curation manifest: the image_ahash + image_resize
+# arithmetic composed — keep-list = min media_id per aHash, thumbnails
+# for keepers only. Verifies the composition end-to-end.
+def _media_pipeline_sql() -> str:
+    from .operators.multimodal import IMG_GROUPS
+
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(range(0, 8), r ->
+                       md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                           || ':' || CAST(r AS VARCHAR))) AS hs
+            FROM documents
+        ), pxt AS MATERIALIZED (
+            SELECT doc_id,
+                   flatten(list_transform(hs, h ->
+                     list_transform(range(0, 8), c ->
+                       (strpos('0123456789abcdef', h[2*c+1]) - 1) * 16
+                       + strpos('0123456789abcdef', h[2*c+2]) - 1))) AS px
+            FROM hs
+        ), tot AS (
+            SELECT doc_id, px, list_aggregate(px, 'sum') AS total FROM pxt
+        ), ah AS MATERIALIZED (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 16), k ->
+                     substr('0123456789abcdef',
+                       (CASE WHEN px[4*k+1]*64 > total THEN 8 ELSE 0 END
+                      + CASE WHEN px[4*k+2]*64 > total THEN 4 ELSE 0 END
+                      + CASE WHEN px[4*k+3]*64 > total THEN 2 ELSE 0 END
+                      + CASE WHEN px[4*k+4]*64 > total THEN 1 ELSE 0 END)
+                       + 1, 1)), '') AS ahash
+            FROM tot
+        ), keep AS (
+            SELECT ahash, MIN(doc_id) AS media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_images
+            FROM ah GROUP BY ahash
+        )
+        SELECT k.media_id, k.ahash, k.n_images,
+               CAST(list_aggregate(p.px, 'sum') // 64 AS BIGINT)
+                   AS brightness,
+               array_to_string(list_transform(range(0, 16), kk ->
+                 printf('%02x',
+                   (p.px[(kk // 4) * 16 + (kk % 4) * 2 + 1]
+                    + p.px[(kk // 4) * 16 + (kk % 4) * 2 + 2]
+                    + p.px[(kk // 4) * 16 + (kk % 4) * 2 + 9]
+                    + p.px[(kk // 4) * 16 + (kk % 4) * 2 + 10]) // 4)), '')
+                   AS pooled_hex
+        FROM keep k JOIN pxt p ON p.doc_id = k.media_id
+    """
+
+
+ORACLES["media_pipeline"] = _media_pipeline_sql()

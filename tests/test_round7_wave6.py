@@ -99,3 +99,24 @@ def test_seq_length_histogram_conserves_mass(spark, sf_dir):
     assert rows[-1]["cum_token_share"] == pytest.approx(1.0)
     for r in rows:
         assert r["cutoff_tokens"] == (r["bucket"] + 1) * 16
+
+
+def test_media_pipeline_composition(spark, sf_dir):
+    """The composed manifest must agree with its stages: keep-list =
+    min media_id per image_ahash group, thumbnails = image_resize rows
+    of exactly the keepers."""
+    rows = MM.q_media_pipeline(spark, sf_dir).collect()
+    ahash_groups = {
+        r["ahash"]: r for r in MM.q_image_ahash(spark, sf_dir).collect()
+    }
+    resize = {
+        r["media_id"]: r for r in MM.q_image_resize(spark, sf_dir).collect()
+    }
+    assert len(rows) == len(ahash_groups)
+    for r in rows:
+        g = ahash_groups[r["ahash"]]
+        assert r["media_id"] == g["min_media_id"]
+        assert r["n_images"] == g["n_images"]
+        t = resize[r["media_id"]]
+        assert r["pooled_hex"] == t["pooled_hex"]
+        assert r["brightness"] == t["brightness"]
