@@ -5,12 +5,20 @@ with typed metadata, processed by Arrow-batched pandas functions via
 ``mapInPandas`` — the one place Python in the hot path is justified,
 because the work is per-byte media decoding, not relational logic.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libs): ``decode_image_stub`` is a deterministic fake that
-parses the engine's synthetic header format, and ``decode_image_real``
-raises ``NotImplementedError`` with the intended Pillow call spelled
-out. Everything Spark-side — schema, batch iteration shape, partition
-sizing, UDF signature — is real and tested (tests/test_multimodal.py).
+Decode coverage (r07): PNG is decoded FOR REAL, pixels included —
+``encode_png_gray8`` emits spec-complete grayscale PNGs (zlib IDAT,
+per-scanline filters, CRCs) and ``decode_png_gray8`` is an independent
+full decoder (chunk walk, CRC verify, inflate, all five spec filter
+reconstructions incl. Paeth), both pure stdlib; the aHash/resize/
+pipeline queries run on genuinely decoded pixels and hash-verify
+against arithmetic oracles. Real-format HEADER parsing (PNG IHDR with
+CRC, JPEG marker walk, WAV RIFF) likewise needs no libs. What remains
+env-gated is general-purpose decode of arbitrary formats/color types
+(``decode_image_real`` names the Pillow call); ``decode_image_stub``
+parses the synthetic IMG0 container for the generic-plumbing tests.
+Everything Spark-side — schema, batch iteration shape, partition
+sizing, UDF signature — is real and tested (tests/test_multimodal.py,
+tests/test_round7_wave4.py, tests/test_properties.py).
 
 Scale notes:
 - ``mapInPandas`` streams Arrow batches; peak memory is
@@ -74,12 +82,15 @@ def decode_image_stub(blob: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image_real(blob: bytes):
-    """Real PIXEL decode path (not available in this container).
+    """General-purpose pixel decode (arbitrary formats/color types —
+    not available in this container).
 
-    Note the scope: real-format HEADER parsing needs no image libs and
-    IS implemented — see decode_png / decode_jpeg below (spec-struct
-    arithmetic with CRC verification). What remains env-blocked is
-    decoding pixel data itself."""
+    Note the scope: 8-bit grayscale PNG pixels ARE decoded for real by
+    ``decode_png_gray8`` below (pure stdlib: inflate + all five spec
+    filters, hash-verified against arithmetic oracles), and header
+    parsing for PNG/JPEG/WAV needs no libs either. This gate covers
+    only what genuinely needs an image library: arbitrary color types,
+    bit depths, interlacing, and non-PNG pixel formats."""
     raise NotImplementedError(
         "pixel decode requires Pillow: Image.open(io.BytesIO(blob)); "
         "swap into extract_image_meta via decode=decode_image_real. "
