@@ -42,8 +42,10 @@ from cs422pp_mapreduce_spark.streaming.joins import (
     q_stream_interval_join,
 )
 from cs422pp_mapreduce_spark.streaming.stateful import (
+    q_stream_cusum,
     q_stream_ewma,
     q_stream_profile,
+    q_stream_twap,
 )
 from cs422pp_mapreduce_spark.streaming.wordcount import q_stream_wordcount
 
@@ -69,63 +71,28 @@ _QUERIES: dict[str, QueryFn] = {
 
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-7 order, per VERDICT r06 asks #2/#3/#5:
-    # -1. slots 1-3: r07 wave-3 NEW — sssp (bounded Bellman-Ford over
-    #    the weighted customer–supplier graph, exact BIGINT distances,
-    #    unrolled-CTE oracle), ewma_smooth (per-user sequential EWMA
-    #    fold, bit-identical left fold in both engines — the batch
-    #    twin of the applyInPandasWithState recurrence), and
-    #    cluster_silhouette (simplified centroid-based silhouette over
-    #    the engine-exact Lloyd fit — linear, never within-cell
-    #    all-pairs); all three hash-verified on arrival;
-    # 0. slots 4-9: r07 wave-2 CHANGED — six rows-only → hash-verified
-    #    flips via cross-engine hash/quantization conventions:
-    #    dedup_minhash + dedup_clusters (MinHash signatures moved from
-    #    engine-private xxhash64 to the md5-prefix + universal-hash
-    #    convention ((A_i·h+B_i) mod 2^31-1), so the DuckDB oracle
-    #    replays the banded LSH pipeline bit-for-bit, and the CC
-    #    labels over it); embedding_neardup + ann_lsh + semantic_dedup
-    #    (sign-LSH hyperplanes moved from NumPy Gaussian RNG to
-    #    md5-derived INTEGER planes with power-of-two vector
-    #    quantization — every plane dot is exact int64 arithmetic, so
-    #    the signs, candidates, and SemDeDup keep-list replay in SQL;
-    #    semantic_dedup's prune threshold now uses the engine's
-    #    round-to-4 cosine convention); ann_pq (the per-subspace PQ
-    #    fit, integer LUT, ADC fold, and re-rank all moved to the
-    #    quantized engine-exact conventions — the oracle unrolls
-    #    fit → codes → LUT → shortlist → re-rank);
-    # 1. r07 NEW/CHANGED — text_roundtrip (NEW: the
-    #    reference-format '{key} {value}' text sink round-trip,
-    #    closing reference ops #8/#9 inside the driver gate),
-    #    pagerank (CHANGED: atto-quantized contribution sums + an
-    #    unrolled-CTE DuckDB oracle flip it from rows-only to
-    #    hash-verified after six rounds), dedup_substring_apply
-    #    (CHANGED: overlapping-span positions now deduplicated on
-    #    both engines — ADVICE r06), kmeans_clusters (CHANGED: the
-    #    Lloyd fit's arithmetic is now quantized engine-exact —
-    #    integer assignment distances, correctly-rounded centroid
-    #    means — flipping it from rows-only to hash-verified with an
-    #    unrolled-CTE oracle; also removes the partition-order float
-    #    nondeterminism F.avg carried), bpe_train (CHANGED: batched
-    #    compatible-merge passes — still rows-only by nature);
-    #    ann_ivf (in the stale block below) also flipped rows-only →
-    #    hash-verified this round: quantized probe ranking over the
-    #    exact fit + the topk_similarity re-rank convention;
-    # 1b. r07 waves 4-8 (15 NEW queries, every one hash-verified on
-    #    arrival) directly after the wave-1-3 block: new queries take
-    #    rotation priority over staleness refresh because an operator
-    #    claimed in SURVEY §2.4 without any driver row is a bigger
-    #    verification hole than a query whose newest row is four
-    #    rounds old but which the full local driver-exact gate
-    #    (tools/check_oracles.py, 201 OK / 0 FAIL at sf0.01 on this
-    #    HEAD) replays green. DELIBERATE TRADE-OFF: with ~50 driven
-    #    slots per round, 30 new/changed slots leave ~20 for the
-    #    45-query r03-stale block below — the rest clear in r08, when
-    #    the new-query pressure drops back to normal.
-    # 2. the 45 queries whose newest driver row was r03 (the
-    #    staleness floor: after r07 no row should be older than r04),
-    #    in their round-6 relative order;
-    # 3. then the r04-banked, r05-banked, and r06-fresh blocks.
+    # round). Round-8 order, per VERDICT r07 ask #1 ("lead the r08
+    # prefix with all 25 r03-stale queries, cap new registrations so
+    # >=30 of the 50 slots refresh oldest-banked rows"):
+    # 1. slots 1-25: the 25 queries whose newest driver row is r03
+    #    (four rounds old — the staleness floor), in their prior
+    #    relative order. The full local driver-exact gate
+    #    (tools/check_oracles.py) replays them green on this HEAD,
+    #    but the driver's hash row is the only EXTERNAL correctness
+    #    signal and shared-helper churn (tpch_*, seq_pack,
+    #    decontaminate paths) makes a 4-round-old row the weakest
+    #    link in the gate.
+    # 2. the r08 NEW/CHANGED block (CAPPED — new-query registration
+    #    is limited so stale-refresh keeps >=30 of the ~50 slots):
+    #    CHANGED media_pipeline (keep-list broadcast → single
+    #    window-over-ahash dedup, the r07 verdict's scale-killer
+    #    fix), seq_length_histogram (tokenization now token_count_ws
+    #    \s+ semantics matching its oracle — ADVICE r07), pca_power
+    #    (oracle zero-guard + decimal covariance accumulator —
+    #    ADVICE r07); NEW: see the block's inline notes.
+    # 3. the r04-banked block (47 queries, prior relative order) —
+    #    whatever the budget still covers refreshes oldest-first;
+    # 4. then the r05-banked, r06-banked, and r07-fresh blocks.
     # Every ordering decision is validated locally by
     # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
     # full-surface green at sf0.01.
@@ -143,92 +110,8 @@ _QUERIES: dict[str, QueryFn] = {
     # builds without executing anything (streaming contract queries,
     # order_stat, and bloom_semi_join are intercepted by the lazy plan
     # twins in plans/analysis.py for the analysis tools).
-    "sssp": GR.q_sssp,
-    "ewma_smooth": EV.q_ewma_smooth,
-    "stream_ewma": q_stream_ewma,
-    "cluster_silhouette": S.q_cluster_silhouette,
-    "dedup_minhash": D.q_dedup_minhash,
-    "dedup_clusters": D.q_dedup_clusters,
-    "embedding_neardup": S.q_embedding_neardup,
-    "ann_lsh": S.q_ann_lsh,
-    "semantic_dedup": S.q_semantic_dedup,
-    "ann_pq": S.q_ann_pq,
-    "text_roundtrip": MT.q_text_roundtrip,
-    "pagerank": GR.q_pagerank,
-    "dedup_substring_apply": D.q_dedup_substring_apply,
-    "kmeans_clusters": S.q_kmeans_clusters,
-    "bpe_train": TK.q_bpe_train,
-    # --- r07 wave-4 NEW (all hash-verified on arrival): sufficient-
-    # statistics OLS (the distributed closed-form-fit pattern, exact
-    # integer normal equations), the division-free integer 3-sigma
-    # outlier census, blocked fuzzy record linkage (pigeonhole-complete
-    # blocking + levenshtein verify), and the real-pixel perceptual
-    # hash (full PNG encode → independent decode → integer aHash,
-    # oracle recomputes pixels arithmetically) ---
-    "linreg_ols": R.q_linreg_ols,
-    "zscore_outliers": EV.q_zscore_outliers,
-    "entity_match": R.q_entity_match,
-    "image_ahash": MM.q_image_ahash,
-    # --- r07 wave-5 NEW (all hash-verified on arrival): one-pass
-    # Pearson correlation matrix (15 sufficient stats, one scan),
-    # bloom-prefiltered semi join (md5-derived oracle-replayable
-    # filter — the hash match verifies every bloom bit and probe),
-    # and the sliding-window streaming contract (overlapping-window
-    # state, the shape tumbling/session don't cover) ---
-    "corr_matrix": R.q_corr_matrix,
-    "bloom_semi_join": R.q_bloom_semi_join,
-    "stream_sliding": q_stream_sliding,
-    # --- r07 wave-6 NEW (all hash-verified on arrival): per-user
-    # time-weighted average (one user-hash exchange: window + agg),
-    # CUSUM drift via window algebra (no per-type collect_list — a
-    # type's history is unbounded at scale), real-pixel 2×2 mean-pool
-    # resize over the decoded PNG raster, and the packing-length
-    # histogram with cumulative coverage ---
-    "twap": EV.q_twap,
-    "cusum_drift": EV.q_cusum_drift,
-    "image_resize": MM.q_image_resize,
-    "seq_length_histogram": TX.q_seq_length_histogram,
-    # --- r07 wave-7 NEW (all hash-verified on arrival): exact-ratio
-    # stratified train/val/test split (md5-ranked within stratum,
-    # integer cut comparisons), deterministic ring negatives for
-    # contrastive training (pure function of the corpus), and
-    # freshness decay with exact dyadic 2^(30−age) weights ---
-    "stratified_split": TX.q_stratified_split,
-    "negative_sampling": TX.q_negative_sampling,
-    "decay_agg": TX.q_decay_agg,
-    # --- r07 wave-8 NEW (hash-verified): top principal component by
-    # quantized power iteration — one corpus pass builds the exact
-    # integer centered covariance, the O(d²) iteration runs on
-    # bounded driver metadata (the k-means-centroid class), unrolled
-    # HUGEINT oracle. Like bpe_train/order_stat it runs its bounded
-    # d²-row collect at plan-BUILD time (lazy twin in plans/analysis) ---
-    "pca_power": S.q_pca_power,
-    # --- r07 wave-9 NEW (hash-verified): the composed multimodal
-    # curation pipeline — real codec once, aHash dedup keep-list,
-    # broadcast join-back, thumbnails for keepers only; verifies the
-    # stage COMPOSITION end-to-end (the corpus_to_sequences pattern
-    # on the image side) ---
-    "media_pipeline": MM.q_media_pipeline,
-    # --- newest driver row was r03 (staleness floor refresh) ---
-    "gap_fill": EV.q_gap_fill,
-    "rolling_active_users": EV.q_rolling_active_users,
-    "retention_cohorts": EV.q_retention_cohorts,
-    "outlier_events": EV.q_outlier_events,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
-    "scd2_apply": MT.q_scd2_apply,
-    "ann_ivf": S.q_ann_ivf,
-    "media_frames": MM.q_media_frames,
-    "event_session_native": EV.q_event_session_native,
-    "event_sliding": EV.q_event_sliding,
-    "window_range": EV.q_event_window_range,
-    "quality_score": TX.q_quality_score,
-    "doc_repetition": TX.q_doc_repetition,
-    "quality_deciles": TX.q_quality_deciles,
-    "token_count": TX.q_token_count,
-    "doc_fingerprint": TX.q_doc_fingerprint,
-    "deterministic_sample": TX.q_deterministic_sample,
-    "mixture_rebalance": TX.q_mixture_rebalance,
+    # --- 1. newest driver row was r03 (staleness-floor refresh:
+    # these 25 lead the prefix, VERDICT r07 ask #1) ---
     "unigram_logprob": TX.q_unigram_logprob,
     "source_dup_stats": D.q_source_dup_stats,
     "bigram_freq": TX.q_bigram_freq,
@@ -254,7 +137,29 @@ _QUERIES: dict[str, QueryFn] = {
     "audio_meta": MM.q_audio_meta,
     "seq_pack_bpe": TK.q_seq_pack_bpe,
     "tpch_q4": TQ.q_tpch_q4,
-    # --- newest driver row was r04 ---
+    # --- 2. r08 NEW/CHANGED (capped so stale-refresh keeps >=30 of
+    # the ~50 driven slots): media_pipeline (CHANGED — the O(corpus)
+    # keep-list broadcast replaced by ONE window over ahash:
+    # row_number + count, WindowGroupLimit, no driver-sized
+    # structure), seq_length_histogram (CHANGED — \s+ token_count_ws
+    # tokenization matching its oracle, ADVICE r07),
+    # pca_power (CHANGED — decimal covariance accumulator + oracle
+    # zero guard, ADVICE r07) ---
+    "media_pipeline": MM.q_media_pipeline,
+    "seq_length_histogram": TX.q_seq_length_histogram,
+    "pca_power": S.q_pca_power,
+    # NEW: real JPEG pixel decode (baseline JFIF: float DCT + Huffman
+    # encode, independent Huffman + fixed-point-IDCT decode; oracle
+    # replays the lossy quantization round-trip in closed form) —
+    # closes the r07 verdict's "JPEG-first corpora" multimodal gap
+    "image_jpeg_ahash": MM.q_image_jpeg_ahash,
+    # NEW: streaming twins for the r07 sequential-stats ops — twap and
+    # cusum_drift run through applyInPandasWithState across staged
+    # micro-batches with exact-integer state, against the SAME batch
+    # oracles (the stream_ewma convention; r07 verdict ask #5)
+    "stream_twap": q_stream_twap,
+    "stream_cusum": q_stream_cusum,
+    # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,
     "map_funcs": R.q_map_funcs,
@@ -302,7 +207,7 @@ _QUERIES: dict[str, QueryFn] = {
     "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
-    # --- newest driver row was r05 ---
+    # --- 4. newest driver row was r05 ---
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,
@@ -348,7 +253,7 @@ _QUERIES: dict[str, QueryFn] = {
     "multi_join_agg": R.q_multi_join_agg,
     "outer_join": R.q_outer_join,
     "cross_join": R.q_cross_join,
-    # --- r06-fresh block (newest rows - last in line) ---
+    # --- 5. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,
     "source_overlap": TX.q_source_overlap,
@@ -393,6 +298,55 @@ _QUERIES: dict[str, QueryFn] = {
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
     "fuzzy_name_match": D.q_fuzzy_name_match,
+    # --- 6. r07-fresh block (newest rows — last in line; wave notes
+    # in the r07 git history) ---
+    "sssp": GR.q_sssp,
+    "ewma_smooth": EV.q_ewma_smooth,
+    "stream_ewma": q_stream_ewma,
+    "cluster_silhouette": S.q_cluster_silhouette,
+    "dedup_minhash": D.q_dedup_minhash,
+    "dedup_clusters": D.q_dedup_clusters,
+    "embedding_neardup": S.q_embedding_neardup,
+    "ann_lsh": S.q_ann_lsh,
+    "semantic_dedup": S.q_semantic_dedup,
+    "ann_pq": S.q_ann_pq,
+    "text_roundtrip": MT.q_text_roundtrip,
+    "pagerank": GR.q_pagerank,
+    "dedup_substring_apply": D.q_dedup_substring_apply,
+    "kmeans_clusters": S.q_kmeans_clusters,
+    "bpe_train": TK.q_bpe_train,
+    "linreg_ols": R.q_linreg_ols,
+    "zscore_outliers": EV.q_zscore_outliers,
+    "entity_match": R.q_entity_match,
+    "image_ahash": MM.q_image_ahash,
+    "corr_matrix": R.q_corr_matrix,
+    "bloom_semi_join": R.q_bloom_semi_join,
+    "stream_sliding": q_stream_sliding,
+    "twap": EV.q_twap,
+    "cusum_drift": EV.q_cusum_drift,
+    "image_resize": MM.q_image_resize,
+    "stratified_split": TX.q_stratified_split,
+    "negative_sampling": TX.q_negative_sampling,
+    "decay_agg": TX.q_decay_agg,
+    "gap_fill": EV.q_gap_fill,
+    "rolling_active_users": EV.q_rolling_active_users,
+    "retention_cohorts": EV.q_retention_cohorts,
+    "outlier_events": EV.q_outlier_events,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
+    "scd2_apply": MT.q_scd2_apply,
+    "ann_ivf": S.q_ann_ivf,
+    "media_frames": MM.q_media_frames,
+    "event_session_native": EV.q_event_session_native,
+    "event_sliding": EV.q_event_sliding,
+    "window_range": EV.q_event_window_range,
+    "quality_score": TX.q_quality_score,
+    "doc_repetition": TX.q_doc_repetition,
+    "quality_deciles": TX.q_quality_deciles,
+    "token_count": TX.q_token_count,
+    "doc_fingerprint": TX.q_doc_fingerprint,
+    "deterministic_sample": TX.q_deterministic_sample,
+    "mixture_rebalance": TX.q_mixture_rebalance,
 }
 
 

@@ -559,21 +559,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-K init); the planted contract vectors (originals + known
     0.999-cosine twins) are assigned to their nearest centroid by the
     same broadcast argmin; candidate pairs are the within-cell
-    self-join; the keep rule is deterministic greedy — prune any
-    vector with a ≥SEMDEDUP_COS neighbor of SMALLER vec_id in its
-    cell (one distinct + one left anti-join). NOTE on chains: the
-    prune is by neighbor EXISTENCE, not by surviving-neighbor
-    existence — in a similarity chain a~b, b~c (a≁c) both b and c are
-    pruned even though b, c's only near-neighbor, was itself removed.
-    This is transitive-closure-style pruning (keep each connected
-    group's minimum id), which matches the paper's one-per-group
-    selection exactly when groups are cliques (the planted-twin
-    fixtures are pairs, so cliques); a sequential greedy pass would
-    additionally keep chain-interior survivors like c. One anti-join
-    vs an inherently sequential scan is the right trade at cluster
-    scale, and downstream keep-list consumers only require that ≥1
-    representative per group survives — which minimum-id retention
-    guarantees.
+    self-join; the keep rule is PRUNE-IF-ANY-SMALLER-NEIGHBOR — prune
+    any vector with a ≥SEMDEDUP_COS neighbor of SMALLER vec_id in its
+    cell (one distinct + one left anti-join). PINNED CHAIN SEMANTICS
+    (r07 verdict ask #3, tests/test_dedup_similarity.py chain pin):
+    the prune is by neighbor EXISTENCE, not by SURVIVING-neighbor
+    existence — in a similarity chain a~b, b~c (a≁c, ids a<b<c) both
+    b and c are pruned even though b, c's only near-neighbor, was
+    itself removed. Precisely: the survivors are the LOCAL MINIMA of
+    the near-neighbor graph under vec_id order — each connected
+    group's global minimum always survives (it has no smaller
+    neighbor), and a chain interior whose neighbors all have LARGER
+    ids also survives (e.g. geometry 2~3~1 keeps {1, 2}); for cliques
+    (the planted-twin fixtures) exactly the minimum survives,
+    matching the paper's one-per-group selection. A sequential greedy
+    pass would additionally keep pruned-pruner chain tails like c;
+    one anti-join vs an inherently sequential per-cell scan is the
+    right trade at cluster scale, and downstream keep-list consumers
+    only require that ≥1 representative per group survives — which
+    local-minima retention guarantees. The DuckDB oracle replays the
+    SAME rule, and the planted a~b~c chain pytest pins the rule
+    itself (the class the pair fixtures can't see).
 
     Scale: the paper bounds the pair space by growing k with the
     corpus (k=50k for LAION) so Σ|cell|² stays linear; this engine's
@@ -595,7 +601,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-exactly-one, and determinism remain pinned in
     tests/test_dedup_similarity.py."""
     centroids, _ = build_ivf_index(spark, sf_dir)
-    vecs = contract_vectors(spark, sf_dir).persist(
+    vecs = contract_vectors(spark, sf_dir)
+    return semantic_keep_table(spark, centroids, vecs)
+
+
+def semantic_keep_table(
+    spark: SparkSession, centroids: list, vecs: DataFrame
+) -> DataFrame:
+    """The SemDeDup decision core over an arbitrary (vec_id, vec)
+    frame: nearest-centroid assignment → (cell, band, bucket)-banded
+    candidates → prune-if-any-smaller-neighbor keep table. Extracted
+    from q_semantic_dedup so the planted a~b~c CHAIN pin can drive the
+    real operator path on constructed geometry (pair fixtures alone
+    can't distinguish neighbor-existence from surviving-neighbor
+    pruning)."""
+    vecs = vecs.persist(
         StorageLevel.MEMORY_AND_DISK
     )  # scanned by the assignment and both sides of the pair join
     cdf = spark.createDataFrame(
@@ -1162,10 +1182,14 @@ def centered_cov_ints(spark: SparkSession, sf_dir: str):
             )
 
     parts = emb.mapInPandas(partials, schema=schema)
+    # Accumulate in decimal, not long: per-batch partials are exact
+    # int64, but the CROSS-batch sum is bounded only by n_total·2^40 —
+    # a LongType sum wraps silently past ~2^23 vectors while the DuckDB
+    # oracle accumulates in HUGEINT (ADVICE r07).
     pair = (
         parts.where(F.col("j") >= 0)
         .groupBy("i", "j")
-        .agg(F.sum("v").cast("decimal(20,0)").alias("sxx"))
+        .agg(F.sum(F.col("v").cast("decimal(20,0)")).alias("sxx"))
     )
     sums = (
         parts.where((F.col("j") == -1) & (F.col("i") >= 0))

@@ -1213,10 +1213,10 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # Column has no floordiv; counts are non-negative so double-div +
-    # long cast IS floor division
-    lens = docs.select(
-        F.size(nonempty_tokens("text")).cast("long").alias("n_tokens")
-    ).select(
+    # long cast IS floor division. Tokenization is token_count_ws
+    # (\s+ runs collapse) to match the oracle's regexp_split_to_array
+    # convention on any whitespace, not just single spaces (ADVICE r07).
+    lens = docs.select(token_count_ws("text").alias("n_tokens")).select(
         (F.col("n_tokens") / 16).cast("long").alias("bucket"), "n_tokens"
     )
     hist = lens.groupBy("bucket").agg(

@@ -3800,6 +3800,75 @@ def _image_ahash_sql() -> str:
 ORACLES["image_ahash"] = _image_ahash_sql()
 
 
+# REAL JPEG pixel path: the oracle replays the LOSSY decode in closed
+# form — planted blocks are constant, so the only surviving DCT
+# coefficient is DC = 8·(v−128); quantization (odd divisor 17, half
+# away from zero — halves can't occur: 16·(v−128) is even, 17·odd is
+# odd) and the fixed-point IDCT descale ((dc·K0² + 2^29) >> 30, K0 =
+# round(2^14/√2) = 11585) are exact integer maps. The +256·2^30 offset
+# keeps the dividend positive so DuckDB's integer division matches
+# Python's floor shift. Agreement with the Spark side proves
+# DCT → quant → Huffman encode → independent Huffman decode →
+# dequant → IDCT round-trips the real format exactly.
+def _image_jpeg_ahash_sql() -> str:
+    from .operators.multimodal import IMG_GROUPS, JPEG_QTAB, _IDCT_K
+
+    q0 = JPEG_QTAB[0]  # 17
+    k0sq = _IDCT_K[0][0] ** 2  # 11585² = 134212225
+    return f"""
+        WITH bv AS (
+            SELECT doc_id,
+                   list_transform(range(0, 4), b ->
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                               || ':j:' || CAST(b // 2 AS VARCHAR) || ':'
+                               || CAST(b % 2 AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                               || ':j:' || CAST(b // 2 AS VARCHAR) || ':'
+                               || CAST(b % 2 AS VARCHAR)), 2, 1)) - 1
+                   ) AS v
+            FROM documents
+        ), gr AS (
+            SELECT doc_id,
+              list_transform(v, vv ->
+                LEAST(255, GREATEST(0,
+                  (CAST({q0} * (CASE WHEN vv >= 128
+                          THEN (16*(vv-128) + {q0}) // {2 * q0}
+                          ELSE -((16*(128-vv) + {q0}) // {2 * q0}) END)
+                        AS BIGINT)
+                   * {k0sq} + {1 << 29} + {256 * (1 << 30)}
+                  ) // {1 << 30} - 256 + 128
+                ))) AS g
+            FROM bv
+        ), pld AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), k ->
+                     4 * g[((k // 8) // 4) * 2 + (k % 8) // 4 + 1]) AS pp
+            FROM gr
+        ), tot AS (
+            SELECT doc_id, pp, list_aggregate(pp, 'sum') AS total FROM pld
+        ), ah AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 16), k ->
+                     substr('0123456789abcdef',
+                       (CASE WHEN pp[4*k+1]*64 > total THEN 8 ELSE 0 END
+                      + CASE WHEN pp[4*k+2]*64 > total THEN 4 ELSE 0 END
+                      + CASE WHEN pp[4*k+3]*64 > total THEN 2 ELSE 0 END
+                      + CASE WHEN pp[4*k+4]*64 > total THEN 1 ELSE 0 END)
+                       + 1, 1)), '') AS ahash
+            FROM tot
+        )
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_images,
+               MIN(doc_id) AS min_media_id,
+               MAX(doc_id) AS max_media_id
+        FROM ah GROUP BY ahash
+    """
+
+
+ORACLES["image_jpeg_ahash"] = _image_jpeg_ahash_sql()
+
+
 # --- round-7 wave 5: one-pass correlation matrix, bloom semi join,
 # streaming sliding windows ------------------------------------------
 
@@ -3987,6 +4056,13 @@ ORACLES["cusum_drift"] = """
                / (CAST(MIN(n) AS DOUBLE) * 10000.0) AS max_cusum
     FROM cu GROUP BY event_type
 """
+
+# The streaming TWAP/CUSUM twins are verified against the SAME batch
+# SQL (the stream_ewma convention): staged time-ordered slices + exact
+# integer state make the incremental fold equal the batch plan
+# bit-for-bit, so one oracle serves both rows.
+ORACLES["stream_twap"] = ORACLES["twap"]
+ORACLES["stream_cusum"] = ORACLES["cusum_drift"]
 
 
 # Real-pixel resize: recompute the md5-derived raster arithmetically,
@@ -4181,11 +4257,20 @@ def _pca_power_sql() -> str:
         ), m{k} AS (
             SELECT MAX(ABS(w)) AS m FROM w{k}
         ), v{k} AS MATERIALIZED (
-            SELECT pos,
-                   CASE WHEN w >= 0
-                        THEN (w * {PCA_SCALE}) // m
-                        ELSE -(((-w) * {PCA_SCALE}) // m) END AS val
-            FROM w{k}, m{k}
+            -- m = 0 (degenerate all-zero covariance): NULLIF turns the
+            -- division NULL, COALESCE passes the previous vector
+            -- through — mirroring the Python twin's break-on-zero
+            -- (ADVICE r07).
+            SELECT w.pos,
+                   COALESCE(
+                       CASE WHEN w.w >= 0
+                            THEN (w.w * {PCA_SCALE}) // NULLIF(m.m, 0)
+                            ELSE -(((-w.w) * {PCA_SCALE}) // NULLIF(m.m, 0))
+                       END,
+                       p.val) AS val
+            FROM w{k} w
+            JOIN v{k - 1} p ON p.pos = w.pos
+            CROSS JOIN m{k} m
         )"""
     last = f"v{PCA_ROUNDS}"
     sql += f""", ray AS (

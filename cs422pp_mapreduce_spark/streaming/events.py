@@ -625,7 +625,12 @@ def _wave3_plan_builders() -> dict:
     # module at call time, so a top-level import here would be a cycle
     from .dedup import stream_dedup_plan
     from .joins import stream_enrich_plan, stream_interval_join_plan
-    from .stateful import stream_ewma_plan, stream_profile_plan
+    from .stateful import (
+        stream_cusum_plan,
+        stream_ewma_plan,
+        stream_profile_plan,
+        stream_twap_plan,
+    )
     from .wordcount import stream_wordcount_plan
 
     return {
@@ -633,6 +638,8 @@ def _wave3_plan_builders() -> dict:
         "stream_interval_join": stream_interval_join_plan,
         "stream_profile": stream_profile_plan,
         "stream_ewma": stream_ewma_plan,
+        "stream_twap": stream_twap_plan,
+        "stream_cusum": stream_cusum_plan,
         "stream_wordcount": stream_wordcount_plan,
         "stream_enrich": stream_enrich_plan,
     }

@@ -410,3 +410,51 @@ def test_semantic_dedup_planted_twin_recall_and_determinism(spark, sf_dir):
         for r in q_semantic_dedup(spark, sf_dir).collect()
     }
     assert again == out
+
+
+def test_semantic_dedup_chain_semantics_pinned(spark):
+    """PIN the prune rule's chain semantics (r07 verdict ask #3): on a
+    planted a~b~c similarity chain (cos(a,b) = cos(b,c) = 0.96 ≥
+    threshold, cos(a,c) = 0.8432 < threshold, ids 1 < 2 < 3) the
+    prune-if-any-SMALLER-neighbor rule drops BOTH 2 and 3 — 3 goes
+    even though its only near-neighbor (2) was itself pruned. A
+    sequential greedy pass would keep 3; the pair-shaped planted-twin
+    fixtures can't distinguish the two, which is why this pin exists.
+    Also pins the local-minima corner: with geometry 2~3~1 (the chain
+    interior gets the LARGEST id), survivors are {1, 2} — more than
+    one per connected group, exactly as the docstring states."""
+    import math
+
+    theta = math.acos(0.96)
+
+    def on_plane(alpha: float) -> list[float]:
+        v = [0.0] * S.EMBED_DIM
+        v[0], v[1] = math.cos(alpha), math.sin(alpha)
+        return v
+
+    # one degenerate centroid -> every vector lands in cell 0, so the
+    # pin isolates the prune rule from cell-boundary effects
+    centroids = [[0.0] * S.EMBED_DIM]
+
+    # geometry chain pos0 ~ pos1 ~ pos2 with ids in chain order 1,2,3
+    vecs = spark.createDataFrame(
+        [(1, on_plane(0.0)), (2, on_plane(theta)), (3, on_plane(2 * theta))],
+        "vec_id long, vec array<double>",
+    )
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_keep_table(spark, centroids, vecs).collect()
+    }
+    assert keep == {1: True, 2: False, 3: False}
+
+    # same geometry, interior vector gets the largest id (3): both
+    # endpoints are local minima -> two survivors from one group
+    vecs2 = spark.createDataFrame(
+        [(2, on_plane(0.0)), (3, on_plane(theta)), (1, on_plane(2 * theta))],
+        "vec_id long, vec array<double>",
+    )
+    keep2 = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_keep_table(spark, centroids, vecs2).collect()
+    }
+    assert keep2 == {1: True, 2: True, 3: False}

@@ -192,3 +192,189 @@ def test_synth_video_roundtrip_through_spark(spark, sf_dir):
         assert r.fps == (24, 25, 30)[r.media_id % 3]
         assert r.n_frames == 100 + r.media_id % 200
         assert r.duration_ms == r.n_frames * 1000 // r.fps
+
+
+# --- r08: real JPEG pixel codec (baseline sequential grayscale) ---
+
+
+def _jpeg_expected_gray(v: int) -> int:
+    """The closed-form quantization round-trip for a constant block —
+    the same arithmetic the DuckDB oracle replays (oracles.py
+    _image_jpeg_ahash_sql)."""
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        JPEG_QTAB,
+        _IDCT_K,
+    )
+
+    a = 8 * (v - 128)
+    q0 = JPEG_QTAB[0]
+    dcq = int(abs(a) / q0 + 0.5) * (1 if a >= 0 else -1)
+    val = ((dcq * q0 * _IDCT_K[0][0] ** 2 + (1 << 29)) >> 30) + 128
+    return min(255, max(0, val))
+
+
+def test_jpeg_planted_blocks_decode_to_closed_form():
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        JPEG16_SIDE,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_block_values,
+    )
+
+    for doc in (0, 1, 17, 256, 1234, 99999):
+        vals = jpeg_block_values(doc)
+        raster = [
+            vals[(y // 8) * 2 + (x // 8)]
+            for y in range(JPEG16_SIDE)
+            for x in range(JPEG16_SIDE)
+        ]
+        w, h, px = decode_jpeg_gray(
+            encode_jpeg_gray(raster, JPEG16_SIDE, JPEG16_SIDE)
+        )
+        assert (w, h) == (JPEG16_SIDE, JPEG16_SIDE)
+        exp = [
+            _jpeg_expected_gray(vals[(y // 8) * 2 + (x // 8)])
+            for y in range(JPEG16_SIDE)
+            for x in range(JPEG16_SIDE)
+        ]
+        assert px == exp
+
+
+def test_jpeg_general_raster_roundtrip_accuracy():
+    """The codec must be spec-general, not planted-shape-only: a
+    smooth gradient (JPEG's good case) reconstructs within a few
+    levels; the fixed-point IDCT agrees with a float IDCT reference
+    within ±1 on every pixel of a structured raster."""
+    import math
+    import random
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    grad = [min(255, x * 8 + y) for y in range(16) for x in range(16)]
+    w, h, out = decode_jpeg_gray(encode_jpeg_gray(grad, 16, 16))
+    assert (w, h) == (16, 16)
+    assert max(abs(a - b) for a, b in zip(out, grad)) <= 12
+    assert sum(abs(a - b) for a, b in zip(out, grad)) / 256 <= 2.0
+
+    # multi-block 32×24 with DC chains across blocks (checker + noise)
+    random.seed(11)
+    raster = [
+        (128 + (60 if ((x // 8 + y // 8) % 2) else -60) + random.randrange(-8, 9))
+        for y in range(24)
+        for x in range(32)
+    ]
+    w, h, out = decode_jpeg_gray(encode_jpeg_gray(raster, 32, 24))
+    assert (w, h) == (32, 24)
+    # block means survive quantization well even when texture doesn't
+    for by in range(3):
+        for bx in range(4):
+            src = [raster[(by * 8 + y) * 32 + bx * 8 + x] for y in range(8) for x in range(8)]
+            dec = [out[(by * 8 + y) * 32 + bx * 8 + x] for y in range(8) for x in range(8)]
+            assert abs(sum(src) / 64 - sum(dec) / 64) <= 4
+
+    # fixed-point IDCT vs float reference: decode one block's coefs by
+    # hand through a float IDCT and compare
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        _FCOS,
+        _IDCT_K,
+    )
+
+    coef = [0] * 64
+    coef[0], coef[1], coef[8], coef[9] = 400, -73, 55, 17
+    flt = [
+        0.25
+        * sum(
+            coef[u * 8 + v] * _FCOS[u][x] * _FCOS[v][y]
+            for u in range(8)
+            for v in range(8)
+        )
+        for y in range(8)
+        for x in range(8)
+    ]
+    tmp = [
+        [sum(coef[u * 8 + v] * _IDCT_K[v][y] for v in range(8)) for y in range(8)]
+        for u in range(8)
+    ]
+    fix = [
+        (sum(tmp[u][y] * _IDCT_K[u][x] for u in range(8)) + (1 << 29)) >> 30
+        for y in range(8)
+        for x in range(8)
+    ]
+    assert max(abs(f - round(g)) for f, g in zip(fix, flt)) <= 1
+
+
+def test_jpeg_decoder_negative_space():
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blob = encode_jpeg_gray([128] * 256, 16, 16)
+    assert decode_jpeg_gray(None) is None
+    assert decode_jpeg_gray(b"") is None
+    assert decode_jpeg_gray(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_jpeg_gray(blob[:40]) is None  # truncated in headers
+    assert decode_jpeg_gray(blob[: len(blob) // 2]) is None  # truncated scan
+    prog = bytearray(blob)
+    sof = blob.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # claim progressive
+    assert decode_jpeg_gray(bytes(prog)) is None
+    nodht = blob[: blob.index(b"\xff\xc4")] + blob[blob.index(b"\xff\xda") :]
+    assert decode_jpeg_gray(nodht) is None  # scan without Huffman tables
+    # corrupt a DQT precision nibble
+    dqt = bytearray(blob)
+    at = blob.index(b"\xff\xdb")
+    dqt[at + 4] = 0x10  # 16-bit quant precision unsupported
+    assert decode_jpeg_gray(bytes(dqt)) is None
+
+
+def test_jpeg_ahash_query_matches_local_recompute(spark, sf_dir):
+    """q_image_jpeg_ahash through Spark equals a driver-side recompute
+    from the closed form, and dup groups collapse to one hash row."""
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        IMG_GROUPS,
+        jpeg_block_values,
+        q_image_jpeg_ahash,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    rows = {
+        r["ahash"]: (r["n_images"], r["min_media_id"], r["max_media_id"])
+        for r in q_image_jpeg_ahash(spark, sf_dir).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+
+    def ahash_of(doc: int) -> str:
+        grays = [_jpeg_expected_gray(v) for v in jpeg_block_values(doc)]
+        pp = [4 * grays[((k // 8) // 4) * 2 + (k % 8) // 4] for k in range(64)]
+        total = sum(pp)
+        return "".join(
+            "0123456789abcdef"[
+                sum(
+                    (8 >> j) * (1 if pp[4 * k + j] * 64 > total else 0)
+                    for j in range(4)
+                )
+            ]
+            for k in range(16)
+        )
+
+    expect: dict = {}
+    for d in doc_ids:
+        hsh = ahash_of(d)
+        n, lo, hi = expect.get(hsh, (0, d, d))
+        expect[hsh] = (n + 1, min(lo, d), max(hi, d))
+    assert rows == expect
+    # same dup group -> same hash (planted exact-dup contract)
+    groups = {}
+    for d in doc_ids:
+        groups.setdefault(d % IMG_GROUPS, []).append(d)
+    some = [g for g, ds in groups.items() if len(ds) >= 2][:5]
+    for g in some:
+        ds = groups[g]
+        assert len({ahash_of(d) for d in ds}) == 1

@@ -1,0 +1,72 @@
+"""Round-8 operator pins: streaming twins for the sequential-stats ops
+(twap / cusum_drift) must equal their batch twins bit-for-bit across
+staged micro-batch boundaries (the stream_ewma discipline)."""
+
+from __future__ import annotations
+
+from cs422pp_mapreduce_spark.operators import events as EV
+
+
+def test_stream_twap_equals_batch_twin(spark, sf_dir):
+    # Exact-integer interval state carried across 3 staged
+    # micro-batches: area/span/count — and the final double division —
+    # must equal the batch lead()-window aggregation exactly.
+    from cs422pp_mapreduce_spark.streaming.stateful import q_stream_twap
+
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap"])
+        for r in q_stream_twap(spark, sf_dir).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twap"])
+        for r in EV.q_twap(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_stream_cusum_equals_batch_twin(spark, sf_dir):
+    # The O(1)-state recurrence (P, min-prev-P, max-c as exact ints)
+    # over a stream-static baseline join must equal the batch
+    # three-window plan exactly, including the n-scaled normalization.
+    from cs422pp_mapreduce_spark.streaming.stateful import q_stream_cusum
+
+    got = {
+        r["event_type"]: (r["n_events"], r["max_cusum"])
+        for r in q_stream_cusum(spark, sf_dir).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n_events"], r["max_cusum"])
+        for r in EV.q_cusum_drift(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_cusum_stream_formula_matches_batch_window_identity():
+    # Unit pin of the in-fold formula on a crafted all-negative drift
+    # (the case where the textbook 0-floor recurrence DIVERGES from
+    # the batch window formula): c_j = P_j - min(0, min_{k<j} P_k).
+    devs = [-5, -1, -1]  # strictly-down drift: every batch c_j < 0
+    p, mprev, cmax = 0, None, None
+    for d in devs:
+        p += d
+        c = p - min(0, mprev) if mprev is not None else p
+        cmax = c if cmax is None else max(cmax, c)
+        mprev = p if mprev is None else min(mprev, p)
+    # batch identity replay
+    prefix = []
+    acc = 0
+    for d in devs:
+        acc += d
+        prefix.append(acc)
+    cs = []
+    for j, pj in enumerate(prefix):
+        prev = prefix[:j]
+        pmin_prev = min([min(x, 0) for x in prev], default=None)
+        cs.append(pj - min(pmin_prev, 0) if pmin_prev is not None else pj)
+    assert cmax == max(cs)
+    # and it is NOT the 0-floor recurrence's answer on this input
+    c0, mx0 = 0, 0
+    for d in devs:
+        c0 = max(0, c0 + d)
+        mx0 = max(mx0, c0)
+    assert mx0 != cmax
