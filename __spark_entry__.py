@@ -159,6 +159,10 @@ _QUERIES: dict[str, QueryFn] = {
     # oracles (the stream_ewma convention; r07 verdict ask #5)
     "stream_twap": q_stream_twap,
     "stream_cusum": q_stream_cusum,
+    # NEW: hash-verified HLL error-bound contract — the first sketch
+    # row inside the hash gate (estimate stays in-engine; the exact
+    # side + within_bound boolean replay in SQL; r07 verdict ask #8)
+    "hll_bound": R.q_hll_bound,
     # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,

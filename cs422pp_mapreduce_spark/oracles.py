@@ -4343,3 +4343,21 @@ def _media_pipeline_sql() -> str:
 
 
 ORACLES["media_pipeline"] = _media_pipeline_sql()
+
+
+# HLL error-bound contract (r08): the sketch estimate never crosses
+# engines — the oracle recomputes the EXACT side and expects the bound
+# boolean to be true, so a hash match proves the sketch pipeline's
+# estimates (per-type AND the merged union row) honor the published
+# ±5% (3σ at lgK=12) envelope.
+ORACLES["hll_bound"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+"""

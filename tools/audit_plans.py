@@ -50,6 +50,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "pca_power": {
         "BroadcastNestedLoopJoin": "1-row vector-count broadcast (n)"
     },
+    "hll_bound": {
+        "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
+    },
     "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
     # ann_lsh/embedding_neardup: no BNLJ since r04 — the signature
     # build is a map-only Arrow matmul and the query side is a literal
