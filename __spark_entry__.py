@@ -163,6 +163,10 @@ _QUERIES: dict[str, QueryFn] = {
     # row inside the hash gate (estimate stays in-engine; the exact
     # side + within_bound boolean replay in SQL; r07 verdict ask #8)
     "hll_bound": R.q_hll_bound,
+    # NEW: derandomized DOULION triangle estimate — the approximation
+    # path for the O(m^1.5) exact count (the r07 curve's worst honest
+    # tail); md5-mod-4 edge sparsifier keeps it hash-verifiable
+    "triangle_count_sampled": GR.q_triangle_count_sampled,
     # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,

@@ -168,6 +168,14 @@ HEADLINE = [
     "pca_power",
     # round-7 wave 9: composed multimodal curation pipeline
     "media_pipeline",
+    # round-8 wave 1: real JPEG pixel codec, sequential-stats streaming
+    # twins (fixed-cost contract class), HLL error-bound contract row
+    "image_jpeg_ahash",
+    "stream_twap",
+    "stream_cusum",
+    "hll_bound",
+    # round-8 wave 2: derandomized DOULION triangle estimate
+    "triangle_count_sampled",
 ]
 
 RUNS = 3

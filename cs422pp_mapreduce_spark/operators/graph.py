@@ -195,6 +195,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    n_nodes, n_edges, n_tri = _edge_iterator_counts(edges)
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def _edge_iterator_counts(edges: DataFrame):
+    """The degree-oriented edge-iterator kernel over an undirected
+    (u, v), u < v edge frame: returns (n_nodes, n_edges, n_triangles)
+    1-row DataFrames. Shared by the exact count and the DOULION
+    sampled estimator (identical plan, sparsified input)."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # Orientation key: lexicographic (deg, node). Attach each endpoint's
@@ -255,7 +264,68 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = closed.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    return n_nodes, n_edges, n_tri
+
+
+TRI_SAMPLE_DENOM = 4  # DOULION keep probability p = 1/4
+
+
+def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (Tsourakakis, Kang, Miller,
+    Faloutsos 2009, KDD: "DOULION: counting triangles in massive
+    graphs with a coin") — the approximation path the exact
+    edge-iterator count needs at real scale: triangle work is
+    inherently O(m^1.5)-superlinear in DATA (the r07 verdict's worst
+    honest tail at 9.9× for 10× data), and DOULION cuts it by p^1.5
+    while the estimate count/p³ stays unbiased with tight
+    concentration on graphs with many triangles.
+
+    DERANDOMIZED so the row is hash-verifiable: instead of a coin,
+    keep edge (u, v) iff the md5-derived integer of "u:v" is ≡ 0 mod
+    4 (p = 1/4 — the training_shards/deterministic_sample md5-int
+    convention), a pure function of the edge, identical in both
+    engines, independent of the triangle structure (md5 of the pair
+    key is uncorrelated with closure). The sampled subgraph then runs
+    the IDENTICAL degree-oriented edge-iterator kernel as
+    q_triangle_count, and the estimate 64·count (1/p³ = 64) is exact
+    integer arithmetic — bit-replayable by the DuckDB oracle, unlike
+    any rand()-seeded sampler. Sampling is map-side on the edge
+    stream: the kernel's joins/aggregates see ~p·m edges, so the
+    O(m^1.5) term drops 8× at p=1/4 (and p shrinks as m grows in
+    production).
+
+    Accuracy on this graph is pinned in tests (estimate within 2× of
+    exact at the smoke fixture; the DOULION paper's bound is far
+    tighter at real edge counts — the pin is deliberately loose
+    because small graphs are the estimator's worst case)."""
+    edges = copurchase_edges(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("u").cast("string"), F.col("v").cast("string"))
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = edges.where(h % TRI_SAMPLE_DENOM == 0).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_nodes, n_edges, n_tri = _edge_iterator_counts(sampled)
+    scale = TRI_SAMPLE_DENOM ** 3
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            F.col("n_edges").alias("n_edges_sampled"),
+            F.col("n_triangles").alias("n_triangles_sampled"),
+            (F.col("n_triangles") * F.lit(scale))
+            .cast("long")
+            .alias("est_triangles"),
+        )
+    )
 
 
 # --- BFS reachability (round 6) -----------------------------------------

@@ -2537,6 +2537,37 @@ ORACLES["triangle_count"] = """
             JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
 """
 
+# DOULION derandomized: the md5-mod-4 edge sparsifier is a pure
+# function of the edge, so the oracle replays sampling + triangle join
+# exactly; est = 64·count is exact integer arithmetic.
+ORACLES["triangle_count_sampled"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS p
+        FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+    ), sedges AS (
+        SELECT u, v FROM edges
+        WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                              || CAST(v AS VARCHAR)), 1, 6))::BIGINT
+              % 4 = 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sedges)
+               AS n_edges_sampled,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM sedges e1
+            JOIN sedges e2 ON e2.u = e1.v
+            JOIN sedges e3 ON e3.u = e1.u AND e3.v = e2.v)
+               AS n_triangles_sampled,
+           (SELECT CAST(64 * COUNT(*) AS BIGINT)
+            FROM sedges e1
+            JOIN sedges e2 ON e2.u = e1.v
+            JOIN sedges e3 ON e3.u = e1.u AND e3.v = e2.v)
+               AS est_triangles
+"""
+
 ORACLES["training_shards"] = f"""
     WITH base AS (
         SELECT doc_id, lang,

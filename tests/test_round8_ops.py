@@ -70,3 +70,29 @@ def test_cusum_stream_formula_matches_batch_window_identity():
         c0 = max(0, c0 + d)
         mx0 = max(mx0, c0)
     assert mx0 != cmax
+
+
+def test_triangle_count_sampled_doulion(spark, sf_dir):
+    """Derandomized DOULION: (a) est = 64·sampled count exactly (pure
+    integer scaling); (b) the md5 sparsifier keeps ~1/4 of edges;
+    (c) the deterministic estimate lands within 25% of the exact count
+    on the smoke fixture (observed 3.2% — the pin is loose because
+    tiny graphs are the estimator's worst case); (d) two runs agree
+    exactly (no RNG state anywhere)."""
+    from cs422pp_mapreduce_spark.operators.graph import (
+        copurchase_edges,
+        q_triangle_count,
+        q_triangle_count_sampled,
+    )
+
+    sm = q_triangle_count_sampled(spark, sf_dir).collect()[0]
+    assert sm["est_triangles"] == 64 * sm["n_triangles_sampled"]
+
+    m = copurchase_edges(spark, sf_dir).count()
+    assert 0.15 * m <= sm["n_edges_sampled"] <= 0.35 * m
+
+    exact = q_triangle_count(spark, sf_dir).collect()[0]["n_triangles"]
+    assert 0.75 * exact <= sm["est_triangles"] <= 1.25 * exact
+
+    again = q_triangle_count_sampled(spark, sf_dir).collect()[0]
+    assert dict(again.asDict()) == dict(sm.asDict())

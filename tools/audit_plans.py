@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
+    # same 3-way 1-row crossJoin of (nodes, edges, triangles) counts
+    # as triangle_count (allowlisted below)
+    "triangle_count_sampled": {
+        "BroadcastNestedLoopJoin": "1-row count crossjoins"
+    },
     "topk_similarity": {"BroadcastNestedLoopJoin": "1-row query vector"},
     # ann_lsh/embedding_neardup: no BNLJ since r04 — the signature
     # build is a map-only Arrow matmul and the query side is a literal
