@@ -278,3 +278,25 @@ def test_triangle_count_has_no_wedge_join(spark, sf_dir):
 
     plan = explain_str(q_triangle_count(spark, sf_dir))
     assert "array_intersect" in plan
+
+
+def test_media_pipeline_no_keeplist_broadcast(spark, sf_dir):
+    """r08 pin of the r07 verdict scale-killer fix: the composed
+    multimodal pipeline deduplicates via ONE window over ahash — the
+    plan must contain a window (rank + count over the hash key) and
+    NO broadcast join anywhere (the old form force-broadcast a
+    keep-list whose size is O(distinct image hashes) ≈ O(corpus))."""
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        q_media_pipeline,
+    )
+
+    import re
+
+    plan = explain_str(q_media_pipeline(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan and "WindowGroupLimit" in plan
+    # exactly one exchange node (the ahash window partitioning): blobs
+    # and pixel arrays stay map-side, only skinny hash rows shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(ahash" in plan
