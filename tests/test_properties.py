@@ -255,3 +255,55 @@ def test_wildcard_blocking_complete_for_hamming_le_1(sfx):
             ham = sum(x != y for x, y in zip(a, b))
             share = bool(keys(a) & keys(b))
             assert share == (ham <= 1)
+
+
+# --- r08: JPEG codec properties ---------------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=256, max_size=256),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_any_raster_and_fuzzed_decode(raster, seed):
+    """(a) decode(encode(x)) succeeds on ANY 16x16 raster and
+    preserves every block mean within the DC quantization step
+    (Q00/8 = 2.125 gray levels, +1 fixed-point slack); (b) mutating
+    one byte anywhere in the blob NEVER raises — the decoder returns
+    None or a well-formed raster (malformed-input totality, the
+    property a curation pipeline needs on real crawled bytes)."""
+    import random as _random
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    blob = encode_jpeg_gray(raster, 16, 16)
+    out = decode_jpeg_gray(blob)
+    assert out is not None and (out[0], out[1]) == (16, 16)
+    px = out[2]
+    assert len(px) == 256 and all(0 <= v <= 255 for v in px)
+    for by in range(2):
+        for bx in range(2):
+            idx = [
+                (by * 8 + y) * 16 + bx * 8 + x
+                for y in range(8)
+                for x in range(8)
+            ]
+            src = sum(raster[i] for i in idx) / 64
+            dec = sum(px[i] for i in idx) / 64
+            # clamping can only pull the mean INWARD; unclamped DC
+            # error is <= Q00/2/8 + fixed-point slack
+            if all(8 <= raster[i] <= 247 for i in idx):
+                assert abs(src - dec) <= 2.2
+
+    rng = _random.Random(seed)
+    mutated = bytearray(blob)
+    pos = rng.randrange(len(mutated))
+    mutated[pos] ^= 1 << rng.randrange(8)
+    res = decode_jpeg_gray(bytes(mutated))
+    if res is not None:
+        w, h, px2 = res
+        assert len(px2) == w * h
+        assert all(0 <= v <= 255 for v in px2)
