@@ -91,7 +91,11 @@ _QUERIES: dict[str, QueryFn] = {
     #    (oracle zero-guard + decimal covariance accumulator —
     #    ADVICE r07); NEW: see the block's inline notes.
     # 3. the r04-banked block (47 queries, prior relative order) —
-    #    whatever the budget still covers refreshes oldest-first;
+    #    whatever the budget still covers refreshes oldest-first.
+    #    With 25 + 8 prefix slots used, ~17 of these get r08 rows;
+    #    the ~30 that don't are the r09 rotation's lead block (then
+    #    the r05 block) — keep new-query registration ≤ ~10/round so
+    #    the tail keeps draining.
     # 4. then the r05-banked, r06-banked, and r07-fresh blocks.
     # Every ordering decision is validated locally by
     # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
