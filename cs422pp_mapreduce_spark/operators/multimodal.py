@@ -932,7 +932,10 @@ PIXELS_SCHEMA = T.StructType(
 
 
 def synth_png_images(docs: DataFrame) -> DataFrame:
-    """Arrow-batched encoder pass: one real PNG blob per document."""
+    """Arrow-batched encoder pass: one real PNG blob per document.
+    Ids repartitioned to session parallelism before the codec — see
+    synth_jpeg_images (the cheap-shuffle-before-expensive-map trade;
+    file-layout partitioning is not CPU-count partitioning)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -947,7 +950,10 @@ def synth_png_images(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    from ..session import default_parallelism
+
+    ids = docs.select("doc_id").repartition(default_parallelism(), "doc_id")
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def decode_png_pixels(media: DataFrame) -> DataFrame:
@@ -1551,7 +1557,15 @@ def jpeg_block_values(doc_id: int) -> list[int]:
 
 def synth_jpeg_images(docs: DataFrame) -> DataFrame:
     """Arrow-batched encoder pass: one real baseline JFIF per document
-    (16×16, four constant 8×8 blocks — see jpeg_block_values)."""
+    (16×16, four constant 8×8 blocks — see jpeg_block_values).
+
+    The id column is REPARTITIONED to the session parallelism before
+    the codec: the DCT codec is ~1.5 ms/image of Python work, and the
+    upstream scan's partition count follows FILE layout, not CPU count
+    (one small parquet file → one partition → a single-core codec pass,
+    the r08 bench catch: 10 s instead of 0.8 s at sf0.1). The exchange
+    moves 8-byte ids — the canonical cheap-shuffle-before-expensive-map
+    trade, and a no-op cost-wise wherever the scan is already wide."""
 
     def raster(vals: list[int]) -> list[int]:
         return [
@@ -1577,7 +1591,10 @@ def synth_jpeg_images(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    from ..session import default_parallelism
+
+    ids = docs.select("doc_id").repartition(default_parallelism(), "doc_id")
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def decode_jpeg_pixels(media: DataFrame) -> DataFrame:

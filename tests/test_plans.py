@@ -296,7 +296,10 @@ def test_media_pipeline_no_keeplist_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan and "WindowGroupLimit" in plan
-    # exactly one exchange node (the ahash window partitioning): blobs
-    # and pixel arrays stay map-side, only skinny hash rows shuffle
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # exactly two exchanges: the pre-codec id repartition (8-byte rows,
+    # parallelizes the Python codec past file-layout partitioning) and
+    # the ahash window partitioning (skinny hash rows). Blobs and pixel
+    # arrays never cross either — both exchanges carry only ids/hashes.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "hashpartitioning(ahash" in plan
+    assert "hashpartitioning(doc_id" in plan
