@@ -1227,6 +1227,10 @@ def _cos_tables():
 
 _FCOS, _IDCT_K = _cos_tables()
 
+import numpy as _np  # noqa: E402  (decoder IDCT matmuls; see below)
+
+_knp = _np.asarray(_IDCT_K, dtype=_np.int64)  # K[u][x]
+
 
 class _BitWriter:
     """MSB-first bit packer with JPEG byte stuffing (FF -> FF 00)."""
@@ -1269,25 +1273,24 @@ def encode_jpeg_gray(pixels: list[int], width: int, height: int) -> bytes:
     dc_codes = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac_codes = _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
 
+    import numpy as np
+
+    cnp = np.asarray(_FCOS, dtype=np.float64)
+    qnp = np.asarray(JPEG_QTAB, dtype=np.float64).reshape(8, 8)
+
     def fdct_quant(block: list[list[int]]) -> list[int]:
-        shifted = [[v - 128 for v in row] for row in block]
-        # rows then cols, separable: tmp[u][y] = sum_x f[x][y]*cos(u,x)
-        tmp = [
-            [
-                sum(shifted[x][y] * _FCOS[u][x] for x in range(8))
-                for y in range(8)
-            ]
-            for u in range(8)
-        ]
-        coef = [0] * 64
-        for u in range(8):
-            for v in range(8):
-                s = 0.25 * sum(tmp[u][y] * _FCOS[v][y] for y in range(8))
-                q = JPEG_QTAB[u * 8 + v]
-                a = abs(s) / q
-                r = int(a + 0.5)  # round half away from zero
-                coef[u * 8 + v] = r if s >= 0 else -r
-        return coef
+        # F[u,v] = 0.25·Σ_x Σ_y (f[x,y]−128)·C[u,x]·C[v,y], batched as
+        # two 8×8 matmuls (the triple loops were 85% of codec time —
+        # r08 profile); round half away from zero against the quant
+        # table. Float summation order differs from the scalar form
+        # only in the last ulp — the all-odd quant table keeps the
+        # planted-content rounding decisions away from .5 boundaries
+        # (module block comment), and general rasters are bounded, not
+        # bit-pinned.
+        b = np.asarray(block, dtype=np.float64) - 128.0  # [x][y]
+        fm = 0.25 * (cnp @ b @ cnp.T)
+        r = np.floor(np.abs(fm) / qnp + 0.5)
+        return [int(v) for v in (np.sign(fm) * r).ravel()]
 
     def amplitude(v: int, size: int) -> int:
         return v if v >= 0 else v + (1 << size) - 1
@@ -1513,28 +1516,21 @@ def decode_jpeg_gray(blob: bytes):
                 coef = [0] * 64
                 for k in range(64):
                     coef[_ZIGZAG[k]] = zz[k] * q[_ZIGZAG[k]]
-                # fixed-point separable IDCT (see docstring convention)
-                tmp = [
-                    [
-                        sum(
-                            coef[u * 8 + v] * _IDCT_K[v][y]
-                            for v in range(8)
-                        )
-                        for y in range(8)
-                    ]
-                    for u in range(8)
-                ]
-                for y in range(8):
+                # fixed-point separable IDCT (see docstring convention),
+                # as two int64 matmuls: S[x,y] = Σ_u Σ_v K[u,x]·
+                # coef[u,v]·K[v,y]. Integer addition is associative, so
+                # the matmul form is BIT-IDENTICAL to the scalar loops
+                # it replaced (r08 profile: 85% of codec time); peak
+                # magnitude ≤ ~4e15 ≪ int64, and numpy's int64 >> is
+                # the same arithmetic floor shift as Python's.
+                c64 = _np.asarray(coef, dtype=_np.int64).reshape(8, 8)
+                s = _knp.T @ c64 @ _knp
+                pix = _np.clip(((s + (1 << 29)) >> 30) + 128, 0, 255).T
+                for y in range(min(8, h - by * 8)):
                     py = by * 8 + y
-                    if py >= h:
-                        break
-                    for x in range(8):
-                        px_ = bx * 8 + x
-                        if px_ >= w:
-                            break
-                        s = sum(tmp[u][y] * _IDCT_K[u][x] for u in range(8))
-                        val = ((s + (1 << 29)) >> 30) + 128
-                        out[py * w + px_] = min(255, max(0, val))
+                    row = pix[y]
+                    for x in range(min(8, w - bx * 8)):
+                        out[py * w + bx * 8 + x] = int(row[x])
         return w, h, out
     except (ValueError, struct.error, IndexError):
         return None
