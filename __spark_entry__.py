@@ -171,6 +171,11 @@ _QUERIES: dict[str, QueryFn] = {
     # path for the O(m^1.5) exact count (the r07 curve's worst honest
     # tail); md5-mod-4 edge sparsifier keeps it hash-verifiable
     "triangle_count_sampled": GR.q_triangle_count_sampled,
+    # NEW: real WAV PCM sample path — RIFF writer + independent
+    # chunk-walk reader over planted integer sawtooths, exact feature
+    # math (peak/energy/zero-crossings) JVM-side; the audio analog of
+    # the PNG/JPEG pixel paths (PCM needs no external libs)
+    "audio_features": MM.q_audio_features,
     # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,

@@ -176,6 +176,8 @@ HEADLINE = [
     "hll_bound",
     # round-8 wave 2: derandomized DOULION triangle estimate
     "triangle_count_sampled",
+    # round-8 wave 3: real WAV PCM sample features
+    "audio_features",
 ]
 
 RUNS = 3

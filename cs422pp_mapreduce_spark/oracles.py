@@ -4392,3 +4392,36 @@ ORACLES["hll_bound"] = """
            TRUE AS within_bound
     FROM events
 """
+
+
+# Real WAV PCM sample path: the planted sawtooth has a closed form, so
+# the oracle regenerates every 16-bit sample arithmetically
+# (generate_series) and recomputes the exact integer features — a hash
+# match proves the RIFF writer -> independent chunk-walk reader ->
+# JVM feature math round-trips the real format exactly.
+ORACLES["audio_features"] = """
+    WITH par AS (
+        SELECT doc_id,
+               1000 + (doc_id % 7) * 64 AS n,
+               7 + doc_id % 13 AS a,
+               doc_id % 997 AS b
+        FROM documents
+    ), sm AS (
+        SELECT doc_id, n, u.t AS t,
+               CAST(((a * u.t + b) % 2001) - 1000 AS INTEGER) AS s
+        FROM par, UNNEST(generate_series(0, n - 1)) AS u(t)
+    ), lagged AS (
+        SELECT doc_id, n, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+        FROM sm
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND CAST(prev AS BIGINT) * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+"""

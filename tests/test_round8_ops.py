@@ -96,3 +96,85 @@ def test_triangle_count_sampled_doulion(spark, sf_dir):
 
     again = q_triangle_count_sampled(spark, sf_dir).collect()[0]
     assert dict(again.asDict()) == dict(sm.asDict())
+
+
+def test_wav_pcm_codec_roundtrip_and_negative_space():
+    """The independent WAV reader recovers the writer's samples
+    exactly (lossless PCM), skips unknown chunks with odd-length
+    padding per spec, and returns None (never raises) on malformed
+    input: truncation, wrong magic, compressed format tag, stereo,
+    data-before-fmt, odd data length."""
+    import struct
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        pcm_wave_params,
+    )
+
+    for doc in (0, 1, 13, 997, 4242):
+        n, a, b = pcm_wave_params(doc)
+        samples = [((a * t + b) % 2001) - 1000 for t in range(n)]
+        blob = encode_wav_pcm16(samples)
+        assert decode_wav_pcm16(blob) == (WAV_RATE, samples)
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    blob = encode_wav_pcm16(samples)
+    assert decode_wav_pcm16(blob) == (WAV_RATE, samples)
+
+    # unknown chunk (odd length -> pad byte) between fmt and data
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    at = blob.index(b"data")
+    padded = blob[:at] + extra + blob[at:]
+    padded = padded[:4] + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert decode_wav_pcm16(padded) == (WAV_RATE, samples)
+
+    assert decode_wav_pcm16(None) is None
+    assert decode_wav_pcm16(b"") is None
+    assert decode_wav_pcm16(blob[:30]) is None
+    assert decode_wav_pcm16(b"RIFX" + blob[4:]) is None
+    mut = bytearray(blob)
+    mut[20] = 3  # format tag -> IEEE float: refuse
+    assert decode_wav_pcm16(bytes(mut)) is None
+    mut = bytearray(blob)
+    mut[22] = 2  # stereo: refuse
+    assert decode_wav_pcm16(bytes(mut)) is None
+    # data chunk before fmt
+    hdr, fmtc, datac = blob[:12], blob[12:36], blob[36:]
+    assert decode_wav_pcm16(hdr + datac + fmtc) is None
+    # odd data length
+    mut = bytearray(blob)
+    mut[40:44] = struct.pack("<I", len(samples) * 2 - 1)
+    assert decode_wav_pcm16(bytes(mut)) is None
+
+
+def test_audio_features_match_local_recompute(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        WAV_RATE,
+        pcm_wave_params,
+        q_audio_features,
+    )
+
+    rows = {
+        r["media_id"]: (
+            r["rate"],
+            r["n_samples"],
+            r["peak"],
+            r["energy"],
+            r["zero_crossings"],
+        )
+        for r in q_audio_features(spark, sf_dir).collect()
+    }
+    assert rows
+    for doc, got in list(rows.items())[:50]:
+        n, a, b = pcm_wave_params(doc)
+        s = [((a * t + b) % 2001) - 1000 for t in range(n)]
+        zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+        assert got == (
+            WAV_RATE,
+            n,
+            max(abs(v) for v in s),
+            sum(v * v for v in s),
+            zc,
+        )
