@@ -176,6 +176,11 @@ _QUERIES: dict[str, QueryFn] = {
     # math (peak/energy/zero-crossings) JVM-side; the audio analog of
     # the PNG/JPEG pixel paths (PCM needs no external libs)
     "audio_features": MM.q_audio_features,
+    # NEW: real MJPEG-AVI video sample path — RIFF container walk +
+    # per-frame independent JPEG decode + scene-cut deltas; composes
+    # the r08 WAV (container) and JPEG (frame) codecs into the video
+    # family's sample path (inter-frame codecs stay env-gated)
+    "video_frame_stats": MM.q_video_frame_stats,
     # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,

@@ -178,6 +178,8 @@ HEADLINE = [
     "triangle_count_sampled",
     # round-8 wave 3: real WAV PCM sample features
     "audio_features",
+    # round-8 wave 4: real MJPEG-AVI per-frame stats
+    "video_frame_stats",
 ]
 
 RUNS = 3

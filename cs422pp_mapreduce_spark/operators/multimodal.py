@@ -1840,3 +1840,295 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("zero_crossings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL MJPEG-AVI video sample path (r08): Motion-JPEG inside a RIFF
+# AVI container — a real on-disk video format (camera/DVR output)
+# that, like PCM WAV, needs no external libraries: the container is
+# the RIFF chunk grammar (shared discipline with the WAV reader) and
+# every frame is a baseline JFIF the engine's independent JPEG
+# decoder already handles. This composes the two r08 codecs into the
+# video family's sample path; inter-frame-compressed codecs
+# (H.264/VP9/AV1) remain correctly env-gated.
+# ---------------------------------------------------------------------------
+
+
+def video_frame_count(doc_id: int) -> int:
+    return 3 + doc_id % 4
+
+
+def video_frame_block_values(doc_id: int, frame: int) -> list[int]:
+    """Planted 2×2 constant-block grays for one frame: first byte of
+    md5(f"{g}:v:{frame}:{bi}:{bj}"), g = doc_id % IMG_GROUPS — the
+    jpeg_block_values convention with a frame axis."""
+    import hashlib
+
+    g = doc_id % IMG_GROUPS
+    return [
+        hashlib.md5(f"{g}:v:{frame}:{bi}:{bj}".encode()).digest()[0]
+        for bi in range(2)
+        for bj in range(2)
+    ]
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int) -> bytes:
+    """Minimal spec-conformant MJPEG AVI writer: RIFF('AVI ') with an
+    hdrl LIST (avih main header + one 'vids'/'MJPG' stream's strh +
+    strf/BITMAPINFOHEADER), a movi LIST of '00dc' frame chunks, and an
+    idx1 index — the structure any AVI chunk walker expects."""
+    fps_us = 100_000  # 10 fps
+    avih = struct.pack(
+        "<14I",
+        fps_us,
+        0,
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,
+        0,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids",
+        b"MJPG",
+        0,
+        0,
+        0,
+        0,
+        1,
+        10,  # rate/scale = 10 fps
+        0,
+        len(frames),
+        0,
+        0xFFFFFFFF,
+        0,
+        0,
+        0,
+        width,
+        height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,
+        width,
+        height,
+        1,
+        24,
+        b"MJPG",
+        width * height * 3,
+        0,
+        0,
+        0,
+        0,
+    )
+    strl = _riff_chunk(
+        b"LIST",
+        b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    offsets = []
+    for fr in frames:
+        offsets.append(len(movi_body) - 4 + 4)  # offset of '00dc' id
+        movi_body += _riff_chunk(b"00dc", fr)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(fr))
+        for off, fr in zip(offsets, frames)
+    )
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(blob: bytes):
+    """Independent MJPEG-AVI reader: RIFF/'AVI ' signature, recursive
+    chunk walk to the avih header (width/height/frame count) and the
+    movi LIST, then each '00dc' frame through the independent JPEG
+    decoder. Returns (width, height, [frame pixel lists]) or None on
+    any malformation (truncation, wrong magic, frame-count mismatch,
+    any undecodable frame)."""
+    try:
+        if (
+            blob is None
+            or len(blob) < 24
+            or blob[:4] != b"RIFF"
+            or blob[8:12] != b"AVI "
+        ):
+            return None
+        w = h = n_frames = None
+        frames: list = []
+
+        def walk(at: int, end: int) -> bool:
+            nonlocal w, h, n_frames
+            while at + 8 <= end:
+                cid = blob[at : at + 4]
+                (ln,) = struct.unpack("<I", blob[at + 4 : at + 8])
+                body_at = at + 8
+                if body_at + ln > end:
+                    return False
+                if cid == b"LIST":
+                    if not walk(body_at + 4, body_at + ln):
+                        return False
+                elif cid == b"avih":
+                    if ln < 56:
+                        return False
+                    vals = struct.unpack("<14I", blob[body_at : body_at + 56])
+                    n_frames, w, h = vals[4], vals[8], vals[9]
+                elif cid == b"00dc":
+                    px = decode_jpeg_gray(blob[body_at : body_at + ln])
+                    if px is None:
+                        return False
+                    frames.append(px[2])
+                at = body_at + ln + (ln & 1)
+            return True
+
+        if not walk(12, 8 + struct.unpack("<I", blob[4:8])[0]):
+            return None
+        if w is None or n_frames is None or len(frames) != n_frames:
+            return None
+        return w, h, frames
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+VIDEO_FRAMES_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def synth_avi_videos(docs: DataFrame) -> DataFrame:
+    """Arrow-batched encoder pass: one real MJPEG AVI per document
+    (3–6 frames of planted constant-block JFIFs). Ids repartitioned
+    to session parallelism first (the synth_jpeg_images rule)."""
+
+    def raster(vals: list[int]) -> list[int]:
+        return [
+            vals[(y // 8) * 2 + (x // 8)]
+            for y in range(JPEG16_SIDE)
+            for x in range(JPEG16_SIDE)
+        ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    encode_jpeg_gray(
+                        raster(video_frame_block_values(d, f)),
+                        JPEG16_SIDE,
+                        JPEG16_SIDE,
+                    )
+                    for f in range(video_frame_count(d))
+                ]
+                blobs.append(
+                    encode_avi_mjpeg(frames, JPEG16_SIDE, JPEG16_SIDE)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "mime": "video/x-msvideo",
+                }
+            )
+
+    from ..session import default_parallelism
+
+    ids = docs.select("doc_id").repartition(default_parallelism(), "doc_id")
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_avi_frames(media: DataFrame) -> DataFrame:
+    """Arrow-batched decoder pass: one output row per decoded frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, idxs, ws, hs, pxs = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["blob"]):
+                dec = decode_avi_mjpeg(b)
+                if dec is None:
+                    continue
+                w, h, frames = dec
+                for i, px in enumerate(frames):
+                    mids.append(mid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    pxs.append(px)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "px": pxs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAMES_STATS_SCHEMA)
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame statistics over REAL video sample decode — Motion-
+    JPEG AVIs built per document (a real camera/DVR container), walked
+    back through the independent RIFF reader, every frame decoded by
+    the independent JPEG decoder, then per-frame brightness and a
+    scene-cut style inter-frame delta computed JVM-side: one row per
+    frame with (media_id, frame_idx, brightness, delta_prev =
+    |brightness − previous frame's|, NULL-as-−1 for frame 0).
+
+    Plan shape at 100 TB: container build + frame decode are MAP-ONLY
+    Arrow passes (ids repartitioned CPU-wide; blobs never cross an
+    exchange); the explode to frames happens inside the decode pass
+    (bounded ≤6 frames/clip); brightness is a codegen'd HOF over the
+    pixel array and the inter-frame delta is a lag window over
+    (media_id | frame_idx) — per-clip frame counts are bounded, the
+    classic sessionization partition. The planted frames are
+    constant-block JFIFs, so the oracle replays every decoded gray
+    from the JPEG closed form and the hash verifies container walk →
+    per-frame Huffman/IDCT decode → feature math end to end."""
+    from pyspark.sql.window import Window
+
+    dec = decode_avi_frames(
+        synth_avi_videos(load_table(spark, sf_dir, "documents"))
+    )
+    bright = (
+        F.aggregate(
+            "px", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        )
+        / F.size("px")
+    ).cast("long")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    framed = dec.select(
+        "media_id", "frame_idx", "width", "height", bright.alias("brightness")
+    )
+    return framed.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "brightness",
+        F.coalesce(
+            F.abs(F.col("brightness") - F.lag("brightness").over(w)),
+            F.lit(-1).cast("long"),
+        ).alias("delta_prev"),
+    )

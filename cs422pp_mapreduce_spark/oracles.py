@@ -4425,3 +4425,64 @@ ORACLES["audio_features"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
     FROM lagged GROUP BY doc_id
 """
+
+
+# MJPEG-AVI video sample path: frames are planted constant-block
+# JFIFs, so every decoded gray replays through the JPEG closed form
+# (see _image_jpeg_ahash_sql); brightness = Σpx/256 is exact (divide
+# by 4 of an integer sum), the inter-frame delta is a lag window.
+def _video_frame_stats_sql() -> str:
+    from .operators.multimodal import IMG_GROUPS, JPEG_QTAB, _IDCT_K
+
+    q0 = JPEG_QTAB[0]
+    k0sq = _IDCT_K[0][0] ** 2
+    return f"""
+        WITH fr AS (
+            SELECT doc_id, CAST(u.f AS INTEGER) AS frame_idx
+            FROM documents,
+                 UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(f)
+        ), bv AS (
+            SELECT doc_id, frame_idx,
+                   list_transform(range(0, 4), b ->
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                               || ':v:' || CAST(frame_idx AS VARCHAR)
+                               || ':' || CAST(b // 2 AS VARCHAR) || ':'
+                               || CAST(b % 2 AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id % {IMG_GROUPS} AS VARCHAR)
+                               || ':v:' || CAST(frame_idx AS VARCHAR)
+                               || ':' || CAST(b // 2 AS VARCHAR) || ':'
+                               || CAST(b % 2 AS VARCHAR)), 2, 1)) - 1
+                   ) AS v
+            FROM fr
+        ), gr AS (
+            SELECT doc_id, frame_idx,
+              list_transform(v, vv ->
+                LEAST(255, GREATEST(0,
+                  (CAST({q0} * (CASE WHEN vv >= 128
+                          THEN (16*(vv-128) + {q0}) // {2 * q0}
+                          ELSE -((16*(128-vv) + {q0}) // {2 * q0}) END)
+                        AS BIGINT)
+                   * {k0sq} + {1 << 29} + {256 * (1 << 30)}
+                  ) // {1 << 30} - 256 + 128
+                ))) AS g
+            FROM bv
+        ), br AS (
+            SELECT doc_id, frame_idx,
+                   CAST((64 * (g[1] + g[2] + g[3] + g[4])) // 256
+                        AS BIGINT) AS brightness
+            FROM gr
+        )
+        SELECT doc_id AS media_id, frame_idx,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               brightness,
+               CAST(COALESCE(ABS(brightness - LAG(brightness) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx)), -1)
+                   AS BIGINT) AS delta_prev
+        FROM br
+    """
+
+
+ORACLES["video_frame_stats"] = _video_frame_stats_sql()

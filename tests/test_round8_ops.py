@@ -178,3 +178,87 @@ def test_audio_features_match_local_recompute(spark, sf_dir):
             sum(v * v for v in s),
             zc,
         )
+
+
+def test_avi_mjpeg_codec_roundtrip_and_negative_space():
+    """The independent AVI reader recovers exactly the frames the
+    writer embedded (each through the independent JPEG decoder), and
+    returns None (never raises) on malformed containers: wrong magic,
+    truncation, frame-count mismatch, corrupt frame bytes."""
+    import struct
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        JPEG16_SIDE,
+        decode_avi_mjpeg,
+        decode_jpeg_gray,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        video_frame_block_values,
+        video_frame_count,
+    )
+
+    def raster(vals):
+        return [
+            vals[(y // 8) * 2 + (x // 8)]
+            for y in range(JPEG16_SIDE)
+            for x in range(JPEG16_SIDE)
+        ]
+
+    for doc in (0, 5, 123, 999):
+        nf = video_frame_count(doc)
+        frames = [
+            encode_jpeg_gray(
+                raster(video_frame_block_values(doc, f)),
+                JPEG16_SIDE,
+                JPEG16_SIDE,
+            )
+            for f in range(nf)
+        ]
+        blob = encode_avi_mjpeg(frames, JPEG16_SIDE, JPEG16_SIDE)
+        dec = decode_avi_mjpeg(blob)
+        assert dec is not None
+        w, h, fpx = dec
+        assert (w, h) == (JPEG16_SIDE, JPEG16_SIDE) and len(fpx) == nf
+        for f in range(nf):
+            assert fpx[f] == decode_jpeg_gray(frames[f])[2]
+
+    assert decode_avi_mjpeg(None) is None
+    assert decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVEdata") is None
+    assert decode_avi_mjpeg(blob[: len(blob) // 2]) is None
+    at = blob.index(b"00dc")
+    mut = bytearray(blob)
+    mut[at + 30] ^= 0xFF  # corrupt inside the first frame's JFIF
+    assert decode_avi_mjpeg(bytes(mut)) is None
+    # claim one more frame than the movi list carries
+    mut = bytearray(blob)
+    avih_at = blob.index(b"avih") + 8
+    (claimed,) = struct.unpack("<I", blob[avih_at + 16 : avih_at + 20])
+    mut[avih_at + 16 : avih_at + 20] = struct.pack("<I", claimed + 1)
+    assert decode_avi_mjpeg(bytes(mut)) is None
+
+
+def test_video_frame_stats_matches_local_recompute(spark, sf_dir):
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        q_video_frame_stats,
+        video_frame_block_values,
+        video_frame_count,
+    )
+    from tests.test_multimodal import _jpeg_expected_gray
+
+    rows = {
+        (r["media_id"], r["frame_idx"]): (r["brightness"], r["delta_prev"])
+        for r in q_video_frame_stats(spark, sf_dir).collect()
+    }
+    assert rows
+    docs = sorted({m for m, _ in rows})[:25]
+    for d in docs:
+        prev = None
+        for f in range(video_frame_count(d)):
+            grays = [
+                _jpeg_expected_gray(v)
+                for v in video_frame_block_values(d, f)
+            ]
+            b = (64 * sum(grays)) // 256
+            delta = -1 if prev is None else abs(b - prev)
+            assert rows[(d, f)] == (b, delta), (d, f)
+            prev = b
