@@ -1971,8 +1971,13 @@ def decode_avi_mjpeg(blob: bytes):
         w = h = n_frames = None
         frames: list = []
 
-        def walk(at: int, end: int) -> bool:
+        def walk(at: int, end: int, depth: int = 0) -> bool:
             nonlocal w, h, n_frames
+            if depth > 16:
+                # real AVIs nest LISTs ≤4 deep; a crafted blob with
+                # thousands of nested LISTs would otherwise raise
+                # RecursionError PAST the except clause below
+                return False
             while at + 8 <= end:
                 cid = blob[at : at + 4]
                 (ln,) = struct.unpack("<I", blob[at + 4 : at + 8])
@@ -1980,7 +1985,7 @@ def decode_avi_mjpeg(blob: bytes):
                 if body_at + ln > end:
                     return False
                 if cid == b"LIST":
-                    if not walk(body_at + 4, body_at + ln):
+                    if not walk(body_at + 4, body_at + ln, depth + 1):
                         return False
                 elif cid == b"avih":
                     if ln < 56:
@@ -1991,6 +1996,12 @@ def decode_avi_mjpeg(blob: bytes):
                     px = decode_jpeg_gray(blob[body_at : body_at + ln])
                     if px is None:
                         return False
+                    if w is not None and (px[0], px[1]) != (w, h):
+                        # frame dims must match the stream header —
+                        # without this a corrupted avih/SOF yields
+                        # frames whose len(px) != w·h (caught by the
+                        # r08 fuzz property)
+                        return False
                     frames.append(px[2])
                 at = body_at + ln + (ln & 1)
             return True
@@ -1999,6 +2010,8 @@ def decode_avi_mjpeg(blob: bytes):
             return None
         if w is None or n_frames is None or len(frames) != n_frames:
             return None
+        if any(len(px) != w * h for px in frames):
+            return None  # frames decoded before a (corrupt) late avih
         return w, h, frames
     except (struct.error, IndexError, ValueError):
         return None

@@ -307,3 +307,50 @@ def test_jpeg_roundtrip_any_raster_and_fuzzed_decode(raster, seed):
         w, h, px2 = res
         assert len(px2) == w * h
         assert all(0 <= v <= 255 for v in px2)
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_media_container_fuzz_totality(seed, nmut):
+    """Byte-fuzz totality for the WAV and AVI readers: flipping bits
+    anywhere in a valid container NEVER raises — the reader returns
+    None or a well-formed result. Also: a crafted deeply-nested LIST
+    bomb returns None instead of blowing the recursion limit."""
+    import random as _random
+    import struct as _struct
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        JPEG16_SIDE,
+        decode_avi_mjpeg,
+        decode_wav_pcm16,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        encode_wav_pcm16,
+    )
+
+    rng = _random.Random(seed)
+    wav = encode_wav_pcm16([rng.randrange(-1000, 1001) for _ in range(200)])
+    frame = encode_jpeg_gray([128] * 256, JPEG16_SIDE, JPEG16_SIDE)
+    avi = encode_avi_mjpeg([frame, frame], JPEG16_SIDE, JPEG16_SIDE)
+
+    for blob, dec in ((wav, decode_wav_pcm16), (avi, decode_avi_mjpeg)):
+        mut = bytearray(blob)
+        for _ in range(nmut):
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        res = dec(bytes(mut))
+        if res is not None and dec is decode_wav_pcm16:
+            rate, samples = res
+            assert isinstance(rate, int) and isinstance(samples, list)
+        elif res is not None:
+            w, h, frames = res
+            assert all(len(px) == w * h for px in frames)
+
+    # LIST bomb: 2000 nested LIST headers
+    bomb_body = b"AVI "
+    for _ in range(2000):
+        bomb_body += b"LIST" + _struct.pack("<I", 0xFFFF) + b"hdrl"
+    bomb = b"RIFF" + _struct.pack("<I", len(bomb_body)) + bomb_body
+    assert decode_avi_mjpeg(bomb) is None
