@@ -303,3 +303,29 @@ def test_media_pipeline_no_keeplist_broadcast(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "hashpartitioning(ahash" in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_media_sample_paths_plan_shapes(spark, sf_dir):
+    """audio_features / video_frame_stats keep the multimodal plan
+    discipline: no broadcast joins, exactly one exchange carrying
+    8-byte ids ahead of the Python codec (file-layout partitioning is
+    not CPU-count partitioning) — plus, for video, the bounded
+    per-clip lag window's hash exchange on media_id."""
+    import re
+
+    from cs422pp_mapreduce_spark.operators.multimodal import (
+        q_audio_features,
+        q_video_frame_stats,
+    )
+
+    plan = explain_str(q_audio_features(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(doc_id" in plan
+
+    plan = explain_str(q_video_frame_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(media_id" in plan

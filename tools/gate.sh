@@ -16,12 +16,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 
-echo "== 1/4 pytest ==" >&2
+echo "== 0/5 rotation staleness (prefix must refresh >=25 oldest rows) ==" >&2
+python tools/staleness.py --check 25
+echo "== 1/5 pytest ==" >&2
 python -m pytest tests/ -x -q
-echo "== 2/4 plan audit ==" >&2
+echo "== 2/5 plan audit ==" >&2
 python tools/audit_plans.py "$SF"
-echo "== 3/4 dtype sweep ==" >&2
+echo "== 3/5 dtype sweep ==" >&2
 python tools/sweep_dtypes.py "$SF"
-echo "== 4/4 oracle gate ($SF) ==" >&2
+echo "== 4/5 oracle gate ($SF) ==" >&2
 python tools/check_oracles.py "$SF"
 echo "GATE GREEN ($SF)" >&2
