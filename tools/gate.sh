@@ -5,6 +5,7 @@
 #   tools/gate.sh [sf_dir]          # default /root/testdata/sf0.01
 #
 # Stages:
+#   0. staleness         rotation-prefix freshness floor
 #   1. pytest            unit/plan/property/streaming suite
 #   2. audit_plans       scale anti-patterns over every query plan
 #   3. sweep_dtypes      driver-hash dtype/collection lint
