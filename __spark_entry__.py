@@ -181,6 +181,11 @@ _QUERIES: dict[str, QueryFn] = {
     # the r08 WAV (container) and JPEG (frame) codecs into the video
     # family's sample path (inter-frame codecs stay env-gated)
     "video_frame_stats": MM.q_video_frame_stats,
+    # CHANGED: the shared Bloom/CMS seeded-hash convention flipped
+    # xxhash64 → md5-prefix (SQL-replayable), moving both DataFrame-
+    # native sketches from rows-only into the hash gate
+    "cms_topgrams": TX.q_cms_topgrams,
+    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
     # --- 3. newest driver row was r04 ---
     "funnel": EV.q_funnel,
     "inverted_index": TX.q_inverted_index,
@@ -235,7 +240,6 @@ _QUERIES: dict[str, QueryFn] = {
     "phrase_search": TX.q_phrase_search,
     "pit_join": MT.q_pit_join,
     "event_transitions": EV.q_event_transitions,
-    "cms_topgrams": TX.q_cms_topgrams,
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "stream_profile": q_stream_profile,
@@ -256,7 +260,6 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_event_recovery": q_stream_event_recovery,
     "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
     "events_partitioned": EV.q_events_partitioned,
-    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
     "range_join": AJ.q_range_join,
     "tpch_q6": TQ.q_tpch_q6,
     "tpch_q5": TQ.q_tpch_q5,

@@ -1284,15 +1284,28 @@ BLOOM_K = 5
 def seeded_hash_positions(
     col, m: int = BLOOM_M_BITS, k: int = BLOOM_K, prefix: str = "pos"
 ):
-    """k seeded positions in [0, m): pmod(xxhash64(value, i), m).
-    xxhash64 over (value, literal-seed) is the standard seeded-hash
-    idiom — each extra literal column re-keys the hash. SHARED by the
-    Bloom-filter novelty index (bit positions, defaults) and the
-    Count-Min sketch (textops.cms_topgram_frames: cell columns) — one
-    definition so the two sketches can never hash differently."""
+    """k seeded positions in [0, m): md5("value:i") → first 15 hex
+    chars → int60 → mod m. SHARED by the Bloom-filter novelty index
+    (bit positions, defaults) and the Count-Min sketch
+    (textops.cms_topgram_frames: cell columns) — one definition so the
+    two sketches can never hash differently. r08 CONVENTION FLIP: was
+    xxhash64(value, seed), which is engine-private; the md5-prefix
+    form (the dedup_minhash r07 convention) replays bit-for-bit in
+    DuckDB, which is what moves ngram_novelty_bloom and cms_topgrams
+    from rows-only into the driver hash gate — uniformity is equally
+    good and the one-sided-error pytest pins are hash-agnostic."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).alias(f"{prefix}{i}")
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(col, F.lit(f":{i}"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            ).alias(f"{prefix}{i}")
             for i in range(k)
         ]
     )
@@ -1312,7 +1325,7 @@ def q_ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark 4's ``bloom_filter_agg`` expression isn't SQL-registered, so
     the filter is built from first principles in pure JVM expressions
-    (no UDF anywhere): each corpus shingle sets BLOOM_K seeded-xxhash64
+    (no UDF anywhere): each corpus shingle sets BLOOM_K seeded-md5
     bit positions; positions fold into 64-bit words via one
     ``bit_or(shiftleft(1, pos % 64))`` aggregate keyed on pos/64 (≤ m/64
     = 65 536 rows — a true fixed-size sketch, then broadcast); an
@@ -1323,8 +1336,10 @@ def q_ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided error and the ~1% FP bound are pinned in
     tests/test_dedup_similarity.py against q_ngram_novelty.
 
-    Approximate ⇒ rows-only driver check (like ann_lsh); the exact
-    formulation remains the hash-verified row. At 100 TB the bitmap is
+    HASH-VERIFIED since r08 (was rows-only): the md5-prefix position
+    convention replays in SQL, so the oracle rebuilds the bitmap's
+    position set and every probe decision bit-for-bit — approximate
+    w.r.t. the exact twin, fully deterministic. At 100 TB the bitmap is
     the persisted novelty index — rebuilding it is one linear pass, and
     probing is a broadcast join no matter how large the corpus grows."""
     docs = load_table(spark, sf_dir, "documents")

@@ -1001,10 +1001,10 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Width/depth: w = 8192 counters x d = 4 rows = 32k cells (256 KB of
 # longs) regardless of vocabulary size. Estimate error is one-sided
 # (over-count only), bounded by e/w x total-instances with prob
-# 1 - e^-d per Cormode & Muthukrishnan 2005.
-CMS_W = 1 << 13
-CMS_D = 4
-CMS_TOPK = 20
+# 1 - e^-d per Cormode & Muthukrishnan 2005. Constants live in
+# oracles.py (shared with the SQL twin; circular-import convention —
+# see the BM25 import above).
+from ..oracles import CMS_D, CMS_TOPK, CMS_W  # noqa: E402
 
 
 def _cms_positions(col: Column, w: int = CMS_W, d: int = CMS_D) -> Column:
@@ -1085,8 +1085,13 @@ def q_cms_topgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     true top grams can never be displaced downward by sketch error;
     the bound is pinned in tests with a deliberately shrunken w.
 
-    Approximate ⇒ rows-only driver check; tests pin est ≥ exact and
-    the e/w error bound (tests/test_round5_wave6.py)."""
+    HASH-VERIFIED since r08: the seeded-hash convention moved from
+    engine-private xxhash64 to the md5-prefix form, so the DuckDB
+    oracle replays every cell increment, every min-probe, and the
+    deterministic (est desc, gram) top-K tie-break bit-for-bit —
+    "approximate" means approximate w.r.t. exact counts, not
+    non-deterministic. Tests additionally pin est ≥ exact and the e/w
+    error bound (tests/test_round5_wave6.py)."""
     _cells, est = cms_topgram_frames(spark, sf_dir)
     return (
         est.select("gram", "est")

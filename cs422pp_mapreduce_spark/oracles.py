@@ -2470,6 +2470,15 @@ ORACLES["corpus_to_sequences"] = _CORPUS_FRONT + """
 # import these, so the two engines can never diverge on the parameters.
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+# Count-Min sketch shape, shared with operators.textops (defined HERE
+# per the repo convention: shared constants live in oracles.py BEFORE
+# the first oracle builder that imports an operator module back —
+# textops imports oracles mid-module for BM25, so an oracle builder
+# importing textops for these would hit the circular-import trap).
+CMS_W = 1 << 13
+CMS_D = 4
+CMS_TOPK = 20
 BM25_TERMS = ("data", "join", "scan")
 BM25_TOPK = 50
 N_SHARDS = 32
@@ -4486,3 +4495,93 @@ def _video_frame_stats_sql() -> str:
 
 
 ORACLES["video_frame_stats"] = _video_frame_stats_sql()
+
+
+# r08 verification flips: the shared seeded-hash convention moved from
+# engine-private xxhash64 to the md5-prefix form, so both
+# DataFrame-native sketches now replay bit-for-bit in SQL — the same
+# class of flip as r07's portable MinHash. Shingle CTE = the
+# ngram_novelty convention (len<3 fallback, per-doc distinct).
+
+_SHINGLE_CTE = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        )"""
+
+
+def _cms_topgrams_sql() -> str:
+    return (
+        _SHINGLE_CTE
+        + f""", pos AS (
+            SELECT shingle, u.i AS r,
+                   ('0x' || substr(md5(shingle || ':'
+                        || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT
+                       % {CMS_W} AS p
+            FROM inv, UNNEST(generate_series(0, {CMS_D - 1})) AS u(i)
+        ), cells AS (
+            SELECT r, p, COUNT(*) AS cnt FROM pos GROUP BY r, p
+        ), ppos AS (
+            SELECT DISTINCT shingle, r, p FROM pos
+        ), est AS (
+            SELECT pp.shingle AS gram,
+                   CAST(MIN(c.cnt) AS BIGINT) AS est
+            FROM ppos pp JOIN cells c ON c.r = pp.r AND c.p = pp.p
+            GROUP BY pp.shingle
+        )
+        SELECT gram, est FROM est
+        ORDER BY est DESC, gram LIMIT {CMS_TOPK}
+    """
+    )
+
+
+ORACLES["cms_topgrams"] = _cms_topgrams_sql()
+
+
+def _ngram_novelty_bloom_sql() -> str:
+    from .operators.dedup import BLOOM_K, BLOOM_M_BITS
+
+    return (
+        _SHINGLE_CTE
+        + f""", corpus AS (
+            SELECT DISTINCT shingle FROM inv WHERE doc_id % 5 <> 0
+        ), cpos AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(shingle || ':'
+                        || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT
+                       % {BLOOM_M_BITS} AS p
+            FROM corpus, UNNEST(generate_series(0, {BLOOM_K - 1})) AS u(i)
+        ), inc AS (
+            SELECT doc_id, shingle FROM inv WHERE doc_id % 5 = 0
+        ), ipos AS (
+            SELECT doc_id, shingle,
+                   ('0x' || substr(md5(shingle || ':'
+                        || CAST(u.i AS VARCHAR)), 1, 15))::BIGINT
+                       % {BLOOM_M_BITS} AS p
+            FROM inc, UNNEST(generate_series(0, {BLOOM_K - 1})) AS u(i)
+        ), seen AS (
+            SELECT i.doc_id, i.shingle,
+                   MIN(CASE WHEN c.p IS NULL THEN 0 ELSE 1 END) AS hit
+            FROM ipos i LEFT JOIN cpos c ON c.p = i.p
+            GROUP BY i.doc_id, i.shingle
+        )
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(1 - hit) AS BIGINT) AS n_novel,
+               round(CAST(SUM(1 - hit) AS DOUBLE) / COUNT(*), 4) + 0.0
+                   AS novelty
+        FROM seen GROUP BY doc_id
+    """
+    )
+
+
+ORACLES["ngram_novelty_bloom"] = _ngram_novelty_bloom_sql()
