@@ -71,35 +71,30 @@ _QUERIES: dict[str, QueryFn] = {
 
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-8 order, per VERDICT r07 ask #1 ("lead the r08
-    # prefix with all 25 r03-stale queries, cap new registrations so
-    # >=30 of the 50 slots refresh oldest-banked rows"):
-    # 1. slots 1-25: the 25 queries whose newest driver row is r03
-    #    (four rounds old — the staleness floor), in their prior
-    #    relative order. The full local driver-exact gate
-    #    (tools/check_oracles.py) replays them green on this HEAD,
-    #    but the driver's hash row is the only EXTERNAL correctness
-    #    signal and shared-helper churn (tpch_*, seq_pack,
-    #    decontaminate paths) makes a 4-round-old row the weakest
-    #    link in the gate.
-    # 2. the r08 NEW/CHANGED block (CAPPED — new-query registration
-    #    is limited so stale-refresh keeps >=30 of the ~50 slots):
-    #    CHANGED media_pipeline (keep-list broadcast → single
-    #    window-over-ahash dedup, the r07 verdict's scale-killer
-    #    fix), seq_length_histogram (tokenization now token_count_ws
-    #    \s+ semantics matching its oracle — ADVICE r07), pca_power
-    #    (oracle zero-guard + decimal covariance accumulator —
-    #    ADVICE r07); NEW: see the block's inline notes.
-    # 3. the r04-banked block (47 queries, prior relative order) —
-    #    whatever the budget still covers refreshes oldest-first.
-    #    With 25 + 8 prefix slots used, ~17 of these get r08 rows;
-    #    the ~30 that don't are the r09 rotation's lead block (then
-    #    the r05 block) — keep new-query registration ≤ ~10/round so
-    #    the tail keeps draining.
-    # 4. then the r05-banked, r06-banked, and r07-fresh blocks.
+    # round). Round-9 order, per VERDICT r08 ask #1 ("lead the prefix
+    # with all 34 r04-stale rows, cap new registrations <=10"):
+    # 1. slots 1-34: the 34 queries whose newest driver row is r04
+    #    (five rounds old — the staleness floor), in their prior
+    #    relative order: the flagship-adjacent core (wordcount,
+    #    group_agg, hash_join, window_rank, event_tumbling/session,
+    #    string/date_funcs) plus the r04-banked streaming/dedup/
+    #    corpus rows. tools/check_oracles.py replays them green on
+    #    this HEAD, but the driver hash row is the only EXTERNAL
+    #    correctness signal.
+    # 2. the r09 NEW/CHANGED block (CAPPED <=10): CHANGED
+    #    kll_quantiles / approx_agg / rolling_hll / hll_distinct —
+    #    each now ships a hash-verifiable bound contract alongside
+    #    the estimate (the hll_bound pattern, VERDICT r08 ask #2);
+    #    NEW bpe_vocab — the learned BPE merge table as a
+    #    driver-verifiable row (VERDICT r08 ask #3).
+    # 3. the r05-banked block (41 queries, prior relative order) —
+    #    with 34 + 5 prefix slots used, ~11 of these get r09 rows;
+    #    the rest are the r10 rotation's lead block. Keep new-query
+    #    registration <=10/round so the tail keeps draining.
+    # 4. then the r06-banked, r07-fresh, and r08-fresh blocks.
     # Every ordering decision is validated locally by
     # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
-    # full-surface green at sf0.01.
+    # full-surface green at sf0.01, and tools/staleness.py --check 25.
     # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
     # one bounded 1-row Spark job at plan-BUILD time (query-vector
     # fetch that plans its literal bucket predicate), q_bucketed_join
@@ -114,92 +109,8 @@ _QUERIES: dict[str, QueryFn] = {
     # builds without executing anything (streaming contract queries,
     # order_stat, and bloom_semi_join are intercepted by the lazy plan
     # twins in plans/analysis.py for the analysis tools).
-    # --- 1. newest driver row was r03 (staleness-floor refresh:
-    # these 25 lead the prefix, VERDICT r07 ask #1) ---
-    "unigram_logprob": TX.q_unigram_logprob,
-    "source_dup_stats": D.q_source_dup_stats,
-    "bigram_freq": TX.q_bigram_freq,
-    "seq_pack": TX.q_seq_pack,
-    "dedup_fingerprint": D.q_dedup_fingerprint,
-    "decontaminate": D.q_decontaminate,
-    "dedup_windowed": D.q_dedup_windowed,
-    "dedup_simhash": D.q_dedup_simhash,
-    "embedding_neardup_exact": S.q_embedding_neardup_exact,
-    "tpch_q1": TQ.q_tpch_q1,
-    "tpch_q8": TQ.q_tpch_q8,
-    "tpch_q14": TQ.q_tpch_q14,
-    "tpch_q18": TQ.q_tpch_q18,
-    "tpch_q7": TQ.q_tpch_q7,
-    "tpch_q13": TQ.q_tpch_q13,
-    "tpch_q15": TQ.q_tpch_q15,
-    "tpch_q17": TQ.q_tpch_q17,
-    "tpch_q19": TQ.q_tpch_q19,
-    "tpch_q22": TQ.q_tpch_q22,
-    "exact_distinct_agg": R.q_exact_distinct_agg,
-    "token_count_bpe": TK.q_token_count_bpe,
-    "dedup_substring": D.q_dedup_substring,
-    "audio_meta": MM.q_audio_meta,
-    "seq_pack_bpe": TK.q_seq_pack_bpe,
-    "tpch_q4": TQ.q_tpch_q4,
-    # --- 2. r08 NEW/CHANGED (capped so stale-refresh keeps >=30 of
-    # the ~50 driven slots): media_pipeline (CHANGED — the O(corpus)
-    # keep-list broadcast replaced by ONE window over ahash:
-    # row_number + count, WindowGroupLimit, no driver-sized
-    # structure), seq_length_histogram (CHANGED — \s+ token_count_ws
-    # tokenization matching its oracle, ADVICE r07),
-    # pca_power (CHANGED — decimal covariance accumulator + oracle
-    # zero guard, ADVICE r07) ---
-    "media_pipeline": MM.q_media_pipeline,
-    "seq_length_histogram": TX.q_seq_length_histogram,
-    "pca_power": S.q_pca_power,
-    # NEW: real JPEG pixel decode (baseline JFIF: float DCT + Huffman
-    # encode, independent Huffman + fixed-point-IDCT decode; oracle
-    # replays the lossy quantization round-trip in closed form) —
-    # closes the r07 verdict's "JPEG-first corpora" multimodal gap
-    "image_jpeg_ahash": MM.q_image_jpeg_ahash,
-    # NEW: streaming twins for the r07 sequential-stats ops — twap and
-    # cusum_drift run through applyInPandasWithState across staged
-    # micro-batches with exact-integer state, against the SAME batch
-    # oracles (the stream_ewma convention; r07 verdict ask #5)
-    "stream_twap": q_stream_twap,
-    "stream_cusum": q_stream_cusum,
-    # NEW: hash-verified HLL error-bound contract — the first sketch
-    # row inside the hash gate (estimate stays in-engine; the exact
-    # side + within_bound boolean replay in SQL; r07 verdict ask #8)
-    "hll_bound": R.q_hll_bound,
-    # NEW: derandomized DOULION triangle estimate — the approximation
-    # path for the O(m^1.5) exact count (the r07 curve's worst honest
-    # tail); md5-mod-4 edge sparsifier keeps it hash-verifiable
-    "triangle_count_sampled": GR.q_triangle_count_sampled,
-    # NEW: real WAV PCM sample path — RIFF writer + independent
-    # chunk-walk reader over planted integer sawtooths, exact feature
-    # math (peak/energy/zero-crossings) JVM-side; the audio analog of
-    # the PNG/JPEG pixel paths (PCM needs no external libs)
-    "audio_features": MM.q_audio_features,
-    # NEW: real MJPEG-AVI video sample path — RIFF container walk +
-    # per-frame independent JPEG decode + scene-cut deltas; composes
-    # the r08 WAV (container) and JPEG (frame) codecs into the video
-    # family's sample path (inter-frame codecs stay env-gated)
-    "video_frame_stats": MM.q_video_frame_stats,
-    # CHANGED: the shared Bloom/CMS seeded-hash convention flipped
-    # xxhash64 → md5-prefix (SQL-replayable), moving both DataFrame-
-    # native sketches from rows-only into the hash gate
-    "cms_topgrams": TX.q_cms_topgrams,
-    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
-    # --- 3. newest driver row was r04 ---
-    "funnel": EV.q_funnel,
-    "inverted_index": TX.q_inverted_index,
-    "map_funcs": R.q_map_funcs,
-    "tpch_q12": TQ.q_tpch_q12,
-    "curation_report": CP.q_curation_report,
-    "doc_winnow": TX.q_doc_winnow,
-    "video_meta": MM.q_video_meta,
-    "tpch_q11": TQ.q_tpch_q11,
-    "tpch_q16": TQ.q_tpch_q16,
-    "tpch_q21": TQ.q_tpch_q21,
-    "tpch_q2": TQ.q_tpch_q2,
-    "tpch_q9": TQ.q_tpch_q9,
-    "tpch_q20": TQ.q_tpch_q20,
+    # --- 1. newest driver row is r04 (staleness-floor refresh:
+    # these 34 lead the prefix, VERDICT r08 ask #1) ---
     "stream_event_tumbling": q_stream_event_tumbling,
     "stream_event_session": q_stream_event_session,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
@@ -234,7 +145,22 @@ _QUERIES: dict[str, QueryFn] = {
     "unpivot": R.q_unpivot,
     "event_tumbling": EV.q_event_tumbling,
     "event_session": EV.q_event_session,
-    # --- 4. newest driver row was r05 ---
+    # --- 2. r09 NEW/CHANGED (capped <=10) ---
+    # CHANGED: the four remaining sketch queries now ship the
+    # hash-verified bound contract alongside the estimate (the
+    # hll_bound pattern, relational.py q_hll_bound; VERDICT r08
+    # ask #2): exact value replayed in SQL + within_bound boolean.
+    "kll_quantiles": R.q_kll_quantiles,
+    "approx_agg": R.q_approx_agg,
+    "rolling_hll": EV.q_rolling_hll,
+    "hll_distinct": R.q_hll_distinct,
+    # NEW: the learned BPE merge table as a driver row — (rank, left,
+    # right, merged) from the deterministic greedy trainer; the DuckDB
+    # oracle replays the merge loop over the word-count table
+    # (VERDICT r08 ask #3, converts the learned artifact to
+    # hash-verified)
+    "bpe_vocab": TK.q_bpe_vocab,
+    # --- 3. newest driver row was r05 ---
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
     "phrase_search": TX.q_phrase_search,
@@ -246,7 +172,6 @@ _QUERIES: dict[str, QueryFn] = {
     "skew_join": R.q_skew_join,
     "embedding_quantize": S.q_embedding_quantize,
     "compaction_plan": MT.q_compaction_plan,
-    "hll_distinct": R.q_hll_distinct,
     "stream_wordcount": q_stream_wordcount,
     "bucketed_join": MT.q_bucketed_join,
     "stream_enrich": q_stream_enrich,
@@ -272,13 +197,12 @@ _QUERIES: dict[str, QueryFn] = {
     "window_misc": R.q_window_misc,
     "cube_agg": R.q_cube_agg,
     "stats_agg": R.q_stats_agg,
-    "approx_agg": R.q_approx_agg,
     "collect_agg": R.q_collect_agg,
     "having": R.q_having,
     "multi_join_agg": R.q_multi_join_agg,
     "outer_join": R.q_outer_join,
     "cross_join": R.q_cross_join,
-    # --- 5. newest driver row was r06 ---
+    # --- 4. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,
     "source_overlap": TX.q_source_overlap,
@@ -289,10 +213,8 @@ _QUERIES: dict[str, QueryFn] = {
     "order_stat": R.q_order_stat,
     "resample_ohlc": EV.q_resample_ohlc,
     "pps_sample": TX.q_pps_sample,
-    "rolling_hll": EV.q_rolling_hll,
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
-    "kll_quantiles": R.q_kll_quantiles,
     "stream_foreach_upsert": q_stream_foreach_upsert,
     "zorder_stats": MT.q_zorder_stats,
     "dedup_keep": D.q_dedup_keep,
@@ -323,8 +245,7 @@ _QUERIES: dict[str, QueryFn] = {
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
     "fuzzy_name_match": D.q_fuzzy_name_match,
-    # --- 6. r07-fresh block (newest rows — last in line; wave notes
-    # in the r07 git history) ---
+    # --- 5. newest driver row was r07 ---
     "sssp": GR.q_sssp,
     "ewma_smooth": EV.q_ewma_smooth,
     "stream_ewma": q_stream_ewma,
@@ -372,6 +293,58 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
     "mixture_rebalance": TX.q_mixture_rebalance,
+    # --- 6. r08-fresh block (newest rows — last in line; wave notes
+    # in the r08 git history) ---
+    "unigram_logprob": TX.q_unigram_logprob,
+    "source_dup_stats": D.q_source_dup_stats,
+    "bigram_freq": TX.q_bigram_freq,
+    "seq_pack": TX.q_seq_pack,
+    "dedup_fingerprint": D.q_dedup_fingerprint,
+    "decontaminate": D.q_decontaminate,
+    "dedup_windowed": D.q_dedup_windowed,
+    "dedup_simhash": D.q_dedup_simhash,
+    "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "tpch_q1": TQ.q_tpch_q1,
+    "tpch_q8": TQ.q_tpch_q8,
+    "tpch_q14": TQ.q_tpch_q14,
+    "tpch_q18": TQ.q_tpch_q18,
+    "tpch_q7": TQ.q_tpch_q7,
+    "tpch_q13": TQ.q_tpch_q13,
+    "tpch_q15": TQ.q_tpch_q15,
+    "tpch_q17": TQ.q_tpch_q17,
+    "tpch_q19": TQ.q_tpch_q19,
+    "tpch_q22": TQ.q_tpch_q22,
+    "exact_distinct_agg": R.q_exact_distinct_agg,
+    "token_count_bpe": TK.q_token_count_bpe,
+    "dedup_substring": D.q_dedup_substring,
+    "audio_meta": MM.q_audio_meta,
+    "seq_pack_bpe": TK.q_seq_pack_bpe,
+    "tpch_q4": TQ.q_tpch_q4,
+    "media_pipeline": MM.q_media_pipeline,
+    "seq_length_histogram": TX.q_seq_length_histogram,
+    "pca_power": S.q_pca_power,
+    "image_jpeg_ahash": MM.q_image_jpeg_ahash,
+    "stream_twap": q_stream_twap,
+    "stream_cusum": q_stream_cusum,
+    "hll_bound": R.q_hll_bound,
+    "triangle_count_sampled": GR.q_triangle_count_sampled,
+    "audio_features": MM.q_audio_features,
+    "video_frame_stats": MM.q_video_frame_stats,
+    "cms_topgrams": TX.q_cms_topgrams,
+    "ngram_novelty_bloom": D.q_ngram_novelty_bloom,
+    "funnel": EV.q_funnel,
+    "inverted_index": TX.q_inverted_index,
+    "map_funcs": R.q_map_funcs,
+    "tpch_q12": TQ.q_tpch_q12,
+    "curation_report": CP.q_curation_report,
+    "doc_winnow": TX.q_doc_winnow,
+    "video_meta": MM.q_video_meta,
+    "tpch_q11": TQ.q_tpch_q11,
+    "tpch_q16": TQ.q_tpch_q16,
+    "tpch_q21": TQ.q_tpch_q21,
+    "tpch_q2": TQ.q_tpch_q2,
+    "tpch_q9": TQ.q_tpch_q9,
+    "tpch_q20": TQ.q_tpch_q20,
 }
 
 

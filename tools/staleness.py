@@ -11,6 +11,16 @@ the by-hand arithmetic that let a 25-query tail go four rounds stale:
   python tools/staleness.py --check 30   # exit 1 if <30 of the first
                                          # 50 slots refresh rows from
                                          # the two oldest banked rounds
+  python tools/staleness.py --target 9 --check 25
+                                         # evaluate the rotation AS
+                                         # PLANNED FOR round 9: only
+                                         # artifacts r<9 define the
+                                         # stale set (ADVICE r08 —
+                                         # without this, the current
+                                         # round's artifact landing
+                                         # shifts the oldest-two
+                                         # window and flips the gate
+                                         # after the fact)
 
 Reads every CORRECTNESS_r*.json in the repo root; a query's "newest
 driver row" is the highest round whose artifact contains it. Queries
@@ -30,13 +40,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def newest_rows() -> dict[str, int]:
+def newest_rows(target: int | None = None) -> dict[str, int]:
+    """Newest driver round per query. With ``target=N``, only
+    artifacts from rounds < N count — "the ledger as it stood when
+    the round-N rotation was planned" (ADVICE r08: otherwise the
+    current round's artifact landing mid-round shifts the oldest-two
+    window under the gate)."""
     newest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if target is not None and rnd >= target:
+            continue
         try:
             data = json.load(open(path))
         except Exception:
@@ -50,7 +67,10 @@ def main() -> int:
     import __spark_entry__ as E
 
     order = list(E._QUERIES)
-    newest = newest_rows()
+    target = None
+    if "--target" in sys.argv:
+        target = int(sys.argv[sys.argv.index("--target") + 1])
+    newest = newest_rows(target)
     rounds = sorted({r for r in newest.values()})
     hist: dict[int, list[str]] = {}
     never: list[str] = []
