@@ -1490,6 +1490,14 @@ def decode_jpeg_gray(blob: bytes):
 
         br = _BitReader(blob, scan_at)
         bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+        # Crafted-container guard (ADVICE r08): SOF0 carries untrusted
+        # 16-bit dims (up to 65535×65535 ≈ 4.3e9 pixels — tens of GB)
+        # and this allocates BEFORE any scan data is read. Bound the
+        # raster, and require the scan to be long enough to plausibly
+        # encode the MCU count (each 8×8 block costs ≥2 bits: one DC
+        # code + EOB), so a tiny blob can't declare a huge frame.
+        if w * h > 1 << 24 or bx_n * by_n > (len(blob) - scan_at) * 4:
+            return None
         out = [0] * (w * h)
         prev_dc = 0
         for by in range(by_n):
@@ -1532,7 +1540,10 @@ def decode_jpeg_gray(blob: bytes):
                     for x in range(min(8, w - bx * 8)):
                         out[py * w + bx * 8 + x] = int(row[x])
         return w, h, out
-    except (ValueError, struct.error, IndexError):
+    # MemoryError backstop: the dims guard above bounds allocations,
+    # but return-None-on-malformation is the documented contract and
+    # an allocator failure must not kill the executor (ADVICE r08).
+    except (ValueError, struct.error, IndexError, MemoryError):
         return None
 
 

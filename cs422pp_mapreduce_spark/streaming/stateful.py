@@ -246,10 +246,15 @@ def _update_ewma(
         n, s = state.get
     else:
         n, s = 0, 0.0
-    for pdf in pdfs:
-        # deterministic in-batch order; across micro-batches the staged
-        # slices are (ts, event_id)-ordered, so the full fold order is
-        # exactly the batch twin's array_sort order
+    # concat the Arrow chunk iterator FIRST, then sort ONCE: per-chunk
+    # sorting is only correct if chunk time-ranges never interleave,
+    # which shuffle-read order does not guarantee when the staged file
+    # scans as >1 partition (ADVICE r08). Per-key-per-batch row counts
+    # are bounded, so the concat is cheap and the fold order becomes
+    # partition-count-independent — exactly the batch twin's
+    # array_sort order.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in [pd.concat(chunks)] if chunks else []:
         pdf = pdf.sort_values(["ts", "event_id"])
         for x in pdf["value"].tolist():
             x = float(x)
@@ -364,9 +369,11 @@ def _update_twap(
         area = int(area_str)
     else:
         n, t_first, t_prev, v_prev, area = 0, 0, 0, 0, 0
-    for pdf in pdfs:
-        # staged slices are (ts, event_id)-ordered ntiles, so sorting
-        # in-batch gives the exact global holding-interval sequence
+    # concat-then-sort-once (ADVICE r08; see _update_ewma): per-chunk
+    # sorting diverges if one key's batch rows span interleaving
+    # Arrow chunks
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in [pd.concat(chunks)] if chunks else []:
         pdf = pdf.sort_values(["t_us", "event_id"])
         for t, v in zip(pdf["t_us"].tolist(), pdf["vi"].tolist()):
             t, v = int(t), int(v)
@@ -513,7 +520,9 @@ def _update_cusum(
     else:
         n_seen, p, mprev, cmax = 0, 0, None, None
     n_total = 0
-    for pdf in pdfs:
+    # concat-then-sort-once (ADVICE r08; see _update_ewma)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in [pd.concat(chunks)] if chunks else []:
         pdf = pdf.sort_values(["ts", "event_id"])
         n_col = pdf["n"].tolist()
         if n_col:

@@ -329,6 +329,18 @@ def test_jpeg_decoder_negative_space():
     at = blob.index(b"\xff\xdb")
     dqt[at + 4] = 0x10  # 16-bit quant precision unsupported
     assert decode_jpeg_gray(bytes(dqt)) is None
+    # crafted SOF0 dims (ADVICE r08): a tiny blob declaring a
+    # 65535x65535 frame must return None BEFORE allocating the ~4.3e9
+    # pixel raster — the dims/scan-length guard, not MemoryError
+    huge = bytearray(blob)
+    sof_at = blob.index(b"\xff\xc0")
+    huge[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"  # h=w=65535
+    assert decode_jpeg_gray(bytes(huge)) is None
+    # and a large-but-under-cap frame with a scan far too short for
+    # its MCU count trips the scan-length side of the guard
+    big = bytearray(blob)
+    big[sof_at + 5 : sof_at + 9] = b"\x0f\xff\x0f\xff"  # 4095x4095 < 2^24
+    assert decode_jpeg_gray(bytes(big)) is None
 
 
 def test_jpeg_ahash_query_matches_local_recompute(spark, sf_dir):

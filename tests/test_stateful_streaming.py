@@ -101,3 +101,79 @@ def test_event_time_ttl_expires_idle_keys_under_skew(spark, tmp_path):
     # without expiry the return visit would emit n_events=3
     assert 1 in user1_counts and 2 in user1_counts
     assert 3 not in user1_counts
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the fold kernels."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _split_interleaved(pdf, n=3):
+    """Partition rows round-robin so every chunk's time range overlaps
+    every other's — the shuffle-read interleaving ADVICE r08 warned
+    per-chunk sorting silently diverges on."""
+    return [pdf.iloc[i::n].reset_index(drop=True) for i in range(n)]
+
+
+def test_stateful_folds_chunk_order_independent():
+    """The ewma/twap/cusum state updates must give bit-identical
+    results whether a key's micro-batch arrives as one sorted chunk or
+    as interleaving Arrow chunks (ADVICE r08: concat-then-sort-once)."""
+    import pandas as pd
+
+    from cs422pp_mapreduce_spark.streaming.stateful import (
+        _update_cusum,
+        _update_ewma,
+        _update_twap,
+    )
+
+    rng = list(range(40))
+    ewma_pdf = pd.DataFrame(
+        {
+            "user_id": [7] * 40,
+            "ts": [i // 2 for i in rng],  # duplicate ts → event_id tiebreak
+            "event_id": rng,
+            "value": [((i * 37) % 19) - 9.5 for i in rng],
+        }
+    )
+    twap_pdf = pd.DataFrame(
+        {
+            "user_id": [7] * 40,
+            "t_us": [1_000_000 + 10 * (i // 2) for i in rng],
+            "event_id": rng,
+            "vi": [((i * 53) % 41) - 20 for i in rng],
+        }
+    )
+    n_tot = 40
+    s_tot = sum(((i * 53) % 41) - 20 for i in rng)
+    cusum_pdf = twap_pdf.rename(columns={"t_us": "ts"}).assign(
+        n=n_tot, s=s_tot
+    )
+
+    for fn, pdf in (
+        (_update_ewma, ewma_pdf),
+        (_update_twap, twap_pdf),
+        (_update_cusum, cusum_pdf),
+    ):
+        one = _FakeState()
+        out_one = list(fn((7,), iter([pdf]), one))
+        inter = _FakeState()
+        out_inter = list(fn((7,), iter(_split_interleaved(pdf)), inter))
+        assert one._v == inter._v, fn.__name__
+        pd.testing.assert_frame_equal(
+            pd.concat(out_one), pd.concat(out_inter)
+        )
+        # empty-iterator edge: no chunks must not crash (pd.concat([]))
+        empty = _FakeState()
+        list(fn((7,), iter([]), empty))
