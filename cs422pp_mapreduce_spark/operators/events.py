@@ -166,9 +166,19 @@ def q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is an equi-join on event_type with a bounded day-range
     filter over the O(types × days) SKETCH table (fan-out ≤ 7, never
     touching raw events again); hll_union_agg merges per anchor day.
-    Sketch estimates are engine-specific ⇒ rows-only; the ≤1.5%-ish
-    HLL error vs the exact explode formulation is pinned in
-    tests/test_events_streaming.py with margin."""
+
+    HASH-VERIFIED bound contract since r09 (VERDICT r08 ask #2):
+    sketch estimates are engine-specific (the OLD approx_users_7d
+    shape was rows-only), so the driver row ships the EXACT trailing
+    distinct next to ``within_bound`` = |merged-sketch estimate −
+    exact| ≤ 5% of exact (3σ at lgConfigK=12 ≈ 4.9%; the per-window
+    sets here are small enough that the sketch is usually in exact
+    sparse mode). The exact side reuses q_rolling_active_users'
+    contribution shape — distinct (type, user, day) joined to the
+    anchor days with ≤7 fan-out — and is the verification half: at
+    100 TB production reads the merged sketches alone, the exact
+    explode exists so the DRIVER (not just pytest) proves every
+    windowed union honors the bound."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.to_date("ts").alias("day")
     )
@@ -185,19 +195,32 @@ def q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("day") <= F.col("d"))
         & (F.col("day") >= F.date_sub(F.col("d"), 6)),
     )
-    return (
-        contrib.groupBy("event_type", "d")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_users_7d"
-            ),
-            F.sum("n_events").alias("n_events_7d"),
+    approx = contrib.groupBy("event_type", "d").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_7d"),
+        F.sum("n_events").alias("n_events_7d"),
+    )
+    user_days = ev.distinct()
+    exact = (
+        user_days.join(
+            anchors,
+            (F.col("event_type") == F.col("et"))
+            & (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
         )
+        .groupBy("event_type", "d")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        approx.join(exact, ["event_type", "d"])
         .select(
             "event_type",
             F.col("d").cast("timestamp").alias("day"),
-            "approx_users_7d",
+            "exact_users_7d",
             "n_events_7d",
+            (
+                F.abs(F.col("approx_users_7d") - F.col("exact_users_7d"))
+                <= F.lit(0.05) * F.col("exact_users_7d")
+            ).alias("within_bound"),
         )
     )
 

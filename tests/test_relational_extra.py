@@ -8,14 +8,18 @@ from cs422pp_mapreduce_spark.operators import sqlsurface as SQ
 
 
 def test_approx_agg_error_bounded(spark, sf_dir):
+    """r09 bound-contract shape: the exact side must agree with the
+    exact twin query, and both sketch-contract booleans must hold."""
     exact_by_flag = {
         r["l_returnflag"]: r["exact_parts"]
         for r in R.q_exact_distinct_agg(spark, sf_dir).collect()
     }
-    for r in R.q_approx_agg(spark, sf_dir).collect():
-        exact, approx = exact_by_flag[r["l_returnflag"]], r["approx_parts"]
-        assert abs(approx - exact) <= max(3, 0.1 * exact)
-        assert r["approx_median_price"] > 0
+    rows = R.q_approx_agg(spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact_by_flag)
+    for r in rows:
+        assert r["exact_parts"] == exact_by_flag[r["l_returnflag"]]
+        assert r["distinct_within_bound"] is True
+        assert r["median_within_bound"] is True
 
 
 def test_pivot_counts_sum_to_total(spark, sf_dir):
@@ -36,13 +40,15 @@ def test_grouping_sets_row_accounting(spark, sf_dir):
     assert by_gid[0] == by_gid[1] == by_gid[2]  # each set covers all rows
 
 def test_kll_quantiles_bounds_and_merge_bookkeeping(spark, sf_dir):
-    """KLL sketch contract: (a) per-group n_rows is exact; (b) the
-    __all__ row's n_rows equals the group total (the merged sketch
-    covers exactly the union of rows); (c) every estimated quantile's
-    TRUE rank is within a generous ε=5% of its target rank (KLL k=200
-    guarantees ~1.65% normalized rank error w.h.p.); (d) quantile
-    estimates are actual data values (KLL returns order statistics,
-    not interpolations)."""
+    """KLL sketch contract (r09 bound-contract shape): (a) per-group
+    n_rows is exact; (b) the __all__ row's n_rows equals the group
+    total (the merged sketch covers exactly the union of rows);
+    (c) every per-rank contract boolean holds — i.e. each learned
+    quantile's TRUE rank is within KLL_RANK_EPS of its target (the
+    published k=200 guarantee is ~1.65% w.h.p.; the contract allows
+    2.1×). The quantile VALUES no longer ship (run-specific —
+    compaction is randomized), so the rank check lives inside the
+    query and this test asserts the booleans plus bookkeeping."""
     from cs422pp_mapreduce_spark.operators.relational import (
         KLL_PROBS,
         q_kll_quantiles,
@@ -59,14 +65,12 @@ def test_kll_quantiles_bounds_and_merge_bookkeeping(spark, sf_dir):
         .toPandas()
     )
     assert out["__all__"]["n_rows"] == len(ords)
-    values = {g: sorted(sub["o_totalprice"]) for g, sub in ords.groupby("o_orderpriority")}
-    values["__all__"] = sorted(ords["o_totalprice"])
-    for g, xs in values.items():
-        assert out[g]["n_rows"] == len(xs)
+    sizes = {
+        g: len(sub) for g, sub in ords.groupby("o_orderpriority")
+    }
+    assert sum(sizes.values()) == out["__all__"]["n_rows"]
+    for g, r in out.items():
+        if g != "__all__":
+            assert r["n_rows"] == sizes[g]
         for p in KLL_PROBS:
-            est = out[g][f"p{int(p * 100)}"]
-            assert est in set(xs), "estimate must be a data value"
-            # true normalized rank of the estimate
-            import bisect
-            rank = bisect.bisect_right(xs, est) / len(xs)
-            assert abs(rank - p) <= 0.05, (g, p, est, rank)
+            assert r[f"p{int(p * 100)}_ok"] is True, (g, p)

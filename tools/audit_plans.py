@@ -53,6 +53,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
+    # r09 sketch bound contracts: learned sketch-quantile vectors /
+    # merged-estimate scalars broadcast back for the contract booleans
+    "kll_quantiles": {
+        "BroadcastNestedLoopJoin": "1-row merged-quantile-vector broadcast"
+    },
+    "hll_distinct": {
+        "BroadcastNestedLoopJoin":
+            "1-row merged/fine-estimate + exact-distinct broadcasts"
+    },
     # same 3-way 1-row crossJoin of (nodes, edges, triangles) counts
     # as triangle_count (allowlisted below)
     "triangle_count_sampled": {
