@@ -4657,3 +4657,136 @@ ORACLES["rolling_hll"] = """
            TRUE AS within_bound
     FROM ex JOIN ne ON ex.et = ne.et AND ex.d = ne.d
 """
+
+
+def _bpe_vocab_sql() -> str:
+    """Unrolled DuckDB replay of the batched BPE trainer (VERDICT r08
+    ask #3): the learned merge table is deterministic — greedy batched
+    selection over exact integer pair counts with the classic
+    (count desc, pair desc) tie-break — so the oracle replays
+    operators/tokenize.q_bpe_train pass by pass:
+
+    * per-document pre-tokenization with the same regex, word counts;
+    * per pass: adjacent-pair counts over the vocabulary, the top
+      BPE_PASS_CANDIDATES candidates, a LINEAR-RECURSIVE greedy
+      compatible-batch selection (the used-set walk — one recursion
+      step per candidate rank, the only part of the trainer that is a
+      true sequential fold), and a pure-SQL merge application: matched
+      positions form islands, a merge starts at even offsets within an
+      island (equivalent to the left-to-right fold because a
+      compatible batch shares no symbols, so only an (a,a)-type pair
+      can match consecutively), start positions emit a||b, consumed
+      positions drop;
+    * passes are unrolled in Python (the trainer's while-loop bound:
+      N_TRAIN_MERGES/BPE_BATCH_MERGES = 3 full passes; 6 are emitted
+      so under-filled batches — possible when <BATCH compatible pairs
+      sit in the candidate window — still converge; a pass past the
+      merge budget selects nothing and is a no-op);
+    * every per-pass CTE referenced more than once is MATERIALIZED
+      (DuckDB re-inlines CTEs EXPONENTIALLY otherwise — the r07
+      scale-catch).
+
+    DuckDB's binary string comparison matches Spark's UTF8 ordering,
+    so tie-breaks agree; tests/test_bpe.py pins the same table against
+    the pure-Python replica, making this a three-way lock."""
+    from .functions.bpe import BPE_BATCH_MERGES, BPE_PASS_CANDIDATES, EOW
+    from .operators.tokenize import N_TRAIN_MERGES
+
+    rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    n_merges, batch, cands = N_TRAIN_MERGES, BPE_BATCH_MERGES, BPE_PASS_CANDIDATES
+    passes = 2 * ((n_merges + batch - 1) // batch)
+    parts = [
+        f"""
+    toks AS (
+        SELECT unnest(regexp_extract_all(text, '{rx}', 0)) AS tok
+        FROM documents),
+    words AS MATERIALIZED (
+        SELECT tok, COUNT(*) AS n FROM toks
+        WHERE trim(tok) != '' GROUP BY tok),
+    vocab_0 AS MATERIALIZED (
+        SELECT tok, n,
+               list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym
+        FROM words),
+    merges_0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS mrank, CAST(NULL AS VARCHAR) AS a,
+               CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS cnt
+        WHERE FALSE)"""
+    ]
+    for k in range(1, passes + 1):
+        p = k - 1
+        parts.append(f"""
+    pairs_{k} AS (
+        SELECT v.sym[g.i] AS a, v.sym[g.i + 1] AS b,
+               CAST(SUM(v.n) AS BIGINT) AS cnt
+        FROM vocab_{p} v,
+             UNNEST(generate_series(1, len(v.sym) - 1)) AS g(i)
+        GROUP BY 1, 2),
+    cands_{k} AS MATERIALIZED (
+        SELECT a, b, cnt,
+               CAST(row_number() OVER (
+                   ORDER BY cnt DESC, a DESC, b DESC) AS BIGINT) AS rn
+        FROM pairs_{k} QUALIFY rn <= {cands}),
+    sel_{k}(rn, cap, used, acc) AS (
+        SELECT CAST(0 AS BIGINT),
+               (SELECT LEAST({batch}, {n_merges} - COUNT(*))
+                FROM merges_{p}),
+               []::VARCHAR[], []::STRUCT(a VARCHAR, b VARCHAR, cnt BIGINT)[]
+        UNION ALL
+        SELECT c.rn, s.cap,
+               CASE WHEN len(s.acc) < s.cap
+                     AND NOT list_contains(s.used, c.a)
+                     AND NOT list_contains(s.used, c.b)
+                     AND NOT list_contains(s.used, c.a || c.b)
+                    THEN list_concat(s.used, [c.a, c.b, c.a || c.b])
+                    ELSE s.used END,
+               CASE WHEN len(s.acc) < s.cap
+                     AND NOT list_contains(s.used, c.a)
+                     AND NOT list_contains(s.used, c.b)
+                     AND NOT list_contains(s.used, c.a || c.b)
+                    THEN list_append(
+                        s.acc, {{'a': c.a, 'b': c.b, 'cnt': c.cnt}})
+                    ELSE s.acc END
+        FROM sel_{k} s JOIN cands_{k} c ON c.rn = s.rn + 1),
+    acc_{k} AS MATERIALIZED (
+        SELECT g.i AS idx, (f.acc[g.i]).a AS a, (f.acc[g.i]).b AS b,
+               (f.acc[g.i]).cnt AS cnt
+        FROM (SELECT acc FROM sel_{k} ORDER BY rn DESC LIMIT 1) f,
+             UNNEST(generate_series(1, len(f.acc))) AS g(i)),
+    merges_{k} AS MATERIALIZED (
+        SELECT * FROM merges_{p}
+        UNION ALL
+        SELECT (SELECT COUNT(*) FROM merges_{p}) + idx - 1, a, b, cnt
+        FROM acc_{k}),
+    pos_{k} AS (
+        SELECT v.tok, v.n, g.i AS i, v.sym[g.i] AS s,
+               CASE WHEN g.i < len(v.sym) THEN v.sym[g.i + 1] END AS nxt
+        FROM vocab_{p} v, UNNEST(generate_series(1, len(v.sym))) AS g(i)),
+    mt_{k} AS MATERIALIZED (
+        SELECT p.*,
+               EXISTS (SELECT 1 FROM acc_{k} a
+                       WHERE a.a = p.s AND a.b = p.nxt) AS mt
+        FROM pos_{k} p),
+    starts_{k} AS MATERIALIZED (
+        SELECT tok, i FROM (
+            SELECT tok, i,
+                   i - row_number() OVER (
+                       PARTITION BY tok ORDER BY i) AS grp
+            FROM mt_{k} WHERE mt)
+        QUALIFY (i - MIN(i) OVER (PARTITION BY tok, grp)) % 2 = 0),
+    vocab_{k} AS MATERIALIZED (
+        SELECT p.tok, p.n,
+               list(CASE WHEN st.i IS NOT NULL THEN p.s || p.nxt
+                         ELSE p.s END ORDER BY p.i) AS sym
+        FROM mt_{k} p
+        LEFT JOIN starts_{k} st ON st.tok = p.tok AND st.i = p.i
+        LEFT JOIN starts_{k} cons ON cons.tok = p.tok AND cons.i = p.i - 1
+        WHERE cons.i IS NULL
+        GROUP BY p.tok, p.n)""")
+    body = ",".join(parts)
+    return f"""WITH RECURSIVE {body}
+    SELECT mrank AS merge_rank, a AS "left", b AS "right",
+           a || b AS merged, cnt AS pair_count
+    FROM merges_{passes}"""
+
+
+ORACLES["bpe_vocab"] = _bpe_vocab_sql()

@@ -218,3 +218,81 @@ def test_bpe_train_table_drives_encoder(spark, sf_dir):
     for r in load_table(spark, sf_dir, "documents").limit(5).collect():
         pieces = enc.encode_pieces(r["text"])
         assert enc.decode_pieces(pieces) == r["text"]
+
+
+def test_bpe_vocab_oracle_replays_trainer_in_duckdb(sf_dir):
+    """The r09 bpe_vocab DuckDB oracle (unrolled candidate→greedy→
+    apply passes, recursive-CTE used-set walk) reproduces the
+    pure-Python batched trainer EXACTLY on the smoke corpus — no Spark
+    involved, so this isolates the SQL replay itself. With the
+    Spark↔replica pin above and the driver's Spark↔oracle hash row,
+    the three implementations lock pairwise."""
+    import duckdb
+
+    from cs422pp_mapreduce_spark.functions.bpe import EOW, pretokenize
+    from cs422pp_mapreduce_spark.operators.tokenize import N_TRAIN_MERGES
+    from cs422pp_mapreduce_spark.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = sorted(con.sql(ORACLES["bpe_vocab"]).fetchall())
+
+    # per-document pretokenization (what Spark's explode does), then
+    # the reference merge loop
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for (text,) in con.sql("SELECT text FROM documents").fetchall():
+        for tok in pretokenize(text):
+            if tok.strip():
+                vocab[tuple(tok) + (EOW,)] += 1
+    # train_bpe_batched takes one corpus string, which would re-join
+    # documents across boundaries; run the same merge loop inline over
+    # the per-document word counts instead:
+    merges = []
+    n_merges = N_TRAIN_MERGES
+    from cs422pp_mapreduce_spark.functions.bpe import (
+        BPE_BATCH_MERGES,
+        BPE_PASS_CANDIDATES,
+    )
+
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for word, n in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += n
+        if not pairs:
+            break
+        cands = sorted(
+            pairs.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )[:BPE_PASS_CANDIDATES]
+        cap = min(BPE_BATCH_MERGES, n_merges - len(merges))
+        used: set = set()
+        accepted = []
+        for (a, b), cnt in cands:
+            if len(accepted) >= cap:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b, cnt))
+            used.update((a, b, a + b))
+        pairset = {(a, b): a + b for a, b, _ in accepted}
+        nv: Counter = Counter()
+        for word, n in vocab.items():
+            out: list = []
+            for sym in word:
+                if out and (out[-1], sym) in pairset:
+                    out[-1] = pairset[(out[-1], sym)]
+                else:
+                    out.append(sym)
+            nv[tuple(out)] += n
+        vocab = nv
+        merges.extend(accepted)
+
+    want = sorted(
+        (i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
+    )
+    assert got == want
