@@ -20,6 +20,8 @@ makes the NumPy replica test exact instead of allclose-fuzzy.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -195,15 +197,46 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_nodes, n_edges, n_tri = _edge_iterator_counts(edges)
+    n_nodes, n_edges, n_tri = _edge_iterator_counts(
+        edges, big_graph=_is_big_graph(sf_dir)
+    )
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
-def _edge_iterator_counts(edges: DataFrame):
+# Above ~1.5M lineitem rows (≈3M co-purchase edges) the adjacency
+# table outgrows Spark's broadcast threshold and the close falls to a
+# sort-merge join; below it, broadcast is the fast path and must not
+# be suppressed.
+_BIG_GRAPH_LINEITEM_ROWS = 1_500_000
+
+
+def _is_big_graph(sf_dir: str) -> bool:
+    """Driver-side stats probe (parquet footer row count — no Spark
+    job): decides the close-join strategy the way a cost-based
+    optimizer would, from table stats. Lineitem rows ∝ co-purchase
+    edges (×2 measured at every sf)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in pq.ParquetDataset(path).files
+        )
+    except Exception:
+        return False  # unknown layout: keep the default planner path
+    return rows > _BIG_GRAPH_LINEITEM_ROWS
+
+
+def _edge_iterator_counts(edges: DataFrame, big_graph: bool = False):
     """The degree-oriented edge-iterator kernel over an undirected
     (u, v), u < v edge frame: returns (n_nodes, n_edges, n_triangles)
     1-row DataFrames. Shared by the exact count and the DOULION
-    sampled estimator (identical plan, sparsified input)."""
+    sampled estimator (identical plan, sparsified input).
+
+    ``big_graph`` switches the two adjacency joins to SHUFFLE_HASH —
+    see the inline note at the close; derived from footer stats by the
+    callers, never hardcoded per sf."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # Orientation key: lexicographic (deg, node). Attach each endpoint's
@@ -246,8 +279,23 @@ def _edge_iterator_counts(edges: DataFrame):
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
+    # SHUFFLE_HASH on the adjacency sides for BIG graphs (r09, found
+    # by the sf1→sf3 spot tier): the default sort-merge join SORTS
+    # the stream side — and after the first join every streamed row
+    # carries an O(√m) neighbor array, so the second join's sort
+    # churns array-payload rows through the external sorter (12× wall
+    # for 3× data on an 8g heap). A shuffled hash join builds on the
+    # O(nodes) adjacency side and STREAMS the edge rows unsorted:
+    # identical output, same linear exchange volume, no array sort.
+    # Measured sf1 close 13.5→8.5 s, sf3 50.9→32.5 s (3.8× for 3×
+    # data, counts equal); full query sf3 99.9→24.8 s. Small graphs
+    # keep the planner's choice — there AQE broadcasts the adjacency
+    # (the hint would SUPPRESS broadcast: forcing it cost 4× at
+    # sf0.01), hence the stats-driven big_graph switch.
     au = adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv"))
+    if big_graph:
+        au, av = au.hint("SHUFFLE_HASH"), av.hint("SHUFFLE_HASH")
     closed = (
         oriented.join(au, F.col("src") == F.col("u_"))
         .join(av, F.col("dst") == F.col("v_"), "left")
@@ -313,7 +361,9 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = edges.where(h % TRI_SAMPLE_DENOM == 0).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_nodes, n_edges, n_tri = _edge_iterator_counts(sampled)
+    n_nodes, n_edges, n_tri = _edge_iterator_counts(
+        sampled, big_graph=_is_big_graph(sf_dir)
+    )
     scale = TRI_SAMPLE_DENOM ** 3
     return (
         n_nodes.crossJoin(n_edges)
