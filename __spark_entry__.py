@@ -160,6 +160,10 @@ _QUERIES: dict[str, QueryFn] = {
     # (VERDICT r08 ask #3, converts the learned artifact to
     # hash-verified)
     "bpe_vocab": TK.q_bpe_vocab,
+    # NEW: hybrid retrieval — reciprocal rank fusion of the BM25 and
+    # cosine top-k pools (the standard RAG/curation combiner); ranks
+    # on the hash-proven rounded scores, fusion is exact-integer IEEE
+    "hybrid_rrf": TX.q_hybrid_rrf,
     # --- 3. newest driver row was r05 ---
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,

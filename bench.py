@@ -180,6 +180,17 @@ HEADLINE = [
     "audio_features",
     # round-8 wave 4: real MJPEG-AVI per-frame stats
     "video_frame_stats",
+    # round-9: the two bound-contract flips not already headline
+    # (hll_distinct/kll_quantiles were; all four now carry an exact
+    # verification side IN-QUERY, so their r09 walls are legitimately
+    # higher than their r08 rows — contract change, not regression).
+    # bpe_vocab is deliberately NOT added: it is bpe_train (already
+    # headline) plus a projection — a duplicate trainer run would add
+    # ~9 s of known cost and no signal.
+    "approx_agg",
+    "rolling_hll",
+    # round-9: hybrid lexical+vector retrieval (RRF fusion)
+    "hybrid_rrf",
 ]
 
 RUNS = 3

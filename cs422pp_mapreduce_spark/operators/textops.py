@@ -927,6 +927,101 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reciprocal-rank-fusion constants shared with the DuckDB twin
+# (Cormack, Clarke, Büttcher 2009, SIGIR: "Reciprocal rank fusion
+# outperforms Condorcet..."): standard K=60 damping; pools of
+# BM25_TOPK=50 per system; 10 fused.
+from ..oracles import RRF_K, RRF_OUT  # noqa: E402
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL by reciprocal rank fusion — the standard way a
+    RAG / training-data-curation stack combines lexical and vector
+    search without score calibration: fuse the BM25 top-50 pool
+    (q_bm25_topk's exact scoring pass over ``documents``) with the
+    cosine top-50 pool (q_topk_similarity's exact scan over
+    ``embeddings``; vec_id ≡ doc_id for the embedded subset) as
+    rrf(d) = Σ_systems 1/(K + rank_d), K=60, missing → 0 — rank-based,
+    so the two systems' incomparable score scales never meet.
+
+    Cross-engine determinism: both pool rankings reuse conventions
+    already hash-proven by their standalone rows (BM25 ranks on the
+    round-6 score with doc_id tie-break; cosine ranks on the exact
+    double with vec_id tie-break), and the fusion arithmetic is two
+    IEEE divisions by exact integers summed in fixed order
+    (lexical + vector), rounded to 6.
+
+    Plan: each pool is its component's plan (map-only scan + 1-row
+    stats broadcast + TakeOrderedAndProject); the rank windows run
+    over the ≤50-row pools (O(k), never data-sized); the fusion is a
+    full-outer join of two ≤50-row frames. At 100 TB the cost is the
+    two component scans — fusion is free."""
+    from .similarity import QUERY_VEC_ID, _as_double, cosine
+
+    lex_pool = q_bm25_topk(spark, sf_dir).select("doc_id", "score")
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double("embedding").alias("qvec")
+    )
+    # Pool and rank order on the ROUND-4 similarity (the convention
+    # topk_similarity's hash row already proves bit-identical across
+    # engines) with the vec_id tie-break: ranking on the unrounded
+    # double would let a 1-ulp difference between Spark's fold order
+    # and DuckDB's list_cosine_similarity flip a near-tie rank.
+    vec_pool = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            (
+                F.round(cosine(_as_double("embedding"), F.col("qvec")), 4)
+                + 0.0
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(BM25_TOPK)
+    )
+    vec = vec_pool.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "vec_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer").select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_OUT)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (F.round("rrf", 6) + 0.0).alias("rrf_score"),
+        )
+    )
+
+
 # --- Source divergence (round 5, wave 6) ---------------------------------
 
 

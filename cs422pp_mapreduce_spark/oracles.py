@@ -2481,6 +2481,10 @@ CMS_D = 4
 CMS_TOPK = 20
 BM25_TERMS = ("data", "join", "scan")
 BM25_TOPK = 50
+# Reciprocal-rank-fusion (hybrid_rrf): standard K=60 damping
+# (Cormack et al. 2009); pools of BM25_TOPK per system, 10 fused out.
+RRF_K = 60
+RRF_OUT = 10
 N_SHARDS = 32
 
 # Literals are formatted from the SAME Python floats the Spark side uses
@@ -4790,3 +4794,59 @@ def _bpe_vocab_sql() -> str:
 
 
 ORACLES["bpe_vocab"] = _bpe_vocab_sql()
+
+
+# Hybrid retrieval by reciprocal rank fusion (r09): composes the
+# bm25_topk and topk_similarity twins — pools rank on the round-6 BM25
+# score / round-4 cosine (both conventions already hash-proven by the
+# standalone rows, so ranks cannot diverge on a 1-ulp near-tie), the
+# fusion terms are IEEE divisions by exact integers summed in fixed
+# (lexical + vector) order.
+ORACLES["hybrid_rrf"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+               {_BM25_TF}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+               {_BM25_DF}
+        FROM base
+    ), scored AS (
+        SELECT doc_id, ROUND({_BM25_SCORE}, 6) + 0.0 AS score
+        FROM base CROSS JOIN stats
+    ), lexpool AS (
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    ), lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM lexpool
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id = 0
+    ), vpool AS (
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            qvec), 4) + 0.0 AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT {BM25_TOPK}
+    ), vec AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                    AS BIGINT) AS vec_rank
+        FROM vpool
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank),
+                        CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + v.vec_rank),
+                        CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) + 0.0 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_OUT}
+"""

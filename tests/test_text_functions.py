@@ -170,3 +170,72 @@ def test_winnow_matches_python_replica_and_guarantee(spark, sf_dir):
         assert got.get(row.doc_id) == want, row.doc_id
         n_checked += 1
     assert n_checked > 0
+
+
+def test_hybrid_rrf_fuses_component_rankings(spark, sf_dir):
+    """q_hybrid_rrf must equal a driver-side RRF recompute from its two
+    component queries' own outputs: ranks assigned over the BM25 pool
+    (round-6 score desc, doc_id) and the cosine pool (round-4 sim desc,
+    vec_id), score = 1/(K+lex_rank) + 1/(K+vec_rank) with missing
+    terms 0, top-RRF_OUT by (score desc, doc_id)."""
+    from cs422pp_mapreduce_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _as_double,
+        cosine,
+    )
+    from cs422pp_mapreduce_spark.operators.textops import (
+        BM25_TOPK,
+        RRF_K,
+        RRF_OUT,
+        q_bm25_topk,
+        q_hybrid_rrf,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    lex_pool = q_bm25_topk(spark, sf_dir).collect()
+    lex_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex_pool, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double("embedding").alias("qvec")
+    )
+    sims = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            (F.round(cosine(_as_double("embedding"), F.col("qvec")), 4) + 0.0)
+            .alias("sim"),
+        )
+        .collect()
+    )
+    vec_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(sims, key=lambda r: (-r["sim"], r["vec_id"]))[:BM25_TOPK]
+        )
+    }
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (RRF_K + lex_rank[d])
+        if d in vec_rank:
+            s += 1.0 / (RRF_K + vec_rank[d])
+        fused[d] = s
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_OUT]
+
+    got = q_hybrid_rrf(spark, sf_dir).collect()
+    assert [(r["doc_id"], round(r["rrf_score"], 6)) for r in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+    for r in got:
+        assert r["lex_rank"] == lex_rank.get(r["doc_id"])
+        assert r["vec_rank"] == vec_rank.get(r["doc_id"])
+        # every fused doc came from at least one pool
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None

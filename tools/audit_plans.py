@@ -58,6 +58,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "kll_quantiles": {
         "BroadcastNestedLoopJoin": "1-row merged-quantile-vector broadcast"
     },
+    "hybrid_rrf": {
+        "BroadcastNestedLoopJoin":
+            "1-row query-vector + 1-row BM25-stats broadcasts"
+    },
     "hll_distinct": {
         "BroadcastNestedLoopJoin":
             "1-row merged/fine-estimate + exact-distinct broadcasts"
@@ -140,6 +144,7 @@ WINDOW_OK = {
     "skyline": "prefix-min offset frame is O(partitions) rows",
     "max_concurrency": "offset frame is O(partitions) rows",
     "seq_length_histogram": "window over O(length-buckets) aggregate",
+    "hybrid_rrf": "rank windows over the <=50-row top-k pools",
 }
 
 # ordering token as it appears in plan text: "col#123L ASC NULLS FIRST"
