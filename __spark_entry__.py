@@ -164,6 +164,14 @@ _QUERIES: dict[str, QueryFn] = {
     # cosine top-k pools (the standard RAG/curation combiner); ranks
     # on the hash-proven rounded scores, fusion is exact-integer IEEE
     "hybrid_rrf": TX.q_hybrid_rrf,
+    # CHANGED: hll_bound — split aggregates (count_distinct mixed
+    # into a sketch aggregate forces Expand + sort fallback, the r09
+    # approx_agg catch); triangle_count — stats-driven SHUFFLE_HASH
+    # adjacency joins (the sf3 tier's 12×-at-3×-data catch). Both
+    # moved into the driven prefix so the changed plans get r09
+    # driver rows.
+    "hll_bound": R.q_hll_bound,
+    "triangle_count": GR.q_triangle_count,
     # --- 3. newest driver row was r05 ---
     "source_divergence": TX.q_source_divergence,
     "skyline": R.q_skyline,
@@ -184,7 +192,6 @@ _QUERIES: dict[str, QueryFn] = {
     "json_roundtrip": MT.q_json_roundtrip,
     "orc_roundtrip": MT.q_orc_roundtrip,
     "bm25_topk": TX.q_bm25_topk,
-    "triangle_count": GR.q_triangle_count,
     "training_shards": CP.q_training_shards,
     "stream_event_recovery": q_stream_event_recovery,
     "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
@@ -330,7 +337,6 @@ _QUERIES: dict[str, QueryFn] = {
     "image_jpeg_ahash": MM.q_image_jpeg_ahash,
     "stream_twap": q_stream_twap,
     "stream_cusum": q_stream_cusum,
-    "hll_bound": R.q_hll_bound,
     "triangle_count_sampled": GR.q_triangle_count_sampled,
     "audio_features": MM.q_audio_features,
     "video_frame_stats": MM.q_video_frame_stats,

@@ -595,10 +595,15 @@ def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch pipelines run AND honor their published error bounds.
 
     Plan: one grouped aggregate learns the sketch values (3 groups);
-    the ≤3-row (group, median) table broadcast-joins back to the fact
-    for the rank counts — one extra scan, no second wide shuffle. The
-    exact distinct is verification-only; production reads the
-    sketches alone."""
+    the EXACT distinct runs as its own second aggregate joined on the
+    3-row result — NOT inside the sketch aggregate: mixing
+    count_distinct with TypedImperativeAggregate sketches makes Spark
+    route the Expand-multiplied stream (rows × distinct-groups)
+    through a sort-based fallback, measured 37 s vs 2+2 s split at
+    sf1. The ≤3-row (group, median) table then broadcast-joins back
+    to the fact for the rank counts — one extra linear scan, no
+    second wide shuffle. The exact distinct is verification-only;
+    production reads the sketches alone."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_partkey", "l_extendedprice"
     )
@@ -608,8 +613,11 @@ def q_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med"
         ),
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    sk = sk.join(F.broadcast(exact), "l_returnflag")
     ranks = (
         li.join(
             F.broadcast(sk.select("l_returnflag", "med")),
@@ -984,10 +992,20 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers; the exact side (verification-only — production reads
     the sketches alone) rides the same aggregates."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # exact distinct as its OWN aggregate, joined on the 5-row result:
+    # mixing count_distinct into the sketch aggregate routes the
+    # Expand-multiplied stream through a sort-based fallback (the r09
+    # approx_agg catch, 37 s vs split passes at sf1)
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("user_id").alias("exact_users"),
+    ).join(
+        F.broadcast(
+            ev.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact_users")
+            )
+        ),
+        "event_type",
     )
     within = F.abs(
         F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users")
@@ -1051,9 +1069,19 @@ def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification query; production reads the sketches alone
     (q_hll_distinct)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # split aggregates (the r09 approx_agg catch): count_distinct mixed
+    # into a TypedImperativeAggregate pass forces Expand + sort-based
+    # fallback; two single-pass aggregates + a 5-row broadcast join
+    # run linearly
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    ).join(
+        F.broadcast(
+            ev.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact_users")
+            )
+        ),
+        "event_type",
     )
     per = sk.select(
         "event_type",
