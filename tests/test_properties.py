@@ -354,3 +354,65 @@ def test_media_container_fuzz_totality(seed, nmut):
         bomb_body += b"LIST" + _struct.pack("<I", 0xFFFF) + b"hdrl"
     bomb = b"RIFF" + _struct.pack("<I", len(bomb_body)) + bomb_body
     assert decode_avi_mjpeg(bomb) is None
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_bpe_islands_parity_equals_fold(data):
+    """The bpe_vocab oracle applies a compatible merge batch via the
+    islands/parity rule (matched positions form runs; a merge starts
+    at even offsets within a run; the following position drops). For
+    ANY symbol sequence and ANY compatible batch (no shared symbol,
+    no merged-string collision — the trainer's acceptance rule), that
+    must equal the trainer's left-to-right fold. Hypothesis searches
+    the space the three fixed corpora can't: (a,a) self-pair runs,
+    adjacent distinct merges, merge outputs colliding with later
+    positions."""
+    syms = data.draw(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=24)
+    )
+    # draw a compatible batch under the trainer's acceptance rule
+    cand = [(a, b) for a in "abcdef" for b in "abcdef"]
+    data.draw(st.randoms()).shuffle(cand)
+    used: set = set()
+    batch: dict = {}
+    for a, b in cand:
+        if len(batch) >= 3:
+            break
+        if a in used or b in used or (a + b) in used:
+            continue
+        batch[(a, b)] = a + b
+        used.update((a, b, a + b))
+
+    # reference: the trainer's left-to-right fold
+    out: list = []
+    for s in syms:
+        if out and (out[-1], s) in batch:
+            out[-1] = batch[(out[-1], s)]
+        else:
+            out.append(s)
+
+    # oracle rule: match positions, islands, even-offset starts
+    n = len(syms)
+    matched = [
+        i for i in range(n - 1) if (syms[i], syms[i + 1]) in batch
+    ]
+    starts: set = set()
+    run_start = None
+    prev = None
+    for i in matched:
+        if prev is None or i != prev + 1:
+            run_start = i
+        if (i - run_start) % 2 == 0:
+            starts.add(i)
+        prev = i
+    rebuilt: list = []
+    i = 0
+    while i < n:
+        if i in starts:
+            rebuilt.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            rebuilt.append(syms[i])
+            i += 1
+    assert rebuilt == out, (syms, batch)
