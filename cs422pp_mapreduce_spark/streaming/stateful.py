@@ -240,7 +240,7 @@ def _update_ewma(
 ) -> Iterable[pd.DataFrame]:
     from ..operators.events import EWMA_ALPHA
 
-    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    a = EWMA_ALPHA
     (user_id,) = key
     if state.exists:
         n, s = state.get
@@ -254,18 +254,26 @@ def _update_ewma(
     # partition-count-independent — exactly the batch twin's
     # array_sort order.
     chunks = [pdf for pdf in pdfs if len(pdf)]
-    for pdf in [pd.concat(chunks)] if chunks else []:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for x in pdf["value"].tolist():
-            x = float(x)
-            # Python float IS an IEEE double: s*b + x*a is the same two
-            # products + one add the JVM fold runs — bit-identical, so
-            # the batch oracle hash-matches with no tolerance. The
-            # per-row loop is the recurrence itself (inherently
-            # sequential per key), not an avoidable anti-pattern; rows
-            # per (key, batch) are bounded by per-user activity.
-            s = x if n == 0 else s * b + x * a
-            n += 1
+    if chunks:
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        vals = rows["value"].astype("float64")
+        # The recurrence is inherently sequential per key, but it does
+        # NOT need a Python-level loop: pandas' C ewm kernel with
+        # adjust=False computes exactly y_t = y_{t-1}·(1−α) + x_t·α —
+        # the same two products + one add, in the same order, as the
+        # JVM fold in the batch twin — so the result is BIT-IDENTICAL
+        # to the row loop it replaces (pinned across magnitudes
+        # 1e±200 and seeded continuations in
+        # tests/test_stateful_streaming.py; the r09 swap cut the sf1
+        # wall of the 1M-row stream). Cross-batch state seeds the
+        # kernel as a prepended pseudo-first element: y_0 = s exactly,
+        # every later step continues the recurrence.
+        if n > 0:
+            vals = pd.concat(
+                [pd.Series([s], dtype="float64"), vals], ignore_index=True
+            )
+        s = float(vals.ewm(alpha=a, adjust=False).mean().iloc[-1])
+        n += len(rows)
     state.update((n, s))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "ewma": [s]}

@@ -177,3 +177,42 @@ def test_stateful_folds_chunk_order_independent():
         # empty-iterator edge: no chunks must not crash (pd.concat([]))
         empty = _FakeState()
         list(fn((7,), iter([]), empty))
+
+
+def test_ewma_pandas_kernel_bit_identical_to_loop():
+    """_update_ewma's pandas ewm(adjust=False) kernel must equal the
+    explicit s = s*(1-a) + x*a loop BIT-FOR-BIT, including seeded
+    continuation across micro-batches — the property the r09 C-kernel
+    swap rests on (a pandas implementation change that breaks it must
+    fail here, not in the driver gate)."""
+    import numpy as np
+    import pandas as pd
+
+    from cs422pp_mapreduce_spark.operators.events import EWMA_ALPHA
+    from cs422pp_mapreduce_spark.streaming.stateful import _update_ewma
+
+    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    rng = np.random.default_rng(23)
+    for trial in range(50):
+        scale = 10.0 ** float(rng.integers(-100, 100))
+        xs = (rng.normal(size=int(rng.integers(1, 60))) * scale).tolist()
+        ys = (rng.normal(size=int(rng.integers(1, 40))) * scale).tolist()
+        s = None
+        for x in xs + ys:
+            s = x if s is None else s * b + x * a
+
+        st8 = _FakeState()
+        def batch(vals, off):
+            return pd.DataFrame(
+                {
+                    "user_id": [1] * len(vals),
+                    "ts": range(off, off + len(vals)),
+                    "event_id": range(off, off + len(vals)),
+                    "value": vals,
+                }
+            )
+        list(_update_ewma((1,), iter([batch(xs, 0)]), st8))
+        list(_update_ewma((1,), iter([batch(ys, len(xs))]), st8))
+        n_got, s_got = st8._v
+        assert n_got == len(xs) + len(ys)
+        assert s_got == s, (trial, s_got, s)
