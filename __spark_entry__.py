@@ -71,30 +71,33 @@ _QUERIES: dict[str, QueryFn] = {
 
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-9 order, per VERDICT r08 ask #1 ("lead the prefix
-    # with all 34 r04-stale rows, cap new registrations <=10"):
-    # 1. slots 1-34: the 34 queries whose newest driver row is r04
-    #    (five rounds old — the staleness floor), in their prior
-    #    relative order: the flagship-adjacent core (wordcount,
-    #    group_agg, hash_join, window_rank, event_tumbling/session,
-    #    string/date_funcs) plus the r04-banked streaming/dedup/
-    #    corpus rows. tools/check_oracles.py replays them green on
-    #    this HEAD, but the driver hash row is the only EXTERNAL
-    #    correctness signal.
-    # 2. the r09 NEW/CHANGED block (CAPPED <=10): CHANGED
-    #    kll_quantiles / approx_agg / rolling_hll / hll_distinct —
-    #    each now ships a hash-verifiable bound contract alongside
-    #    the estimate (the hll_bound pattern, VERDICT r08 ask #2);
-    #    NEW bpe_vocab — the learned BPE merge table as a
-    #    driver-verifiable row (VERDICT r08 ask #3).
-    # 3. the r05-banked block (41 queries, prior relative order) —
-    #    with 34 + 5 prefix slots used, ~11 of these get r09 rows;
-    #    the rest are the r10 rotation's lead block. Keep new-query
+    # round). Round-10 order, per VERDICT r09 ask #1 ("lead the
+    # prefix with the 32 r05-stale rows, cap new registrations
+    # <=10"):
+    # 1. slots 1-32: the 32 queries whose newest driver row is r05
+    #    (five rounds old — the staleness floor), in the
+    #    tools/staleness.py --order sequence (oldest-banked first,
+    #    prior relative order preserved). tools/check_oracles.py
+    #    replays them green on this HEAD, but the driver hash row is
+    #    the only EXTERNAL correctness signal.
+    # 2. the r10 NEW/CHANGED block (CAPPED <=10): CHANGED
+    #    bloom_semi_join (bitmap folded JVM-side via pos>>6 word agg,
+    #    VERDICT r09 ask #6 — bitmap deterministic, hash must be
+    #    identical) and triangle_count_sampled (big-graph threshold
+    #    scaled by the sample denominator, ADVICE r09); NEW
+    #    dedup_incremental_near (LSH-tier batch admission, ask #5)
+    #    and bpe_encode_smoke (hash-verified encode kernel, ask #4).
+    # 3. the r06-banked block (42 queries, prior relative order) —
+    #    with 32 + ~6 prefix slots used, ~12 of these get r10 rows;
+    #    the rest are the r11 rotation's lead block. Keep new-query
     #    registration <=10/round so the tail keeps draining.
-    # 4. then the r06-banked, r07-fresh, and r08-fresh blocks.
+    # 4. then the r07-banked, r08-banked, and r09-fresh blocks
+    #    (oldest-first throughout, so next round's --order is the
+    #    identity on this layout).
     # Every ordering decision is validated locally by
     # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
-    # full-surface green at sf0.01, and tools/staleness.py --check 25.
+    # full-surface green at sf0.01, and
+    # tools/staleness.py --target 10 --check 25.
     # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
     # one bounded 1-row Spark job at plan-BUILD time (query-vector
     # fetch that plans its literal bucket predicate), q_bucketed_join
@@ -109,78 +112,8 @@ _QUERIES: dict[str, QueryFn] = {
     # builds without executing anything (streaming contract queries,
     # order_stat, and bloom_semi_join are intercepted by the lazy plan
     # twins in plans/analysis.py for the analysis tools).
-    # --- 1. newest driver row is r04 (staleness-floor refresh:
-    # these 34 lead the prefix, VERDICT r08 ask #1) ---
-    "stream_event_tumbling": q_stream_event_tumbling,
-    "stream_event_session": q_stream_event_session,
-    "dedup_clusters_exact": D.q_dedup_clusters_exact,
-    "dedup_incremental": D.q_dedup_incremental,
-    "source_cap": CP.q_source_cap,
-    "ngram_novelty": D.q_ngram_novelty,
-    "wordcount": wordcount,
-    "scan_project": R.q_scan_project,
-    "filter_pred": R.q_filter_pred,
-    "group_agg": R.q_group_agg,
-    "skewed_agg": R.q_skewed_agg,
-    "hash_join": R.q_hash_join,
-    "broadcast_join": R.q_broadcast_join,
-    "null_safe_join": R.q_null_safe_join,
-    "semi_join": R.q_semi_join,
-    "anti_join": R.q_anti_join,
-    "union_distinct": R.q_union_distinct,
-    "topk": R.q_topk,
-    "window_rank": R.q_window_rank,
-    "latest_order": R.q_latest_order,
-    "revenue_share": R.q_revenue_share,
-    "global_rank": R.q_global_rank,
-    "count_distinct": R.q_count_distinct,
-    "rollup_agg": R.q_rollup_agg,
-    "percentile_agg": R.q_percentile_agg,
-    "price_histogram": R.q_price_histogram,
-    "table_profile": R.q_table_profile,
-    "string_funcs": R.q_string_funcs,
-    "date_funcs": R.q_date_funcs,
-    "grouping_sets": SQ.q_grouping_sets,
-    "sql_subquery": SQ.q_sql_subquery,
-    "unpivot": R.q_unpivot,
-    "event_tumbling": EV.q_event_tumbling,
-    "event_session": EV.q_event_session,
-    # --- 2. r09 NEW/CHANGED (capped <=10) ---
-    # CHANGED: the four remaining sketch queries now ship the
-    # hash-verified bound contract alongside the estimate (the
-    # hll_bound pattern, relational.py q_hll_bound; VERDICT r08
-    # ask #2): exact value replayed in SQL + within_bound boolean.
-    "kll_quantiles": R.q_kll_quantiles,
-    "approx_agg": R.q_approx_agg,
-    "rolling_hll": EV.q_rolling_hll,
-    "hll_distinct": R.q_hll_distinct,
-    # NEW: the learned BPE merge table as a driver row — (rank, left,
-    # right, merged) from the deterministic greedy trainer; the DuckDB
-    # oracle replays the merge loop over the word-count table
-    # (VERDICT r08 ask #3, converts the learned artifact to
-    # hash-verified)
-    "bpe_vocab": TK.q_bpe_vocab,
-    # NEW: hybrid retrieval — reciprocal rank fusion of the BM25 and
-    # cosine top-k pools (the standard RAG/curation combiner); ranks
-    # on the hash-proven rounded scores, fusion is exact-integer IEEE
-    "hybrid_rrf": TX.q_hybrid_rrf,
-    # CHANGED: hll_bound — split aggregates (count_distinct mixed
-    # into a sketch aggregate forces Expand + sort fallback, the r09
-    # approx_agg catch); triangle_count — stats-driven SHUFFLE_HASH
-    # adjacency joins (the sf3 tier's 12×-at-3×-data catch). Both
-    # moved into the driven prefix so the changed plans get r09
-    # driver rows.
-    "hll_bound": R.q_hll_bound,
-    "triangle_count": GR.q_triangle_count,
-    # --- 3. newest driver row was r05 ---
-    "source_divergence": TX.q_source_divergence,
-    "skyline": R.q_skyline,
-    "phrase_search": TX.q_phrase_search,
-    "pit_join": MT.q_pit_join,
-    "event_transitions": EV.q_event_transitions,
-    "stream_dedup": q_stream_dedup,
-    "stream_interval_join": q_stream_interval_join,
-    "stream_profile": q_stream_profile,
+    # --- 1. newest driver row is r05 (staleness-floor refresh:
+    # these 32 lead the prefix, VERDICT r09 ask #1) ---
     "skew_join": R.q_skew_join,
     "embedding_quantize": S.q_embedding_quantize,
     "compaction_plan": MT.q_compaction_plan,
@@ -213,7 +146,18 @@ _QUERIES: dict[str, QueryFn] = {
     "multi_join_agg": R.q_multi_join_agg,
     "outer_join": R.q_outer_join,
     "cross_join": R.q_cross_join,
-    # --- 4. newest driver row was r06 ---
+    # --- 2. r10 NEW/CHANGED (capped <=10) ---
+    # CHANGED: bloom_semi_join — the broadcast bitmap is now folded
+    # JVM-side (groupBy(pos >> 6) + bit_or word aggregate, ~16k words
+    # collected instead of <=1M positions; VERDICT r09 ask #6). The
+    # bitmap is deterministic, so the driver hash must be IDENTICAL
+    # to the r07 row. triangle_count_sampled — the big-graph
+    # SHUFFLE_HASH threshold now scales by the sample denominator so
+    # the 64x-sparsified edge set keeps its broadcast fast path
+    # (ADVICE r09).
+    "bloom_semi_join": R.q_bloom_semi_join,
+    "triangle_count_sampled": GR.q_triangle_count_sampled,
+    # --- 3. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,
     "source_overlap": TX.q_source_overlap,
@@ -256,7 +200,7 @@ _QUERIES: dict[str, QueryFn] = {
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
     "fuzzy_name_match": D.q_fuzzy_name_match,
-    # --- 5. newest driver row was r07 ---
+    # --- 4. newest driver row was r07 ---
     "sssp": GR.q_sssp,
     "ewma_smooth": EV.q_ewma_smooth,
     "stream_ewma": q_stream_ewma,
@@ -277,7 +221,6 @@ _QUERIES: dict[str, QueryFn] = {
     "entity_match": R.q_entity_match,
     "image_ahash": MM.q_image_ahash,
     "corr_matrix": R.q_corr_matrix,
-    "bloom_semi_join": R.q_bloom_semi_join,
     "stream_sliding": q_stream_sliding,
     "twap": EV.q_twap,
     "cusum_drift": EV.q_cusum_drift,
@@ -304,8 +247,8 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
     "mixture_rebalance": TX.q_mixture_rebalance,
-    # --- 6. r08-fresh block (newest rows — last in line; wave notes
-    # in the r08 git history) ---
+    # --- 5. newest driver row was r08 (wave notes in the r08 git
+    # history) ---
     "unigram_logprob": TX.q_unigram_logprob,
     "source_dup_stats": D.q_source_dup_stats,
     "bigram_freq": TX.q_bigram_freq,
@@ -337,7 +280,6 @@ _QUERIES: dict[str, QueryFn] = {
     "image_jpeg_ahash": MM.q_image_jpeg_ahash,
     "stream_twap": q_stream_twap,
     "stream_cusum": q_stream_cusum,
-    "triangle_count_sampled": GR.q_triangle_count_sampled,
     "audio_features": MM.q_audio_features,
     "video_frame_stats": MM.q_video_frame_stats,
     "cms_topgrams": TX.q_cms_topgrams,
@@ -355,6 +297,61 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q2": TQ.q_tpch_q2,
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
+    # --- 6. r09-fresh block (newest rows — last in line). First the
+    # 34 rows the r09 rotation refreshed, then the r09 NEW/CHANGED
+    # block (sketch bound contracts, bpe_vocab, hybrid_rrf,
+    # hll_bound, triangle_count), then the 8 r05-banked rows that
+    # fell inside the r09 prefix. ---
+    "stream_event_tumbling": q_stream_event_tumbling,
+    "stream_event_session": q_stream_event_session,
+    "dedup_clusters_exact": D.q_dedup_clusters_exact,
+    "dedup_incremental": D.q_dedup_incremental,
+    "source_cap": CP.q_source_cap,
+    "ngram_novelty": D.q_ngram_novelty,
+    "wordcount": wordcount,
+    "scan_project": R.q_scan_project,
+    "filter_pred": R.q_filter_pred,
+    "group_agg": R.q_group_agg,
+    "skewed_agg": R.q_skewed_agg,
+    "hash_join": R.q_hash_join,
+    "broadcast_join": R.q_broadcast_join,
+    "null_safe_join": R.q_null_safe_join,
+    "semi_join": R.q_semi_join,
+    "anti_join": R.q_anti_join,
+    "union_distinct": R.q_union_distinct,
+    "topk": R.q_topk,
+    "window_rank": R.q_window_rank,
+    "latest_order": R.q_latest_order,
+    "revenue_share": R.q_revenue_share,
+    "global_rank": R.q_global_rank,
+    "count_distinct": R.q_count_distinct,
+    "rollup_agg": R.q_rollup_agg,
+    "percentile_agg": R.q_percentile_agg,
+    "price_histogram": R.q_price_histogram,
+    "table_profile": R.q_table_profile,
+    "string_funcs": R.q_string_funcs,
+    "date_funcs": R.q_date_funcs,
+    "grouping_sets": SQ.q_grouping_sets,
+    "sql_subquery": SQ.q_sql_subquery,
+    "unpivot": R.q_unpivot,
+    "event_tumbling": EV.q_event_tumbling,
+    "event_session": EV.q_event_session,
+    "kll_quantiles": R.q_kll_quantiles,
+    "approx_agg": R.q_approx_agg,
+    "rolling_hll": EV.q_rolling_hll,
+    "hll_distinct": R.q_hll_distinct,
+    "bpe_vocab": TK.q_bpe_vocab,
+    "hybrid_rrf": TX.q_hybrid_rrf,
+    "hll_bound": R.q_hll_bound,
+    "triangle_count": GR.q_triangle_count,
+    "source_divergence": TX.q_source_divergence,
+    "skyline": R.q_skyline,
+    "phrase_search": TX.q_phrase_search,
+    "pit_join": MT.q_pit_join,
+    "event_transitions": EV.q_event_transitions,
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
+    "stream_profile": q_stream_profile,
 }
 
 
