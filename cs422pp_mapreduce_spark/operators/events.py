@@ -29,6 +29,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import exact_sum
 from ..sources.catalog import load_table
+from .relational import HLL_BOUND_REL
 
 
 def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +220,7 @@ def q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_7d",
             (
                 F.abs(F.col("approx_users_7d") - F.col("exact_users_7d"))
-                <= F.lit(0.05) * F.col("exact_users_7d")
+                <= F.lit(HLL_BOUND_REL) * F.col("exact_users_7d")
             ).alias("within_bound"),
         )
     )

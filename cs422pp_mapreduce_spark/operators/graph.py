@@ -21,6 +21,7 @@ makes the NumPy replica test exact instead of allclose-fuzzy.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -210,11 +211,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIG_GRAPH_LINEITEM_ROWS = 1_500_000
 
 
-def _is_big_graph(sf_dir: str) -> bool:
+def _is_big_graph(sf_dir: str, sample_denom: int = 1) -> bool:
     """Driver-side stats probe (parquet footer row count — no Spark
     job): decides the close-join strategy the way a cost-based
     optimizer would, from table stats. Lineitem rows ∝ co-purchase
-    edges (×2 measured at every sf)."""
+    edges (×2 measured at every sf).
+
+    ``sample_denom`` scales the threshold for sparsified callers
+    (ADVICE r09): the DOULION estimator keeps only ~1/denom of the
+    edges, so its adjacency table crosses the broadcast limit denom×
+    later — deciding from the UNSAMPLED count would suppress the
+    broadcast fast path on a graph 64× smaller than the cliff."""
+    import pyarrow
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "lineitem.parquet")
@@ -223,9 +231,14 @@ def _is_big_graph(sf_dir: str) -> bool:
             pq.ParquetFile(f).metadata.num_rows
             for f in pq.ParquetDataset(path).files
         )
-    except Exception:
-        return False  # unknown layout: keep the default planner path
-    return rows > _BIG_GRAPH_LINEITEM_ROWS
+    except (OSError, KeyError, pyarrow.ArrowInvalid) as exc:
+        # Fall back to the default planner path, but LOUDLY: silence
+        # here would re-open the 12×-at-3×-data sort-spill cliff the
+        # sf3 tier caught (ADVICE r09 — no bare except).
+        print(f"[graph] footer stats probe failed ({exc!r}); "
+              "keeping default join planning", file=sys.stderr)
+        return False
+    return rows > _BIG_GRAPH_LINEITEM_ROWS * sample_denom
 
 
 def _edge_iterator_counts(edges: DataFrame, big_graph: bool = False):
@@ -362,7 +375,7 @@ def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     n_nodes, n_edges, n_tri = _edge_iterator_counts(
-        sampled, big_graph=_is_big_graph(sf_dir)
+        sampled, big_graph=_is_big_graph(sf_dir, sample_denom=TRI_SAMPLE_DENOM)
     )
     scale = TRI_SAMPLE_DENOM ** 3
     return (

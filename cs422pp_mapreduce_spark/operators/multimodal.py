@@ -1156,6 +1156,16 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation story per SURVEY §2.4.
 # ---------------------------------------------------------------------------
 
+# DECODER CONTRACT (ADVICE r09): this in-engine baseline-JPEG decoder
+# refuses frames over JPEG_MAX_PIXELS (~16.7M px ≈ 4096×4096) and
+# returns None, exactly like its other unsupported-shape refusals
+# (progressive, subsampled, multi-component). Real decoders accept
+# larger baselines; a corpus pipeline that needs them should raise
+# this cap — the scan-length-vs-MCU-count check below it is the
+# crafted-container guard that bounds allocation proportionally to
+# input size regardless of the cap's value.
+JPEG_MAX_PIXELS = 1 << 24
+
 JPEG16_SIDE = 16  # planted raster: 16×16 = four 8×8 blocks
 
 # Annex-K luminance quant table with every entry bumped to ODD (see
@@ -1492,11 +1502,12 @@ def decode_jpeg_gray(blob: bytes):
         bx_n, by_n = (w + 7) // 8, (h + 7) // 8
         # Crafted-container guard (ADVICE r08): SOF0 carries untrusted
         # 16-bit dims (up to 65535×65535 ≈ 4.3e9 pixels — tens of GB)
-        # and this allocates BEFORE any scan data is read. Bound the
-        # raster, and require the scan to be long enough to plausibly
-        # encode the MCU count (each 8×8 block costs ≥2 bits: one DC
-        # code + EOB), so a tiny blob can't declare a huge frame.
-        if w * h > 1 << 24 or bx_n * by_n > (len(blob) - scan_at) * 4:
+        # and this allocates BEFORE any scan data is read. Require the
+        # scan to be long enough to plausibly encode the MCU count
+        # (each 8×8 block costs ≥2 bits: one DC code + EOB), so a tiny
+        # blob can't declare a huge frame; JPEG_MAX_PIXELS is the
+        # documented supported-frame cap (see its contract note).
+        if w * h > JPEG_MAX_PIXELS or bx_n * by_n > (len(blob) - scan_at) * 4:
             return None
         out = [0] * (w * h)
         prev_dc = 0

@@ -257,6 +257,15 @@ def _update_ewma(
     if chunks:
         rows = pd.concat(chunks).sort_values(["ts", "event_id"])
         vals = rows["value"].astype("float64")
+        # ewm(adjust=False) silently SKIPS NaN while n_events below
+        # still counts the row — a null 'value' would yield a finite
+        # ewma with an inflated count instead of the NaN the replaced
+        # Python loop propagated. Fail loudly on bad input instead of
+        # diverging from the batch twin (ADVICE r09).
+        if vals.isna().any():
+            raise ValueError(
+                f"stream_ewma: null/NaN 'value' for user_id={user_id}"
+            )
         # The recurrence is inherently sequential per key, but it does
         # NOT need a Python-level loop: pandas' C ewm kernel with
         # adjust=False computes exactly y_t = y_{t-1}·(1−α) + x_t·α —

@@ -69,3 +69,33 @@ def test_scd2_invariants(spark, sf_dir):
     assert (
         j.where(F.col("o.valid_to") != F.col("n.valid_from")).count() == 0
     )
+
+
+def test_is_big_graph_threshold_scales_with_sample_denom():
+    """The DOULION estimator keeps ~1/denom of the edges, so its
+    SHUFFLE_HASH threshold must scale by the sample denominator —
+    deciding from the unsampled row count would suppress the broadcast
+    fast path on a 64x-smaller graph (ADVICE r09)."""
+    from cs422pp_mapreduce_spark.operators import graph as GR
+
+    orig = GR._BIG_GRAPH_LINEITEM_ROWS
+    try:
+        # sf0.01 lineitem (~60k rows) >> a 100-row threshold: the
+        # exact kernel flips to big-graph, the 64x-sampled one must
+        # not (100 * 64 = 6400 < 60k would still flip — use a
+        # threshold where only the denominator separates them).
+        GR._BIG_GRAPH_LINEITEM_ROWS = 3_000
+        sf_dir = "/root/testdata/sf0.01"
+        assert GR._is_big_graph(sf_dir) is True
+        assert GR._is_big_graph(sf_dir, sample_denom=64) is False
+    finally:
+        GR._BIG_GRAPH_LINEITEM_ROWS = orig
+
+
+def test_is_big_graph_missing_layout_warns_not_raises(capsys):
+    """An unreadable layout falls back to default planning with a
+    visible warning, never a silent False (ADVICE r09)."""
+    from cs422pp_mapreduce_spark.operators import graph as GR
+
+    assert GR._is_big_graph("/nonexistent/sfX") is False
+    assert "footer stats probe failed" in capsys.readouterr().err

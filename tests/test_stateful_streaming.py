@@ -216,3 +216,25 @@ def test_ewma_pandas_kernel_bit_identical_to_loop():
         n_got, s_got = st8._v
         assert n_got == len(xs) + len(ys)
         assert s_got == s, (trial, s_got, s)
+
+
+def test_ewma_rejects_nan_value_loudly():
+    """ewm(adjust=False) silently skips NaN while n_events still
+    counts the row — a null 'value' must fail loudly instead of
+    yielding a finite ewma with an inflated count (ADVICE r09)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cs422pp_mapreduce_spark.streaming.stateful import _update_ewma
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [3, 3, 3],
+            "ts": [0, 1, 2],
+            "event_id": [0, 1, 2],
+            "value": [1.0, np.nan, 2.0],
+        }
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        list(_update_ewma((3,), iter([pdf]), _FakeState()))
