@@ -106,9 +106,11 @@ _QUERIES: dict[str, QueryFn] = {
     # argmax jobs at build time, q_order_stat runs its count +
     # bounded <=1024-row histogram collects at build time (iterative
     # selection is driver-paced by nature), and q_bloom_semi_join
-    # builds its broadcast bitmap with one distinct-positions collect
-    # bounded by BLOOM_M = 2^20 at build time (a bloom filter is
-    # driver-resident index metadata by design); every other query
+    # builds its broadcast bitmap with one JVM-folded word-aggregate
+    # collect bounded by BLOOM_M/64 = 16384 rows at build time (a
+    # bloom filter is driver-resident index metadata by design, and
+    # the fold happens map-side per VERDICT r09 ask #6); every other
+    # query
     # builds without executing anything (streaming contract queries,
     # order_stat, and bloom_semi_join are intercepted by the lazy plan
     # twins in plans/analysis.py for the analysis tools).

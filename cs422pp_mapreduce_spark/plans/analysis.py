@@ -74,8 +74,9 @@ def order_stat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_semi_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy twin of ``q_bloom_semi_join`` (which builds the broadcast
-    bloom bitmap with one bounded distinct-positions collect at build
-    time). The twin substitutes an all-zeros bitmap literal — same
+    bloom bitmap with one bounded JVM-folded word-aggregate collect —
+    <=16384 (word, bits) rows — at build time). The twin substitutes
+    an all-zeros bitmap literal — same
     probe-side plan (crossJoin of the broadcast 1-row bitmap, k
     md5-probe bit tests inside codegen, exact-verify join, final
     aggregate), same output schema, zero driver jobs."""
