@@ -159,6 +159,13 @@ _QUERIES: dict[str, QueryFn] = {
     # (ADVICE r09).
     "bloom_semi_join": R.q_bloom_semi_join,
     "triangle_count_sampled": GR.q_triangle_count_sampled,
+    # NEW: incremental admission with the LSH near-dup tier — new-batch
+    # MinHash buckets probed against the standing corpus's banded
+    # bucket index (build side static, probe side the batch; no
+    # re-clustering). Same md5-prefix convention as dedup_minhash, so
+    # the oracle replays every bucket probe bit-for-bit (VERDICT r09
+    # ask #5).
+    "dedup_incremental_near": D.q_dedup_incremental_near,
     # --- 3. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,

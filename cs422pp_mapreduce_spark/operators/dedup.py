@@ -1161,6 +1161,100 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest with the LSH NEAR-DUP tier (VERDICT r09 ask
+    #5): the batch (doc_id % 5 == 0) first passes q_dedup_incremental's
+    exact tiers (md5 fingerprint + 60-char-prefix anti joins, keep the
+    min-doc_id representative per fingerprint), then each surviving
+    representative's MinHash band buckets are PROBED against the
+    standing corpus's banded bucket table. A collision on any full
+    band makes a candidate; candidates are exact-Jaccard-verified
+    against the corpus doc's shingle set, and a verified near-dup
+    (jaccard >= JACCARD_THRESHOLD) blocks admission.
+
+    This is the real crawl-pipeline shape: the BUILD side (corpus
+    bands) is static — on a cluster it is the incremental LSH index
+    you maintain as a bucketed table keyed on (band, bucket) — and the
+    PROBE side is only the new batch, so there is NO corpus self-join
+    and NO re-clustering per batch. Signature arithmetic is the
+    engine's cross-engine md5-prefix + universal-hash convention
+    (minhash_signatures), so the DuckDB oracle replays every bucket
+    probe bit-for-bit — hash-verified, not rows-only.
+
+    Output: one row per exact-tier representative — (doc_id,
+    n_batch_copies, n_lsh_candidates, n_near_dups, admitted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        F.substring("text", 1, INCR_PREFIX_LEN).alias("pfx"),
+    )
+    existing = keyed.where(F.col("doc_id") % 5 != 0)
+    incoming = keyed.where(F.col("doc_id") % 5 == 0)
+    surv = incoming.join(
+        existing.select("fp").distinct(), "fp", "left_anti"
+    ).join(existing.select("pfx").distinct(), "pfx", "left_anti")
+    reps = (
+        surv.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .select("doc_id", "n_batch_copies")
+    )
+
+    sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # Build side: the standing corpus's banded buckets (the static
+    # index). Probe side: only the exact-tier survivors' buckets.
+    corpus_bands = lsh_band_buckets(
+        minhash_signatures(sh.where(F.col("doc_id") % 5 != 0))
+    )
+    probe_bands = lsh_band_buckets(
+        minhash_signatures(sh.join(reps.select("doc_id"), "doc_id"))
+    )
+    cand = (
+        probe_bands.alias("p")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("dup_doc"),
+        )
+        .distinct()
+    )
+    sh_p = sh.select("doc_id", F.col("shingles").alias("sh_p"))
+    sh_c = sh.select(
+        F.col("doc_id").alias("dup_doc"), F.col("shingles").alias("sh_c")
+    )
+    jacc = F.size(F.array_intersect("sh_p", "sh_c")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_p", "sh_c"))
+    near_n = (
+        cand.join(sh_p, "doc_id")
+        .join(sh_c, "dup_doc")
+        .where(jacc >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    cand_n = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lsh_candidates")
+    )
+    return (
+        reps.join(cand_n, "doc_id", "left")
+        .join(near_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_batch_copies",
+            F.coalesce("n_lsh_candidates", F.lit(0)).alias("n_lsh_candidates"),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            (F.coalesce("n_near_dups", F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
 def q_dedup_incremental_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-round incremental ingest — the sequencing contract
     q_dedup_incremental models for one batch, extended to the

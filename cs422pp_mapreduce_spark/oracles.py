@@ -957,6 +957,89 @@ ORACLES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
         GROUP BY fp
     """,
+    # Incremental ingest + LSH near-dup tier: exact tiers replayed as
+    # in dedup_incremental, then the survivors' MinHash band buckets
+    # (same md5-prefix universal-hash chain as dedup_minhash — bands
+    # are per-doc, so computing them over all documents and splitting
+    # corpus/probe matches the Spark side's filtered builds exactly)
+    # probed against the corpus bands, candidates exact-Jaccard
+    # verified.
+    "dedup_incremental_near": """
+        WITH fps AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   substr(text, 1, 60) AS pfx
+            FROM documents
+        ),
+        existing AS (SELECT * FROM fps WHERE doc_id % 5 <> 0),
+        incoming AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+        surv AS (
+            SELECT * FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+              AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
+        ),
+        reps AS (
+            SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_copies
+            FROM surv GROUP BY fp
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), hs AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                       % 2147483647 AS hb
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN((((2654435761 * (i + 1)) % 2147483647) * hb
+                        + (40503 * (i + 1)) % 2147483647)
+                       % 2147483647) AS mhv
+            FROM hs, UNNEST(generate_series(0, 31)) AS u(i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(mhv::VARCHAR, ',' ORDER BY i) AS bucket
+            FROM mh GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT p.doc_id AS doc_id, c.doc_id AS dup_doc
+            FROM (SELECT b.* FROM bands b
+                  JOIN reps r ON b.doc_id = r.doc_id) p
+            JOIN (SELECT * FROM bands WHERE doc_id % 5 <> 0) c
+              ON p.band = c.band AND p.bucket = c.bucket
+        ), near_n AS (
+            SELECT doc_id, COUNT(*) AS n_near_dups
+            FROM (
+                SELECT cand.doc_id,
+                       CAST(len(list_intersect(sp.shingles, sc.shingles))
+                            AS DOUBLE)
+                       / (len(sp.shingles) + len(sc.shingles)
+                          - len(list_intersect(sp.shingles, sc.shingles)))
+                           AS jaccard
+                FROM cand
+                JOIN sh sp ON sp.doc_id = cand.doc_id
+                JOIN sh sc ON sc.doc_id = cand.dup_doc
+            )
+            WHERE jaccard >= 0.5 GROUP BY doc_id
+        ), cand_n AS (
+            SELECT doc_id, COUNT(*) AS n_lsh_candidates
+            FROM cand GROUP BY doc_id
+        )
+        SELECT r.doc_id, r.n_batch_copies,
+               COALESCE(cn.n_lsh_candidates, 0) AS n_lsh_candidates,
+               COALESCE(nn.n_near_dups, 0) AS n_near_dups,
+               COALESCE(nn.n_near_dups, 0) = 0 AS admitted
+        FROM reps r
+        LEFT JOIN cand_n cn ON cn.doc_id = r.doc_id
+        LEFT JOIN near_n nn ON nn.doc_id = r.doc_id
+    """,
     # Two-round incremental ingest: batch 2's standing keys are the
     # corpus's PLUS the batch-1 kept representatives' (monotone
     # admission). Same NOT EXISTS convention as dedup_incremental.

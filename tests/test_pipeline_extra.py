@@ -250,3 +250,35 @@ def test_ngram_novelty_bounds_and_slice(spark, sf_dir):
     assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
     assert all(r["n_novel"] <= r["n_shingles"] for r in rows)
     assert min(r["novelty"] for r in rows) < 1.0
+
+
+def test_dedup_incremental_near_lsh_tier(spark):
+    """The LSH admission tier (VERDICT r09 ask #5): (a) its row set is
+    exactly dedup_incremental's representatives, (b) a verified
+    near-dup blocks admission and n_near_dups <= n_lsh_candidates,
+    (c) every REJECTED doc appears in a dedup_minhash near-dup pair
+    (the probe-vs-index join can only find edges the full banded
+    self-join also finds), and (d) the fixture actually exercises the
+    tier — at the oracle sf some rep has an LSH candidate."""
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        q_dedup_incremental,
+        q_dedup_incremental_near,
+        q_dedup_minhash,
+    )
+    from tests.conftest import SF_ORACLE
+
+    out = q_dedup_incremental_near(spark, SF_ORACLE).collect()
+    base_ids = {
+        r["doc_id"] for r in q_dedup_incremental(spark, SF_ORACLE).collect()
+    }
+    assert {r["doc_id"] for r in out} == base_ids
+    assert all(r["n_near_dups"] <= r["n_lsh_candidates"] for r in out)
+    assert all(r["admitted"] == (r["n_near_dups"] == 0) for r in out)
+    assert any(r["n_lsh_candidates"] > 0 for r in out)
+
+    rejected = {r["doc_id"] for r in out if not r["admitted"]}
+    assert rejected  # the fixture has a cross-slice near-dup
+    pair_docs = set()
+    for r in q_dedup_minhash(spark, SF_ORACLE).collect():
+        pair_docs.update((r["doc_a"], r["doc_b"]))
+    assert rejected <= pair_docs
