@@ -4879,6 +4879,91 @@ def _bpe_vocab_sql() -> str:
 ORACLES["bpe_vocab"] = _bpe_vocab_sql()
 
 
+def _token_count_bpe_sql() -> str:
+    """Recursive-CTE replay of the per-document BPE ENCODE kernel
+    (VERDICT r09 ask #4 — flips token_count_bpe from rows-only to
+    hash-verified). The greedy encoder (functions/bpe.BPEEncoder
+    ._encode_word_raw) is deterministic given its merge table: per
+    word, repeatedly merge the occurrence with the minimum
+    (merge_rank, position) until no adjacent pair is ranked. The
+    oracle replays exactly that as a recursive CTE over the corpus's
+    DISTINCT pretokens (the encoder itself is word-wise — its
+    lru_cache is the same factoring): each step computes the argmin
+    (rank, position) via MIN(rank*1e6 + pos) over the unnested
+    adjacent pairs joined to the ranks table, splices the merge with
+    list slicing, and stops when the join finds nothing; the final
+    state per word is the unique minimum-length row. Per-document
+    count = sum over the document's pretokens (whitespace runs count
+    1, as in encode_pieces), via LEFT JOIN so empty docs keep a 0 row.
+
+    The 256-row merge table is embedded as a VALUES literal generated
+    from DEFAULT_ENCODER — a shared deterministic constant like
+    MINHASH_A_MULT, derived from the fixed seed text by the trainer
+    that tests/test_bpe.py pins against the pure-Python replica (and
+    whose batched variant bpe_vocab's oracle replays end-to-end on
+    the corpus). The SEGMENTATION — the part previously declared
+    non-SQL-expressible — is replayed here entirely in SQL.
+    Contract caveat: with SPARK_GRAFT_NATIVE_BPE=1 the Spark side
+    swaps in a native tokenizer and this oracle no longer applies
+    (the env gate is documented in functions/bpe.get_token_counter
+    and absent in driver runs). The rank*1e6+pos argmin encoding
+    assumes pretokens shorter than 1e6 chars — the pretokenizer's
+    character-class runs make longer ones unreachable in any real
+    corpus row."""
+    from .functions.bpe import DEFAULT_ENCODER, EOW
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n            ".join(
+        f"('{esc(a)}', '{esc(b)}', {r})"
+        for r, (a, b) in enumerate(DEFAULT_ENCODER.merges)
+    )
+    rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    return f"""
+        WITH RECURSIVE ranks AS MATERIALIZED (
+            SELECT * FROM (VALUES {vals}) AS t(a, b, mrank)
+        ), doc_toks AS MATERIALIZED (
+            SELECT doc_id, unnest(regexp_extract_all(text, '{rx}', 0)) AS tok
+            FROM documents
+        ), words AS MATERIALIZED (
+            SELECT DISTINCT tok FROM doc_toks WHERE trim(tok) != ''
+        ), enc AS (
+            SELECT tok,
+                   list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym
+            FROM words
+            UNION ALL
+            SELECT tok,
+                   sym[1 : bi - 1] || [sym[bi] || sym[bi + 1]]
+                       || sym[bi + 2 : len(sym)] AS sym
+            FROM (
+                SELECT e.tok, e.sym,
+                       CAST(MIN(r.mrank * 1000000 + g.i) % 1000000 AS INT)
+                           AS bi
+                FROM enc e,
+                     UNNEST(generate_series(1, len(e.sym) - 1)) AS g(i)
+                JOIN ranks r ON r.a = e.sym[g.i] AND r.b = e.sym[g.i + 1]
+                GROUP BY e.tok, e.sym
+            )
+        ), finals AS (
+            SELECT tok, MIN(len(sym)) AS n_pieces FROM enc GROUP BY tok
+        )
+        SELECT d.doc_id,
+               len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                               x -> x <> '')) AS n_ws_tokens,
+               CAST(COALESCE(SUM(CASE WHEN trim(t.tok) = '' THEN 1
+                                      ELSE f.n_pieces END), 0) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN doc_toks t ON t.doc_id = d.doc_id
+        LEFT JOIN finals f ON f.tok = t.tok
+        GROUP BY d.doc_id, d.text
+    """
+
+
+ORACLES["token_count_bpe"] = _token_count_bpe_sql()
+
+
 # Hybrid retrieval by reciprocal rank fusion (r09): composes the
 # bm25_topk and topk_similarity twins — pools rank on the round-6 BM25
 # score / round-4 cosine (both conventions already hash-proven by the
