@@ -166,6 +166,19 @@ _QUERIES: dict[str, QueryFn] = {
     # the oracle replays every bucket probe bit-for-bit (VERDICT r09
     # ask #5).
     "dedup_incremental_near": D.q_dedup_incremental_near,
+    # CHANGED (oracle flip, VERDICT r09 ask #4): token_count_bpe —
+    # the per-document BPE encode kernel now has a recursive-CTE
+    # DuckDB replay (oracles._token_count_bpe_sql), and seq_pack_bpe
+    # composes that encode replay with the already-verified seq_pack
+    # chunk/pack replay — both flip from rows-only to hash-verified
+    # and need a driven r10 row for the external hash signal.
+    "token_count_bpe": TK.q_token_count_bpe,
+    "seq_pack_bpe": TK.q_seq_pack_bpe,
+    # NEW: asymmetric shingle containment (|A∩B|/|A| ≥ 0.8, Broder's
+    # containment) — the doc-in-doc family Jaccard dedup misses; exact
+    # via one-sided prefix filtering against the full inverted index,
+    # verified against the naive all-pairs oracle.
+    "dedup_containment": D.q_dedup_containment,
     # --- 3. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,
@@ -278,10 +291,8 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q19": TQ.q_tpch_q19,
     "tpch_q22": TQ.q_tpch_q22,
     "exact_distinct_agg": R.q_exact_distinct_agg,
-    "token_count_bpe": TK.q_token_count_bpe,
     "dedup_substring": D.q_dedup_substring,
     "audio_meta": MM.q_audio_meta,
-    "seq_pack_bpe": TK.q_seq_pack_bpe,
     "tpch_q4": TQ.q_tpch_q4,
     "media_pipeline": MM.q_media_pipeline,
     "seq_length_histogram": TX.q_seq_length_histogram,

@@ -191,6 +191,12 @@ HEADLINE = [
     "rolling_hll",
     # round-9: hybrid lexical+vector retrieval (RRF fusion)
     "hybrid_rrf",
+    # round-10: LSH-tier incremental admission; asymmetric containment
+    # (one-sided prefix filter vs full inverted index — the ratio to
+    # watch is candidate volume ∝ prefix_postings × df, linear at
+    # constant document frequency)
+    "dedup_incremental_near",
+    "dedup_containment",
 ]
 
 RUNS = 3

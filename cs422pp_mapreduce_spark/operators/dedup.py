@@ -246,6 +246,113 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# Containment threshold: |A∩B| / |A| ≥ 0.8 flags A as (near-)contained
+# in B — quotes, boilerplate inclusion, doc-in-doc duplication, the
+# asymmetric family Jaccard misses (a 10-shingle doc fully embedded in
+# a 200-shingle doc has J ≈ 0.05 but containment 1.0).
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_pairs(docs: DataFrame, t: float = CONTAIN_THRESHOLD) -> DataFrame:
+    """Exact shingle-containment pairs (doc_inner, doc_outer,
+    containment) with containment = |S(inner) ∩ S(outer)| / |S(inner)|
+    ≥ t and |S(inner)| ≤ |S(outer)| (equal sizes tie-broken by
+    doc_id) — Broder's containment (SEQUENCES 1997), the asymmetric
+    complement of q_dedup_ngram's resemblance.
+
+    EXACT via one-sided prefix filtering: containment ≥ t needs
+    overlap ≥ ⌈t·|A|⌉, so (Bayardo/AllPairs argument, overlap form)
+    any qualifying outer doc must share one of the INNER doc's first
+    |A| − ⌈t·|A|⌉ + 1 shingles in the global rarest-first canonical
+    order — if every shared shingle hid in A's last ⌈t·|A|⌉ − 1
+    elements the overlap bound is already violated. The OUTER side
+    cannot be prefix-pruned (containment puts no lower bound on the
+    outer doc's overlap *fraction*), so inner prefixes (≈(1−t) of the
+    shingle mass, preferentially RARE shingles) join against the full
+    inverted index; hot shingles survive on the index side but almost
+    never appear in a rarest-first prefix, which is what keeps the
+    candidate volume ≈ prefix_postings × df, linear at constant
+    document frequency — the 100 TB shape. Candidates verify exactly
+    via array_intersect on the full hashed-shingle arrays (the
+    dedup_ngram convention: xxhash64 once up front, content never
+    re-shuffles)."""
+    sh = _doc_shingles(docs)
+    shh = sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ referenced by the prefix build, the index side, and both
+    # verify joins — materialized once, the cluster-scale analog of a
+    # checkpointed hashed-shingle table.
+    inv = shh.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("hsh")
+    )
+    dfreq = inv.groupBy("hsh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inv.join(dfreq, "hsh")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "hsh"))).alias(
+                "ordered"
+            )
+        )
+    )
+    n = F.size("ordered")
+    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    pref = ranked.select(
+        F.col("doc_id").alias("doc_inner"),
+        n.alias("n_a"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", F.lit(1), plen), lambda s: s["hsh"]
+            )
+        ).alias("hsh"),
+    )
+    idx = inv.select(
+        F.col("doc_id").alias("doc_outer"),
+        F.col("n").alias("n_b"),
+        "hsh",
+    )
+    cand = (
+        pref.join(
+            idx,
+            (pref["hsh"] == idx["hsh"])
+            & (
+                (F.col("n_a") < F.col("n_b"))
+                | (
+                    (F.col("n_a") == F.col("n_b"))
+                    & (F.col("doc_inner") < F.col("doc_outer"))
+                )
+            ),
+        )
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    sha = shh.select(
+        F.col("doc_id").alias("doc_inner"), F.col("hs").alias("hs_a")
+    )
+    shb = shh.select(
+        F.col("doc_id").alias("doc_outer"), F.col("hs").alias("hs_b")
+    )
+    contain = F.size(F.array_intersect("hs_a", "hs_b")).cast(
+        "double"
+    ) / F.size("hs_a")
+    return (
+        cand.join(sha, "doc_inner")
+        .join(shb, "doc_outer")
+        .select("doc_inner", "doc_outer", contain.alias("containment"))
+        .where(F.col("containment") >= t)
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc near-containment pairs over ``documents`` (see
+    containment_pairs). Hash-verified: the oracle is the naive
+    all-pairs containment self-join — the prefix-filtered plan must
+    reproduce it row-for-row (the filter is lossless by theorem)."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-bounded event dedup: keep the FIRST event per
     (user_id, event_type) within each 1-hour tumbling window — the

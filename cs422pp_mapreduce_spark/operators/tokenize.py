@@ -89,7 +89,11 @@ def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pretraining pipeline actually packs context windows by. The BPE
     count runs in one Arrow-batched mapInPandas between the map-only
     chunker and the packer; the packing plan (no one-task window, tiny
-    O(partitions) offset aggregate) is unchanged."""
+    O(partitions) offset aggregate) is unchanged.
+
+    HASH-VERIFIED since r10: the oracle composes the seq_pack
+    chunk/pack replay with the recursive-CTE encode kernel over the
+    chunk texts' distinct pretokens (oracles._seq_pack_bpe_sql)."""
     from .textops import chunk_docs, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -106,10 +110,13 @@ def q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token count next to the whitespace count.
 
-    Rows-only contract query (a learned subword segmentation is not
-    SQL-expressible); tests pin the Spark output to a driver-side
-    pure-Python replica and the encoder itself to round-trip/
-    determinism invariants."""
+    HASH-VERIFIED since r10: the greedy encode kernel is replayed in
+    DuckDB as a recursive CTE over the corpus's distinct pretokens
+    (oracles._token_count_bpe_sql — the same unrolled-merge technique
+    that verified the bpe_vocab trainer), so the subword segmentation
+    previously declared non-SQL-expressible is oracle-backed. Tests
+    additionally pin the Spark output to a driver-side pure-Python
+    replica and the encoder to round-trip/determinism invariants."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         default_parallelism(), "doc_id"
     )

@@ -1160,6 +1160,44 @@ ORACLES: dict[str, str] = {
         WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
+    # Asymmetric containment twin (r10): |A∩B|/|A| ≥ 0.8 with
+    # |A| ≤ |B| (doc_id tiebreak). The naive all-pairs self-join IS
+    # the reference; the Spark side's one-sided prefix filter is
+    # lossless by the overlap-form Bayardo argument, so the rows must
+    # match exactly. int/int IEEE division is deterministic on both
+    # engines.
+    "dedup_containment": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM sh
+        ), common AS (
+            SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                   COUNT(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_inner, doc_outer,
+               CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_inner
+        JOIN sizes sb ON sb.doc_id = doc_outer
+        WHERE (sa.n_sh < sb.n_sh
+               OR (sa.n_sh = sb.n_sh AND doc_inner < doc_outer))
+          AND CAST(n_common AS DOUBLE) / sa.n_sh >= 0.8
+    """,
     # MinHash+LSH twin: see _MINHASH_PAIRS_CTE — the full banded
     # pipeline reproduces bit-for-bit under the md5-prefix convention,
     # so the probabilistic candidate set itself is verified, not just
@@ -4962,6 +5000,98 @@ def _token_count_bpe_sql() -> str:
 
 
 ORACLES["token_count_bpe"] = _token_count_bpe_sql()
+
+
+def _seq_pack_bpe_sql() -> str:
+    """Composes the two already-verified replays into the tokenizer-
+    aware packer's oracle (flips seq_pack_bpe from rows-only to
+    hash-verified — the last open r09-ask-#4 row): the seq_pack
+    chunker (stride-30 windows of 40 whitespace tokens, verbatim from
+    ORACLES["seq_pack"]) feeds the recursive-CTE BPE encode kernel
+    (verbatim technique from _token_count_bpe_sql, applied to the
+    distinct pretokens of the CHUNK texts — single-space re-joined, so
+    every pretoken is a word with or without its leading space), and
+    the per-chunk piece counts flow through the same naive-window
+    prefix-sum packing the Spark side's range-exchange plan is
+    invariant-equal to. Whitespace pretokens cannot occur here (the
+    ' ?'-prefixed word classes absorb the single joining spaces), but
+    the CASE keeps the counting rule identical to token_count_bpe's."""
+    from .functions.bpe import DEFAULT_ENCODER, EOW
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n            ".join(
+        f"('{esc(a)}', '{esc(b)}', {r})"
+        for r, (a, b) in enumerate(DEFAULT_ENCODER.merges)
+    )
+    rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    return f"""
+        WITH RECURSIVE ranks AS MATERIALIZED (
+            SELECT * FROM (VALUES {vals}) AS t(a, b, mrank)
+        ), t AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), c AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST((start - 1) // 30 AS BIGINT) AS chunk_id,
+                   array_to_string(toks[start : start + 39], ' ')
+                       AS chunk_text
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1, 30)) AS start
+                FROM t WHERE len(toks) > 0
+            )
+        ), ctoks AS MATERIALIZED (
+            SELECT doc_id, chunk_id,
+                   unnest(regexp_extract_all(chunk_text, '{rx}', 0)) AS tok
+            FROM c
+        ), words AS MATERIALIZED (
+            SELECT DISTINCT tok FROM ctoks WHERE trim(tok) != ''
+        ), enc AS (
+            SELECT tok,
+                   list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym
+            FROM words
+            UNION ALL
+            SELECT tok,
+                   sym[1 : bi - 1] || [sym[bi] || sym[bi + 1]]
+                       || sym[bi + 2 : len(sym)] AS sym
+            FROM (
+                SELECT e.tok, e.sym,
+                       CAST(MIN(r.mrank * 1000000 + g.i) % 1000000 AS INT)
+                           AS bi
+                FROM enc e,
+                     UNNEST(generate_series(1, len(e.sym) - 1)) AS g(i)
+                JOIN ranks r ON r.a = e.sym[g.i] AND r.b = e.sym[g.i + 1]
+                GROUP BY e.tok, e.sym
+            )
+        ), finals AS (
+            SELECT tok, MIN(len(sym)) AS n_pieces FROM enc GROUP BY tok
+        ), cc AS (
+            SELECT ct.doc_id, ct.chunk_id,
+                   CAST(SUM(CASE WHEN trim(ct.tok) = '' THEN 1
+                                 ELSE f.n_pieces END) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM ctoks ct
+            LEFT JOIN finals f ON f.tok = ct.tok
+            GROUP BY ct.doc_id, ct.chunk_id
+        ), p AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   COALESCE(SUM(n_chunk_tokens) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS st
+            FROM cc
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               CAST(st // 512 AS BIGINT) AS seq_id,
+               CAST(st % 512 AS BIGINT) AS seq_off
+        FROM p
+    """
+
+
+ORACLES["seq_pack_bpe"] = _seq_pack_bpe_sql()
 
 
 # Hybrid retrieval by reciprocal rank fusion (r09): composes the

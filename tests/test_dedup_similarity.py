@@ -458,3 +458,66 @@ def test_semantic_dedup_chain_semantics_pinned(spark):
         for r in S.semantic_keep_table(spark, centroids, vecs2).collect()
     }
     assert keep2 == {1: True, 2: True, 3: False}
+
+
+# --- containment (r10) -----------------------------------------------------
+
+
+def _py_shingles(text: str) -> set[str]:
+    t = [w for w in text.split(" ") if w]
+    if len(t) >= 3:
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    return set(t)
+
+
+def test_containment_matches_naive_python(spark, sf_dir):
+    # The prefix filter is lossless by theorem; this checks the whole
+    # pipeline (canonical order, prefix length, orientation rule,
+    # verify division) against a brute-force all-pairs replica.
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    sh = {d: _py_shingles(t) for d, t in docs.items()}
+    sh = {d: s for d, s in sh.items() if s}
+    expect = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            na, nb = len(sa), len(sb)
+            if a == b or na > nb or (na == nb and a >= b):
+                continue
+            c = len(sa & sb) / na
+            if c >= D.CONTAIN_THRESHOLD:
+                expect[(a, b)] = c
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in D.q_dedup_containment(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert v == pytest.approx(expect[k])
+
+
+def test_containment_finds_planted_embedding(spark, ngram_pairs):
+    # A 12-token doc fully embedded inside a 27-token doc: containment
+    # 1.0 but Jaccard ~0.4 — the asymmetric pair resemblance dedup is
+    # blind to (that is the operator's reason to exist).
+    inner = " ".join(f"w{i}" for i in range(12))
+    outer = "x y z " + inner + " p q r s t u v a2 b2 c2 d2 e2"
+    other = " ".join(f"u{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in D.containment_pairs(df).collect()
+    }
+    assert rows.get((1, 2)) == pytest.approx(1.0)
+    assert set(rows) == {(1, 2)}
+    ja = len(_py_shingles(inner) & _py_shingles(outer)) / len(
+        _py_shingles(inner) | _py_shingles(outer)
+    )
+    assert ja < D.JACCARD_THRESHOLD
