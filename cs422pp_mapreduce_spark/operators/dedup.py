@@ -296,27 +296,52 @@ def containment_pairs(docs: DataFrame, t: float = CONTAIN_THRESHOLD) -> DataFram
                 "ordered"
             )
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ^ consumed by BOTH sides of the candidate join (inner prefixes
+    # and the positioned index) — without the persist the df-count +
+    # canonical-order pipeline executes twice per run.
     n = F.size("ordered")
     plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
     pref = ranked.select(
         F.col("doc_id").alias("doc_inner"),
         n.alias("n_a"),
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.slice("ordered", F.lit(1), plen), lambda s: s["hsh"]
             )
-        ).alias("hsh"),
+        ).alias("i_a", "hsh"),
     )
-    idx = inv.select(
+    # Index side carries each shingle's 0-based rank in ITS doc's
+    # canonical order too (posexplode of the same ordered arrays), so
+    # the positional filter below can see both sides.
+    idx = ranked.select(
         F.col("doc_id").alias("doc_outer"),
-        F.col("n").alias("n_b"),
-        "hsh",
+        n.alias("n_b"),
+        F.posexplode(
+            F.transform("ordered", lambda s: s["hsh"])
+        ).alias("i_b", "hsh"),
+    )
+    # PPJoin positional filter, containment (overlap ≥ ⌈t·|A|⌉) form:
+    # at the FIRST common element of the shared canonical order, every
+    # further common element lies in both suffixes, so overlap ≤ 1 +
+    # min(n_a − i_a − 1, n_b − i_b − 1); a pair's first-common row
+    # always satisfies a correct bound, so requiring SOME join row to
+    # pass keeps the filter lossless (non-first rows it keeps are
+    # removed by the exact verify). With rarest-first order this
+    # effectively prefix-bounds the OUTER side as well — a candidate's
+    # matched shingle must sit in B's first n_b − ⌈t·n_a⌉ + 1 ranks —
+    # which is what prunes the coincidental hot-tail matches (measured
+    # 6.0M → ~1.2M candidates at the local sf3 tier).
+    omin = F.ceil(F.lit(t) * F.col("n_a"))
+    ub = F.lit(1) + F.least(
+        F.col("n_a") - F.col("i_a") - 1, F.col("n_b") - F.col("i_b") - 1
     )
     cand = (
         pref.join(
             idx,
             (pref["hsh"] == idx["hsh"])
+            & (ub >= omin)
             & (
                 (F.col("n_a") < F.col("n_b"))
                 | (
@@ -1308,7 +1333,11 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
         .select("doc_id", "n_batch_copies")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ^ consumed by the probe-signature build AND the final report
+    # join — without the persist the exact-tier anti-join pipeline
+    # runs twice (measured ~4.6 s/run at the local sf3 tier).
 
     sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     # Build side: the standing corpus's banded buckets (the static
@@ -1331,7 +1360,13 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.doc_id").alias("dup_doc"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ^ the candidate table feeds BOTH the verify branch (near_n) and
+    # the candidate-count branch (cand_n); without the persist the
+    # entire corpus+probe signature/banding pipeline executes twice
+    # per run — the dominant term of the query's sf3 superlinearity
+    # before r10 (41.8 s → see BASELINE.md third-wave table).
     sh_p = sh.select("doc_id", F.col("shingles").alias("sh_p"))
     sh_c = sh.select(
         F.col("doc_id").alias("dup_doc"), F.col("shingles").alias("sh_c")
