@@ -179,6 +179,11 @@ _QUERIES: dict[str, QueryFn] = {
     # via one-sided prefix filtering against the full inverted index,
     # verified against the naive all-pairs oracle.
     "dedup_containment": D.q_dedup_containment,
+    # NEW: interpolated-bigram LM quality proxy (Jelinek–Mercer
+    # λ = 0.7) — the transition-level step up the KenLM ladder from
+    # unigram_logprob; all model tables are token-keyed aggregates of
+    # one transition matrix, text never re-shuffles.
+    "bigram_logprob": TX.q_bigram_logprob,
     # --- 3. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,

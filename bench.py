@@ -197,6 +197,8 @@ HEADLINE = [
     # constant document frequency)
     "dedup_incremental_near",
     "dedup_containment",
+    # round-10: interpolated-bigram LM quality proxy (KenLM ladder)
+    "bigram_logprob",
 ]
 
 RUNS = 3

@@ -836,6 +836,93 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jelinek–Mercer interpolation weights: bigram term and unigram
+# backoff (which absorbs transitions unseen as bigrams — every token
+# the corpus contains has a nonzero unigram probability, so p > 0
+# always). BOTH are explicit literals, not 1−λ: Python's 1.0 − 0.7 is
+# 0.30000000000000004 while a SQL `0.3` literal is the nearest double
+# BELOW 0.3 — the cross-engine hash convention needs bit-equal
+# constants.
+BIGRAM_LAMBDA = 0.7
+BIGRAM_BACKOFF = 0.3
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality proxy — one step up the KenLM
+    ladder from q_unigram_logprob: per-document mean negative
+    log-likelihood of its token TRANSITIONS under the corpus's own
+    Jelinek–Mercer-smoothed bigram model,
+    p(w2|w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·c(w2)/total, λ = 0.7.
+    Repetitive/templated docs (predictable transitions) score LOW,
+    token-salad docs score HIGH even when their unigrams look fluent —
+    the dimension the unigram proxy cannot see.
+
+    Shape: one tokenize pass builds the per-doc transition tf matrix
+    via zip_with over two shifted token-array slices (the bigram_freq
+    move — adjacent pairs inside the row, no positional shuffle);
+    c(w1 w2) and the context total c(w1·) are aggregates OVER that
+    matrix (so p2 sums to 1 per context by construction); the unigram
+    backoff reuses the full-corpus token distribution. All joins key
+    on tokens/bigrams — AQE broadcasts the vocab tables at test scale,
+    shuffles them at 1e8-row vocab scale; document text never
+    re-shuffles. Determinism: -ln p rounded to 6 decimals per
+    TRANSITION and decimal-routed for the per-doc sum (the
+    unigram_logprob convention), partition-order independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", nonempty_tokens("text").alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ read by the transition matrix AND the unigram backoff counts.
+    bg = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tf = (
+        toks.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bg).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # ^ the model tables below are aggregates of this matrix; persisting
+    # it keeps the tokenize/explode pass single-execution.
+    big = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        toks.select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tot = uni.agg(F.sum("c2").alias("total"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("c12").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(BIGRAM_BACKOFF) * (
+        F.col("c2").cast("double") / F.col("total").cast("double")
+    )
+    nll = (
+        big.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    return (
+        tf.join(nll, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.col("nll")).cast("double") / F.sum("tf")
+            ).alias("mean_nll_bigram"),
+            F.sum("tf").cast("long").alias("n_transitions"),
+        )
+    )
+
+
 # --- BM25 relevance (round 5) -------------------------------------------
 
 # Parameters are defined next to the oracle (single source of truth,

@@ -2265,6 +2265,49 @@ ORACLES: dict[str, str] = {
         FROM tf JOIN nlp USING (token)
         GROUP BY doc_id
     """,
+    # Interpolated-bigram LM proxy (r10): mirrors q_bigram_logprob's
+    # arithmetic term-for-term — 0.7/0.3 as literal doubles (NOT 1−λ:
+    # Python's 1.0−0.7 is a different double than the SQL literal),
+    # int/int IEEE divisions, -ln rounded to 6 decimals per transition,
+    # decimal-routed per-doc sum. The unigram backoff counts ALL corpus
+    # tokens (including 1-token docs that contribute no transitions).
+    "bigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS tf
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2
+            GROUP BY 1, 2, 3
+        ), big AS (
+            SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2
+        ), ctx AS (
+            SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1
+        ), uni AS (
+            SELECT w2, COUNT(*) AS c2
+            FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1
+        ), tot AS (
+            SELECT SUM(c2) AS total FROM uni
+        ), nll AS (
+            SELECT b.w1, b.w2,
+                   CAST(ROUND(-ln(
+                       0.7 * (CAST(b.c12 AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                       + 0.3 * (CAST(u.c2 AS DOUBLE)
+                                / CAST(t.total AS DOUBLE))), 6)
+                       AS DECIMAL(18,6)) AS nll
+            FROM big b
+            JOIN ctx x ON x.w1 = b.w1
+            JOIN uni u ON u.w2 = b.w2
+            CROSS JOIN tot t
+        )
+        SELECT doc_id,
+               CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf) AS mean_nll_bigram,
+               CAST(SUM(tf) AS BIGINT) AS n_transitions
+        FROM tf JOIN nll USING (w1, w2)
+        GROUP BY doc_id
+    """,
     "source_dup_stats": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT fp) AS n_unique_exact,

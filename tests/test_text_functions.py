@@ -239,3 +239,59 @@ def test_hybrid_rrf_fuses_component_rankings(spark, sf_dir):
         assert r["vec_rank"] == vec_rank.get(r["doc_id"])
         # every fused doc came from at least one pool
         assert r["lex_rank"] is not None or r["vec_rank"] is not None
+
+
+def test_bigram_logprob_matches_python_replica(spark, sf_dir):
+    """Exact replica of the interpolated-bigram LM on the smoke corpus:
+    same counts, same 0.7/0.3 literals, same per-transition 6-decimal
+    rounding, same decimal-routed mean."""
+    import math
+
+    import pytest
+    from collections import Counter
+    from decimal import Decimal
+
+    from cs422pp_mapreduce_spark.operators.textops import (
+        BIGRAM_BACKOFF,
+        BIGRAM_LAMBDA,
+        q_bigram_logprob,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    ctx: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    for d, t in docs.items():
+        uni.update(t)
+        pairs = list(zip(t, t[1:]))
+        if pairs:
+            per_doc[d] = Counter(pairs)
+            big.update(pairs)
+            for w1, _ in pairs:
+                ctx[w1] += 1
+    total = sum(uni.values())
+    expect = {}
+    for d, tf in per_doc.items():
+        s = Decimal(0)
+        n = 0
+        for (w1, w2), k in tf.items():
+            p = BIGRAM_LAMBDA * (big[(w1, w2)] / ctx[w1]) + BIGRAM_BACKOFF * (
+                uni[w2] / total
+            )
+            nll = round(Decimal(str(round(-math.log(p), 6))), 6)
+            s += k * nll
+            n += k
+        expect[d] = (float(s) / n, n)
+    got = {
+        r["doc_id"]: (r["mean_nll_bigram"], r["n_transitions"])
+        for r in q_bigram_logprob(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (m, n) in got.items():
+        assert n == expect[d][1]
+        assert m == pytest.approx(expect[d][0], abs=1e-12)

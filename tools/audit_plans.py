@@ -84,6 +84,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "unigram_logprob": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
     },
+    "bigram_logprob": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
+    },
     "tfidf": {"BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"},
     "bloom_semi_join": {
         "BroadcastNestedLoopJoin": "1-row 128KiB bloom-bitmap broadcast"
