@@ -184,6 +184,11 @@ _QUERIES: dict[str, QueryFn] = {
     # unigram_logprob; all model tables are token-keyed aggregates of
     # one transition matrix, text never re-shuffles.
     "bigram_logprob": TX.q_bigram_logprob,
+    # CHANGED (oracle flip — the LAST rows-only row): bpe_train's
+    # output is bpe_vocab minus the derived `merged` column, so the
+    # r09 trainer-replay oracle covers it verbatim, re-projected.
+    # With this flip every registered query is hash-verified.
+    "bpe_train": TK.q_bpe_train,
     # --- 3. newest driver row was r06 ---
     "attribution": EV.q_attribution,
     "funnel_windowed": EV.q_funnel_windowed,
@@ -242,7 +247,6 @@ _QUERIES: dict[str, QueryFn] = {
     "pagerank": GR.q_pagerank,
     "dedup_substring_apply": D.q_dedup_substring_apply,
     "kmeans_clusters": S.q_kmeans_clusters,
-    "bpe_train": TK.q_bpe_train,
     "linreg_ols": R.q_linreg_ols,
     "zscore_outliers": EV.q_zscore_outliers,
     "entity_match": R.q_entity_match,

@@ -4959,6 +4959,16 @@ def _bpe_vocab_sql() -> str:
 
 ORACLES["bpe_vocab"] = _bpe_vocab_sql()
 
+# bpe_train (r10 flip — the LAST rows-only row): its output IS
+# bpe_vocab minus the derived `merged` column (q_bpe_vocab is defined
+# as q_bpe_train plus a projection), so the trainer replay above is
+# its oracle verbatim, re-projected. With this, every registered
+# query is hash-verified.
+ORACLES["bpe_train"] = f"""
+    SELECT merge_rank, "left", "right", pair_count
+    FROM ({_bpe_vocab_sql()})
+"""
+
 
 def _token_count_bpe_sql() -> str:
     """Recursive-CTE replay of the per-document BPE ENCODE kernel

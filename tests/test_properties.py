@@ -416,3 +416,49 @@ def test_bpe_islands_parity_equals_fold(data):
             rebuilt.append(syms[i])
             i += 1
     assert rebuilt == out, (syms, batch)
+
+
+@given(
+    corpus=st.lists(
+        st.lists(words, min_size=0, max_size=10).map(" ".join),
+        min_size=0,
+        max_size=10,
+    )
+)
+@SLOW
+def test_containment_equals_bruteforce_for_any_corpus(spark, corpus):
+    """dedup_containment's prefix-filtered plan must equal the naive
+    all-pairs definition on ANY corpus — including empty docs,
+    single-token docs (shingle fallback), duplicate shingle sets
+    (equal-size tiebreak), and threshold-boundary pairs."""
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        containment_pairs,
+    )
+
+    def shingles(text: str) -> set[str]:
+        t = [w for w in text.split(" ") if w]
+        if len(t) >= 3:
+            return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        return set(t)
+
+    docs = {i: line for i, line in enumerate(corpus)}
+    sh = {d: shingles(t) for d, t in docs.items()}
+    sh = {d: s for d, s in sh.items() if s}
+    expect = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            na, nb = len(sa), len(sb)
+            if a == b or na > nb or (na == nb and a >= b):
+                continue
+            if len(sa & sb) / na >= CONTAIN_THRESHOLD:
+                expect.add((a, b))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()] or [(0, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_inner"], r["doc_outer"])
+        for r in containment_pairs(df).collect()
+    }
+    assert got == expect
