@@ -85,8 +85,10 @@ _QUERIES: dict[str, QueryFn] = {
     #    VERDICT r09 ask #6 — bitmap deterministic, hash must be
     #    identical) and triangle_count_sampled (big-graph threshold
     #    scaled by the sample denominator, ADVICE r09); NEW
-    #    dedup_incremental_near (LSH-tier batch admission, ask #5)
-    #    and bpe_encode_smoke (hash-verified encode kernel, ask #4).
+    #    dedup_incremental_near (LSH-tier batch admission, ask #5),
+    #    dedup_containment and bigram_logprob; CHANGED oracle flips
+    #    token_count_bpe / seq_pack_bpe / bpe_train (ask #4 —
+    #    recursive-CTE encode replay + re-projected trainer replay).
     # 3. the r06-banked block (42 queries, prior relative order) —
     #    with 32 + ~6 prefix slots used, ~12 of these get r10 rows;
     #    the rest are the r11 rotation's lead block. Keep new-query
@@ -155,7 +157,7 @@ _QUERIES: dict[str, QueryFn] = {
     # bitmap is deterministic, so the driver hash must be IDENTICAL
     # to the r07 row. triangle_count_sampled — the big-graph
     # SHUFFLE_HASH threshold now scales by the sample denominator so
-    # the 64x-sparsified edge set keeps its broadcast fast path
+    # the 4x-sparsified edge set keeps its broadcast fast path
     # (ADVICE r09).
     "bloom_semi_join": R.q_bloom_semi_join,
     "triangle_count_sampled": GR.q_triangle_count_sampled,

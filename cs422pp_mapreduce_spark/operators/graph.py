@@ -219,9 +219,11 @@ def _is_big_graph(sf_dir: str, sample_denom: int = 1) -> bool:
 
     ``sample_denom`` scales the threshold for sparsified callers
     (ADVICE r09): the DOULION estimator keeps only ~1/denom of the
-    edges, so its adjacency table crosses the broadcast limit denom×
-    later — deciding from the UNSAMPLED count would suppress the
-    broadcast fast path on a graph 64× smaller than the cliff."""
+    edges (TRI_SAMPLE_DENOM = 4 ⇒ a 4×-sparser edge set; the 1/p³ =
+    64 factor is the triangle-count rescale, not the edge ratio), so
+    its adjacency table crosses the broadcast limit denom× later —
+    deciding from the UNSAMPLED count would suppress the broadcast
+    fast path on a graph denom× smaller than the cliff."""
     import pyarrow
     import pyarrow.parquet as pq
 

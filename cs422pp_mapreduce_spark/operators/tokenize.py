@@ -160,11 +160,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider) rather than 30k sequential jobs — each pass is still one
     bounded collect + one map-only fold over the vocabulary table.
 
-    Learned-tokenizer output is not SQL-expressible ⇒ rows-only driver
-    check; tests/test_bpe.py pins the merge table EXACTLY equal to the
-    pure-Python train_bpe_batched replica on the same text (and the
-    replica with batch 1 ≡ classic train_bpe), and that the learned
-    table drives BPEEncoder round-trips."""
+    HASH-VERIFIED since r10: the output is bpe_vocab minus the derived
+    `merged` column, so the bpe_vocab trainer-replay oracle covers it
+    re-projected (oracles.ORACLES["bpe_train"]). tests/test_bpe.py
+    additionally pins the merge table EXACTLY equal to the pure-Python
+    train_bpe_batched replica on the same text (and the replica with
+    batch 1 ≡ classic train_bpe), and that the learned table drives
+    BPEEncoder round-trips."""
     from pyspark.sql import functions as F
 
     from ..functions.bpe import (
@@ -266,10 +268,10 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential reference algorithm defines — converting the BPE family's
     learned artifact from pytest-pinned to driver-verified.
 
-    This row makes token_count_bpe / seq_pack_bpe's rows-only status
-    principled: the ENCODER's input artifact is driver-verified here;
-    only the per-document subword segmentation itself (a Python
-    mapInPandas kernel by design) stays non-SQL-expressible."""
+    Since r10 the whole BPE family is inside the hash gate: this row
+    verifies the learned artifact, token_count_bpe / seq_pack_bpe
+    replay the per-document encode kernel (oracles._bpe_encode_ctes),
+    and bpe_train reuses this row's oracle re-projected."""
     from pyspark.sql import functions as F
 
     return q_bpe_train(spark, sf_dir).select(

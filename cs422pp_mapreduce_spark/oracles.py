@@ -964,6 +964,12 @@ ORACLES: dict[str, str] = {
     # corpus/probe matches the Spark side's filtered builds exactly)
     # probed against the corpus bands, candidates exact-Jaccard
     # verified.
+    # SYNC NOTE: the toks→sh→hs→mh→bands chain below re-states the
+    # prefix of _MINHASH_PAIRS_CTE because this oracle filters the
+    # band table by side mid-chain; any change to the minhash
+    # convention (N_MINHASHES, LSH_BANDS, MINHASH_* constants, band
+    # key format) must be applied to BOTH copies or this row alone
+    # will hash-FAIL.
     "dedup_incremental_near": """
         WITH fps AS (
             SELECT doc_id, md5(lower(trim(text))) AS fp,
@@ -4970,37 +4976,50 @@ ORACLES["bpe_train"] = f"""
 """
 
 
-def _token_count_bpe_sql() -> str:
-    """Recursive-CTE replay of the per-document BPE ENCODE kernel
-    (VERDICT r09 ask #4 — flips token_count_bpe from rows-only to
-    hash-verified). The greedy encoder (functions/bpe.BPEEncoder
-    ._encode_word_raw) is deterministic given its merge table: per
-    word, repeatedly merge the occurrence with the minimum
-    (merge_rank, position) until no adjacent pair is ranked. The
-    oracle replays exactly that as a recursive CTE over the corpus's
-    DISTINCT pretokens (the encoder itself is word-wise — its
-    lru_cache is the same factoring): each step computes the argmin
-    (rank, position) via MIN(rank*1e6 + pos) over the unnested
-    adjacent pairs joined to the ranks table, splices the merge with
-    list slicing, and stops when the join finds nothing; the final
-    state per word is the unique minimum-length row. Per-document
-    count = sum over the document's pretokens (whitespace runs count
-    1, as in encode_pieces), via LEFT JOIN so empty docs keep a 0 row.
+# The BPE pretokenizer regex of functions/bpe.pretokenize, verbatim.
+# ASCII-classes contract (same caveat as _PRETOKEN_SQL above): Python
+# re and DuckDB RE2 agree on [A-Za-z]/[0-9]/ASCII \s ∈ {space, \t, \n,
+# \r, \f}; \v and unicode whitespace (\xa0, …) tokenize differently in
+# the two engines and are out of contract (absent from every fixture
+# and from any plain-text corpus the pretokenizer targets).
+_BPE_RX = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
-    The 256-row merge table is embedded as a VALUES literal generated
-    from DEFAULT_ENCODER — a shared deterministic constant like
-    MINHASH_A_MULT, derived from the fixed seed text by the trainer
-    that tests/test_bpe.py pins against the pure-Python replica (and
-    whose batched variant bpe_vocab's oracle replays end-to-end on
-    the corpus). The SEGMENTATION — the part previously declared
-    non-SQL-expressible — is replayed here entirely in SQL.
-    Contract caveat: with SPARK_GRAFT_NATIVE_BPE=1 the Spark side
-    swaps in a native tokenizer and this oracle no longer applies
-    (the env gate is documented in functions/bpe.get_token_counter
-    and absent in driver runs). The rank*1e6+pos argmin encoding
-    assumes pretokens shorter than 1e6 chars — the pretokenizer's
-    character-class runs make longer ones unreachable in any real
-    corpus row."""
+# A pretoken is a WHITESPACE RUN (counts 1 piece, as in
+# encode_pieces/str.strip) iff it fully matches the tokenizer's own \s
+# class. Deliberately NOT trim(tok) = '': DuckDB trim() strips SPACES
+# ONLY, so a '\t' or '\n' run would leak into the words CTE and encode
+# to 2 pieces — diverging from the Spark-side encoder on any corpus
+# with non-space whitespace (caught by review r10; fixtures are
+# space-only, which is why the gate never saw it).
+_BPE_IS_WS = r"regexp_matches({col}, '^\s+$')"
+
+
+def _bpe_encode_ctes() -> str:
+    """Shared recursive-CTE BPE ENCODE kernel (VERDICT r09 ask #4) —
+    the single source both _token_count_bpe_sql and _seq_pack_bpe_sql
+    interpolate, so a fix to the replay can never desync the two.
+
+    Expects an upstream CTE ``words(tok)`` holding the DISTINCT
+    non-whitespace pretokens (the encoder is word-wise — its lru_cache
+    is the same factoring) and emits ``ranks``, ``enc`` and
+    ``finals(tok, n_pieces)``. The greedy encoder
+    (functions/bpe.BPEEncoder._encode_word_raw) is deterministic given
+    its merge table: per word, repeatedly merge the occurrence with
+    the minimum (merge_rank, position) until no adjacent pair is
+    ranked. Each recursion step computes the argmin via
+    MIN(rank*1e6 + pos) over the unnested adjacent pairs joined to the
+    ranks table, splices the merge with list slicing, and stops when
+    the join finds nothing; the final state per word is the unique
+    minimum-length row. The 256-row merge table is embedded as a
+    VALUES literal generated from DEFAULT_ENCODER — a shared
+    deterministic constant like MINHASH_A_MULT, pinned by
+    tests/test_bpe.py and driver-verified end-to-end via bpe_vocab /
+    bpe_train. Contract caveats: with SPARK_GRAFT_NATIVE_BPE=1 the
+    Spark side swaps in a native tokenizer and these oracles no longer
+    apply (env gate documented in functions/bpe.get_token_counter,
+    absent in driver runs); the rank*1e6+pos argmin assumes pretokens
+    shorter than 1e6 chars (unreachable — the pretokenizer emits
+    character-class runs)."""
     from .functions.bpe import DEFAULT_ENCODER, EOW
 
     def esc(s: str) -> str:
@@ -5010,15 +5029,8 @@ def _token_count_bpe_sql() -> str:
         f"('{esc(a)}', '{esc(b)}', {r})"
         for r, (a, b) in enumerate(DEFAULT_ENCODER.merges)
     )
-    rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
-    return f"""
-        WITH RECURSIVE ranks AS MATERIALIZED (
+    return f"""ranks AS MATERIALIZED (
             SELECT * FROM (VALUES {vals}) AS t(a, b, mrank)
-        ), doc_toks AS MATERIALIZED (
-            SELECT doc_id, unnest(regexp_extract_all(text, '{rx}', 0)) AS tok
-            FROM documents
-        ), words AS MATERIALIZED (
-            SELECT DISTINCT tok FROM doc_toks WHERE trim(tok) != ''
         ), enc AS (
             SELECT tok,
                    list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym
@@ -5038,11 +5050,28 @@ def _token_count_bpe_sql() -> str:
             )
         ), finals AS (
             SELECT tok, MIN(len(sym)) AS n_pieces FROM enc GROUP BY tok
-        )
+        )"""
+
+
+def _token_count_bpe_sql() -> str:
+    """Per-document replay of the BPE encode kernel (shared CTEs:
+    _bpe_encode_ctes). Per-document count = sum over the document's
+    pretokens — whitespace runs count 1, as in encode_pieces — via
+    LEFT JOIN so empty docs keep a 0 row."""
+    ws_t = _BPE_IS_WS.format(col="t.tok")
+    ws_tok = _BPE_IS_WS.format(col="tok")
+    return f"""
+        WITH RECURSIVE doc_toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{_BPE_RX}', 0)) AS tok
+            FROM documents
+        ), words AS MATERIALIZED (
+            SELECT DISTINCT tok FROM doc_toks WHERE NOT {ws_tok}
+        ), {_bpe_encode_ctes()}
         SELECT d.doc_id,
                len(list_filter(regexp_split_to_array(d.text, '\\s+'),
                                x -> x <> '')) AS n_ws_tokens,
-               CAST(COALESCE(SUM(CASE WHEN trim(t.tok) = '' THEN 1
+               CAST(COALESCE(SUM(CASE WHEN {ws_t} THEN 1
                                       ELSE f.n_pieces END), 0) AS BIGINT)
                    AS n_bpe_tokens
         FROM documents d
@@ -5056,12 +5085,10 @@ ORACLES["token_count_bpe"] = _token_count_bpe_sql()
 
 
 def _seq_pack_bpe_sql() -> str:
-    """Composes the two already-verified replays into the tokenizer-
-    aware packer's oracle (flips seq_pack_bpe from rows-only to
-    hash-verified — the last open r09-ask-#4 row): the seq_pack
-    chunker (stride-30 windows of 40 whitespace tokens, verbatim from
-    ORACLES["seq_pack"]) feeds the recursive-CTE BPE encode kernel
-    (verbatim technique from _token_count_bpe_sql, applied to the
+    """Composes two already-verified replays into the tokenizer-aware
+    packer's oracle: the seq_pack chunker (stride-30 windows of 40
+    whitespace tokens, verbatim from ORACLES["seq_pack"]) feeds the
+    shared BPE encode kernel (_bpe_encode_ctes, applied to the
     distinct pretokens of the CHUNK texts — single-space re-joined, so
     every pretoken is a word with or without its leading space), and
     the per-chunk piece counts flow through the same naive-window
@@ -5069,20 +5096,10 @@ def _seq_pack_bpe_sql() -> str:
     invariant-equal to. Whitespace pretokens cannot occur here (the
     ' ?'-prefixed word classes absorb the single joining spaces), but
     the CASE keeps the counting rule identical to token_count_bpe's."""
-    from .functions.bpe import DEFAULT_ENCODER, EOW
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
-    vals = ",\n            ".join(
-        f"('{esc(a)}', '{esc(b)}', {r})"
-        for r, (a, b) in enumerate(DEFAULT_ENCODER.merges)
-    )
-    rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    ws_ct = _BPE_IS_WS.format(col="ct.tok")
+    ws_tok = _BPE_IS_WS.format(col="tok")
     return f"""
-        WITH RECURSIVE ranks AS MATERIALIZED (
-            SELECT * FROM (VALUES {vals}) AS t(a, b, mrank)
-        ), t AS MATERIALIZED (
+        WITH RECURSIVE t AS MATERIALIZED (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents
@@ -5098,32 +5115,14 @@ def _seq_pack_bpe_sql() -> str:
             )
         ), ctoks AS MATERIALIZED (
             SELECT doc_id, chunk_id,
-                   unnest(regexp_extract_all(chunk_text, '{rx}', 0)) AS tok
+                   unnest(regexp_extract_all(chunk_text, '{_BPE_RX}', 0))
+                       AS tok
             FROM c
         ), words AS MATERIALIZED (
-            SELECT DISTINCT tok FROM ctoks WHERE trim(tok) != ''
-        ), enc AS (
-            SELECT tok,
-                   list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym
-            FROM words
-            UNION ALL
-            SELECT tok,
-                   sym[1 : bi - 1] || [sym[bi] || sym[bi + 1]]
-                       || sym[bi + 2 : len(sym)] AS sym
-            FROM (
-                SELECT e.tok, e.sym,
-                       CAST(MIN(r.mrank * 1000000 + g.i) % 1000000 AS INT)
-                           AS bi
-                FROM enc e,
-                     UNNEST(generate_series(1, len(e.sym) - 1)) AS g(i)
-                JOIN ranks r ON r.a = e.sym[g.i] AND r.b = e.sym[g.i + 1]
-                GROUP BY e.tok, e.sym
-            )
-        ), finals AS (
-            SELECT tok, MIN(len(sym)) AS n_pieces FROM enc GROUP BY tok
-        ), cc AS (
+            SELECT DISTINCT tok FROM ctoks WHERE NOT {ws_tok}
+        ), {_bpe_encode_ctes()}, cc AS (
             SELECT ct.doc_id, ct.chunk_id,
-                   CAST(SUM(CASE WHEN trim(ct.tok) = '' THEN 1
+                   CAST(SUM(CASE WHEN {ws_ct} THEN 1
                                  ELSE f.n_pieces END) AS BIGINT)
                        AS n_chunk_tokens
             FROM ctoks ct

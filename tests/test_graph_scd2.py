@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -85,7 +87,11 @@ def test_is_big_graph_threshold_scales_with_sample_denom():
         # not (100 * 64 = 6400 < 60k would still flip — use a
         # threshold where only the denominator separates them).
         GR._BIG_GRAPH_LINEITEM_ROWS = 3_000
-        sf_dir = "/root/testdata/sf0.01"
+        # conftest.SF_ORACLE's env-aware lookup (tests/ is not a
+        # package, so replicate rather than import)
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01"
+        )
         assert GR._is_big_graph(sf_dir) is True
         assert GR._is_big_graph(sf_dir, sample_denom=64) is False
     finally:

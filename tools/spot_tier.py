@@ -27,7 +27,6 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     sf_dir, names = sys.argv[1], sys.argv[2:]
-    sys.path.insert(0, REPO)
     from bench import RUNS, force
 
     import __spark_entry__ as E
