@@ -71,35 +71,33 @@ _QUERIES: dict[str, QueryFn] = {
 
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-10 order, per VERDICT r09 ask #1 ("lead the
-    # prefix with the 32 r05-stale rows, cap new registrations
+    # round). Round-11 order, per VERDICT r10 ask #1 ("lead the
+    # prefix with the 32 r06-stale rows, cap new registrations
     # <=10"):
-    # 1. slots 1-32: the 32 queries whose newest driver row is r05
+    # 1. slots 1-32: the 32 queries whose newest driver row is r06
     #    (five rounds old — the staleness floor), in the
-    #    tools/staleness.py --order sequence (oldest-banked first,
-    #    prior relative order preserved). tools/check_oracles.py
-    #    replays them green on this HEAD, but the driver hash row is
-    #    the only EXTERNAL correctness signal.
-    # 2. the r10 NEW/CHANGED block (CAPPED <=10): CHANGED
-    #    bloom_semi_join (bitmap folded JVM-side via pos>>6 word agg,
-    #    VERDICT r09 ask #6 — bitmap deterministic, hash must be
-    #    identical) and triangle_count_sampled (big-graph threshold
-    #    scaled by the sample denominator, ADVICE r09); NEW
-    #    dedup_incremental_near (LSH-tier batch admission, ask #5),
-    #    dedup_containment and bigram_logprob; CHANGED oracle flips
-    #    token_count_bpe / seq_pack_bpe / bpe_train (ask #4 —
-    #    recursive-CTE encode replay + re-projected trainer replay).
-    # 3. the r06-banked block (42 queries, prior relative order) —
-    #    with 32 + ~6 prefix slots used, ~12 of these get r10 rows;
-    #    the rest are the r11 rotation's lead block. Keep new-query
+    #    tools/staleness.py --target 11 --order sequence
+    #    (oldest-banked first, prior relative order preserved).
+    #    tools/check_oracles.py replays them green on this HEAD, but
+    #    the driver hash row is the only EXTERNAL correctness signal.
+    # 2. the r11 NEW/CHANGED block (CAPPED <=10): CHANGED bpe_train +
+    #    bpe_vocab (trainer word filter now rejects the full ^\s+$
+    #    whitespace class like the encoder/replica, ADVICE r10 —
+    #    hash-neutral on the fixture, which has no tab/newline runs,
+    #    but the semantics changed so both re-drive); NEW
+    #    ann_recall_report (VERDICT r10 ask #4), dedup_suffix
+    #    (ask #5), stream_late_audit (ask #6).
+    # 3. the r07-banked block (45 queries, prior relative order) —
+    #    with 32 + ~5 prefix slots used, ~13 of these get r11 rows;
+    #    the rest are the r12 rotation's lead block. Keep new-query
     #    registration <=10/round so the tail keeps draining.
-    # 4. then the r07-banked, r08-banked, and r09-fresh blocks
+    # 4. then the r08-banked, r09-fresh, and r10-fresh blocks
     #    (oldest-first throughout, so next round's --order is the
     #    identity on this layout).
     # Every ordering decision is validated locally by
     # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
     # full-surface green at sf0.01, and
-    # tools/staleness.py --target 10 --check 25.
+    # tools/staleness.py --target 11 --check 25.
     # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
     # one bounded 1-row Spark job at plan-BUILD time (query-vector
     # fetch that plans its literal bucket predicate), q_bucketed_join
@@ -116,92 +114,8 @@ _QUERIES: dict[str, QueryFn] = {
     # builds without executing anything (streaming contract queries,
     # order_stat, and bloom_semi_join are intercepted by the lazy plan
     # twins in plans/analysis.py for the analysis tools).
-    # --- 1. newest driver row is r05 (staleness-floor refresh:
-    # these 32 lead the prefix, VERDICT r09 ask #1) ---
-    "skew_join": R.q_skew_join,
-    "embedding_quantize": S.q_embedding_quantize,
-    "compaction_plan": MT.q_compaction_plan,
-    "stream_wordcount": q_stream_wordcount,
-    "bucketed_join": MT.q_bucketed_join,
-    "stream_enrich": q_stream_enrich,
-    "dedup_ngram": D.q_dedup_ngram,
-    "csv_roundtrip": MT.q_csv_roundtrip,
-    "json_roundtrip": MT.q_json_roundtrip,
-    "orc_roundtrip": MT.q_orc_roundtrip,
-    "bm25_topk": TX.q_bm25_topk,
-    "training_shards": CP.q_training_shards,
-    "stream_event_recovery": q_stream_event_recovery,
-    "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
-    "events_partitioned": EV.q_events_partitioned,
-    "range_join": AJ.q_range_join,
-    "tpch_q6": TQ.q_tpch_q6,
-    "tpch_q5": TQ.q_tpch_q5,
-    "tpch_q10": TQ.q_tpch_q10,
-    "sql_cte_topnation": SQ.q_sql_cte_topnation,
-    "event_rollup": SQ.q_event_rollup,
-    "pivot_status": SQ.q_pivot_status,
-    "window_running": R.q_window_running,
-    "window_lag": R.q_window_lag,
-    "window_misc": R.q_window_misc,
-    "cube_agg": R.q_cube_agg,
-    "stats_agg": R.q_stats_agg,
-    "collect_agg": R.q_collect_agg,
-    "having": R.q_having,
-    "multi_join_agg": R.q_multi_join_agg,
-    "outer_join": R.q_outer_join,
-    "cross_join": R.q_cross_join,
-    # --- 2. r10 NEW/CHANGED (capped <=10) ---
-    # CHANGED: bloom_semi_join — the broadcast bitmap is now folded
-    # JVM-side (groupBy(pos >> 6) + bit_or word aggregate, ~16k words
-    # collected instead of <=1M positions; VERDICT r09 ask #6). The
-    # bitmap is deterministic, so the driver hash must be IDENTICAL
-    # to the r07 row. triangle_count_sampled — the big-graph
-    # SHUFFLE_HASH threshold now scales by the sample denominator so
-    # the 4x-sparsified edge set keeps its broadcast fast path
-    # (ADVICE r09).
-    "bloom_semi_join": R.q_bloom_semi_join,
-    "triangle_count_sampled": GR.q_triangle_count_sampled,
-    # NEW: incremental admission with the LSH near-dup tier — new-batch
-    # MinHash buckets probed against the standing corpus's banded
-    # bucket index (build side static, probe side the batch; no
-    # re-clustering). Same md5-prefix convention as dedup_minhash, so
-    # the oracle replays every bucket probe bit-for-bit (VERDICT r09
-    # ask #5).
-    "dedup_incremental_near": D.q_dedup_incremental_near,
-    # CHANGED (oracle flip, VERDICT r09 ask #4): token_count_bpe —
-    # the per-document BPE encode kernel now has a recursive-CTE
-    # DuckDB replay (oracles._token_count_bpe_sql), and seq_pack_bpe
-    # composes that encode replay with the already-verified seq_pack
-    # chunk/pack replay — both flip from rows-only to hash-verified
-    # and need a driven r10 row for the external hash signal.
-    "token_count_bpe": TK.q_token_count_bpe,
-    "seq_pack_bpe": TK.q_seq_pack_bpe,
-    # NEW: asymmetric shingle containment (|A∩B|/|A| ≥ 0.8, Broder's
-    # containment) — the doc-in-doc family Jaccard dedup misses; exact
-    # via one-sided prefix filtering against the full inverted index,
-    # verified against the naive all-pairs oracle.
-    "dedup_containment": D.q_dedup_containment,
-    # NEW: interpolated-bigram LM quality proxy (Jelinek–Mercer
-    # λ = 0.7) — the transition-level step up the KenLM ladder from
-    # unigram_logprob; all model tables are token-keyed aggregates of
-    # one transition matrix, text never re-shuffles.
-    "bigram_logprob": TX.q_bigram_logprob,
-    # CHANGED (oracle flip — the LAST rows-only row): bpe_train's
-    # output is bpe_vocab minus the derived `merged` column, so the
-    # r09 trainer-replay oracle covers it verbatim, re-projected.
-    # With this flip every registered query is hash-verified.
-    "bpe_train": TK.q_bpe_train,
-    # --- 3. newest driver row was r06 ---
-    "attribution": EV.q_attribution,
-    "funnel_windowed": EV.q_funnel_windowed,
-    "source_overlap": TX.q_source_overlap,
-    "table_diff": MT.q_table_diff,
-    "dq_report": MT.q_dq_report,
-    "bfs_reach": GR.q_bfs_reach,
-    "max_concurrency": EV.q_max_concurrency,
-    "order_stat": R.q_order_stat,
-    "resample_ohlc": EV.q_resample_ohlc,
-    "pps_sample": TX.q_pps_sample,
+    # --- 1. newest driver row is r06 (staleness-floor refresh:
+    # these 32 lead the prefix, VERDICT r10 ask #1) ---
     "png_meta": MM.q_png_meta,
     "jpeg_meta": MM.q_jpeg_meta,
     "stream_foreach_upsert": q_stream_foreach_upsert,
@@ -234,7 +148,22 @@ _QUERIES: dict[str, QueryFn] = {
     "media_meta": MM.q_media_meta,
     "corpus_pipeline": CP.q_corpus_pipeline,
     "fuzzy_name_match": D.q_fuzzy_name_match,
-    # --- 4. newest driver row was r07 ---
+    # --- 2. r11 NEW/CHANGED (capped <=10) ---
+    # CHANGED (ADVICE r10): the distributed trainer's word filter and
+    # its oracle's now reject the full ^\s+$ whitespace class —
+    # previously Spark F.trim / DuckDB trim() dropped only SPACE runs,
+    # so a tab/newline run would have entered the vocab as a mergeable
+    # "word" while encode_pieces and the pure-Python replica
+    # (functions/bpe.py, tok.strip()) treat it as a 1-piece whitespace
+    # token. Hash-neutral on the fixture (no tab/newline runs in
+    # documents.text) but the semantics changed, so both re-drive.
+    "bpe_train": TK.q_bpe_train,
+    "bpe_vocab": TK.q_bpe_vocab,
+    # (r11 NEW registrations — ann_recall_report / dedup_suffix /
+    # stream_late_audit per VERDICT r10 asks #4/#5/#6 — are inserted
+    # here by their implementation commits later this round.)
+    # --- 3. newest driver row was r07 (first ~13 fall inside the
+    # ~50-slot driven prefix; the rest lead the r12 rotation) ---
     "sssp": GR.q_sssp,
     "ewma_smooth": EV.q_ewma_smooth,
     "stream_ewma": q_stream_ewma,
@@ -280,7 +209,7 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
     "mixture_rebalance": TX.q_mixture_rebalance,
-    # --- 5. newest driver row was r08 (wave notes in the r08 git
+    # --- 4. newest driver row was r08 (wave notes in the r08 git
     # history) ---
     "unigram_logprob": TX.q_unigram_logprob,
     "source_dup_stats": D.q_source_dup_stats,
@@ -328,11 +257,11 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q2": TQ.q_tpch_q2,
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
-    # --- 6. r09-fresh block (newest rows — last in line). First the
-    # 34 rows the r09 rotation refreshed, then the r09 NEW/CHANGED
-    # block (sketch bound contracts, bpe_vocab, hybrid_rrf,
-    # hll_bound, triangle_count), then the 8 r05-banked rows that
-    # fell inside the r09 prefix. ---
+    # --- 5. r09-fresh block. First the 34 rows the r09 rotation
+    # refreshed, then the r09 NEW/CHANGED block (sketch bound
+    # contracts, hybrid_rrf, hll_bound, triangle_count; bpe_vocab
+    # moved up to the r11 changed block), then the 8 r05-banked rows
+    # that fell inside the r09 prefix. ---
     "stream_event_tumbling": q_stream_event_tumbling,
     "stream_event_session": q_stream_event_session,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
@@ -371,7 +300,6 @@ _QUERIES: dict[str, QueryFn] = {
     "approx_agg": R.q_approx_agg,
     "rolling_hll": EV.q_rolling_hll,
     "hll_distinct": R.q_hll_distinct,
-    "bpe_vocab": TK.q_bpe_vocab,
     "hybrid_rrf": TX.q_hybrid_rrf,
     "hll_bound": R.q_hll_bound,
     "triangle_count": GR.q_triangle_count,
@@ -383,6 +311,63 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "stream_profile": q_stream_profile,
+    # --- 6. r10-fresh block (newest rows — last in line). First the
+    # 32 r05-banked rows the r10 rotation refreshed, then the r10
+    # NEW/CHANGED block (bloom_semi_join JVM-folded bitmap,
+    # triangle_count_sampled, dedup_incremental_near,
+    # token_count_bpe/seq_pack_bpe recursive-CTE oracle flips,
+    # dedup_containment, bigram_logprob; bpe_train moved up to the
+    # r11 changed block), then the 10 r06-banked rows that fell
+    # inside the r10 prefix. ---
+    "skew_join": R.q_skew_join,
+    "embedding_quantize": S.q_embedding_quantize,
+    "compaction_plan": MT.q_compaction_plan,
+    "stream_wordcount": q_stream_wordcount,
+    "bucketed_join": MT.q_bucketed_join,
+    "stream_enrich": q_stream_enrich,
+    "dedup_ngram": D.q_dedup_ngram,
+    "csv_roundtrip": MT.q_csv_roundtrip,
+    "json_roundtrip": MT.q_json_roundtrip,
+    "orc_roundtrip": MT.q_orc_roundtrip,
+    "bm25_topk": TX.q_bm25_topk,
+    "training_shards": CP.q_training_shards,
+    "stream_event_recovery": q_stream_event_recovery,
+    "dedup_incremental_2batch": D.q_dedup_incremental_2batch,
+    "events_partitioned": EV.q_events_partitioned,
+    "range_join": AJ.q_range_join,
+    "tpch_q6": TQ.q_tpch_q6,
+    "tpch_q5": TQ.q_tpch_q5,
+    "tpch_q10": TQ.q_tpch_q10,
+    "sql_cte_topnation": SQ.q_sql_cte_topnation,
+    "event_rollup": SQ.q_event_rollup,
+    "pivot_status": SQ.q_pivot_status,
+    "window_running": R.q_window_running,
+    "window_lag": R.q_window_lag,
+    "window_misc": R.q_window_misc,
+    "cube_agg": R.q_cube_agg,
+    "stats_agg": R.q_stats_agg,
+    "collect_agg": R.q_collect_agg,
+    "having": R.q_having,
+    "multi_join_agg": R.q_multi_join_agg,
+    "outer_join": R.q_outer_join,
+    "cross_join": R.q_cross_join,
+    "bloom_semi_join": R.q_bloom_semi_join,
+    "triangle_count_sampled": GR.q_triangle_count_sampled,
+    "dedup_incremental_near": D.q_dedup_incremental_near,
+    "token_count_bpe": TK.q_token_count_bpe,
+    "seq_pack_bpe": TK.q_seq_pack_bpe,
+    "dedup_containment": D.q_dedup_containment,
+    "bigram_logprob": TX.q_bigram_logprob,
+    "attribution": EV.q_attribution,
+    "funnel_windowed": EV.q_funnel_windowed,
+    "source_overlap": TX.q_source_overlap,
+    "table_diff": MT.q_table_diff,
+    "dq_report": MT.q_dq_report,
+    "bfs_reach": GR.q_bfs_reach,
+    "max_concurrency": EV.q_max_concurrency,
+    "order_stat": R.q_order_stat,
+    "resample_ohlc": EV.q_resample_ohlc,
+    "pps_sample": TX.q_pps_sample,
 }
 
 
