@@ -178,7 +178,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = docs.select(F.explode(F.expr(_PRETOKEN_SQL)).alias("tok"))
     words = (
-        toks.where(F.trim(F.col("tok")) != "")
+        # Reject the SAME ^\s+$ whitespace class the encoder
+        # (functions/bpe.encode_pieces, tok.strip()) and the oracle
+        # (_BPE_IS_WS) use — F.trim strips SPACES only, so a
+        # tab/newline run would otherwise enter the vocab as a
+        # mergeable "word" while encode treats it as a 1-piece
+        # whitespace token (ADVICE r10; same class as the r10 encode-
+        # oracle fix in commit e91f804).
+        toks.where(~F.col("tok").rlike(r"^\s+$"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )

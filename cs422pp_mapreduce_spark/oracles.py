@@ -4867,6 +4867,12 @@ def _bpe_vocab_sql() -> str:
     from .operators.tokenize import N_TRAIN_MERGES
 
     rx = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    # Same ^\s+$ whitespace-run class as the Spark trainer's word
+    # filter, the encoder, and _BPE_IS_WS — NOT trim(tok) != '':
+    # DuckDB trim() strips SPACES only, so a tab/newline run would
+    # stay a "word" here while the replica (tok.strip()) drops it
+    # (ADVICE r10).
+    ws_rx = r"^\s+$"
     n_merges, batch, cands = N_TRAIN_MERGES, BPE_BATCH_MERGES, BPE_PASS_CANDIDATES
     passes = 2 * ((n_merges + batch - 1) // batch)
     parts = [
@@ -4876,7 +4882,7 @@ def _bpe_vocab_sql() -> str:
         FROM documents),
     words AS MATERIALIZED (
         SELECT tok, COUNT(*) AS n FROM toks
-        WHERE trim(tok) != '' GROUP BY tok),
+        WHERE NOT regexp_matches(tok, '{ws_rx}') GROUP BY tok),
     vocab_0 AS MATERIALIZED (
         SELECT tok, n,
                list_append(regexp_split_to_array(tok, ''), '{EOW}') AS sym

@@ -296,3 +296,100 @@ def test_bpe_vocab_oracle_replays_trainer_in_duckdb(sf_dir):
         (i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
     )
     assert got == want
+
+
+def test_bpe_trainer_rejects_tab_newline_words(spark, tmp_path):
+    """ADVICE r10: the trainer's word filter must reject the FULL
+    ^\\s+$ whitespace class, not just space runs (F.trim / DuckDB
+    trim() are space-only). On a corpus where tab runs are the most
+    frequent adjacency, the old filter let Spark and its oracle learn
+    a ('\\t','\\t') merge in lockstep (gate-green) while the replica
+    and the encoder treat whitespace runs as 1-piece tokens — this
+    pins all THREE implementations to one whitespace rule on exactly
+    that corpus."""
+    import duckdb
+
+    from cs422pp_mapreduce_spark.functions.bpe import EOW, pretokenize
+    from cs422pp_mapreduce_spark.operators.tokenize import q_bpe_train
+    from cs422pp_mapreduce_spark.oracles import ORACLES
+
+    texts = ["ab\t\tab\t\tab\n\n\tcd\t\tcd" for _ in range(9)] + [
+        "ab cd ab\t\t\tcd",
+        "\t\t\t\t",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+
+    rows = q_bpe_train(spark, str(tmp_path)).collect()
+    got = [(r["left"], r["right"], r["pair_count"]) for r in rows]
+    # no learned symbol may contain a tab/newline — whitespace RUNS
+    # never enter the vocabulary as words (a single leading SPACE is
+    # legitimately part of ` ?[A-Za-z]+` pretokens)
+    assert got, "trainer learned nothing on the tab corpus"
+    assert all(
+        not any(ch in "\t\n\r\x0b\f" for ch in a + b) for a, b, _ in got
+    ), got
+
+    # replica (per-document, same loop the trainer batches): identical
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for tok in pretokenize(t):
+            if tok.strip():
+                vocab[tuple(tok) + (EOW,)] += 1
+    from cs422pp_mapreduce_spark.functions.bpe import (
+        BPE_BATCH_MERGES,
+        BPE_PASS_CANDIDATES,
+    )
+    from cs422pp_mapreduce_spark.operators.tokenize import N_TRAIN_MERGES
+
+    merges: list = []
+    while len(merges) < N_TRAIN_MERGES:
+        pairs: Counter = Counter()
+        for word, n in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += n
+        if not pairs:
+            break
+        cands = sorted(
+            pairs.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )[:BPE_PASS_CANDIDATES]
+        cap = min(BPE_BATCH_MERGES, N_TRAIN_MERGES - len(merges))
+        used: set = set()
+        accepted = []
+        for (a, b), cnt in cands:
+            if len(accepted) >= cap:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b, cnt))
+            used.update((a, b, a + b))
+        pairset = {(a, b): a + b for a, b, _ in accepted}
+        nv: Counter = Counter()
+        for word, n in vocab.items():
+            out: list = []
+            for sym in word:
+                if out and (out[-1], sym) in pairset:
+                    out[-1] = pairset[(out[-1], sym)]
+                else:
+                    out.append(sym)
+            nv[tuple(out)] += n
+        vocab = nv
+        merges.extend(accepted)
+    assert got == [(a, b, c) for a, b, c in merges]
+
+    # DuckDB oracle on the same corpus: identical too (three-way lock)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    got_sql = sorted(con.sql(ORACLES["bpe_vocab"]).fetchall())
+    want_sql = sorted(
+        (i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
+    )
+    assert got_sql == want_sql
