@@ -159,9 +159,17 @@ _QUERIES: dict[str, QueryFn] = {
     # documents.text) but the semantics changed, so both re-drive.
     "bpe_train": TK.q_bpe_train,
     "bpe_vocab": TK.q_bpe_vocab,
-    # (r11 NEW registrations — ann_recall_report / dedup_suffix /
-    # stream_late_audit per VERDICT r10 asks #4/#5/#6 — are inserted
-    # here by their implementation commits later this round.)
+    # NEW (VERDICT r10 ask #4): ann_recall_report — recall@10 of the
+    # three ANN index shapes (sign-LSH / IVF / PQ) against the EXACT
+    # neighbors of the fixed knn_join query batch, each under its own
+    # ranking metric. The batched probe path is new; every index
+    # artifact and distance convention it composes is already
+    # hash-verified, so the family's recall QUALITY claim becomes a
+    # driver-verified artifact.
+    "ann_recall_report": S.q_ann_recall_report,
+    # (r11 NEW registrations — dedup_suffix / stream_late_audit per
+    # VERDICT r10 asks #5/#6 — are inserted here by their
+    # implementation commits later this round.)
     # --- 3. newest driver row was r07 (first ~13 fall inside the
     # ~50-slot driven prefix; the rest lead the r12 rotation) ---
     "sssp": GR.q_sssp,

@@ -240,8 +240,11 @@ def main() -> None:
         from cs422pp_mapreduce_spark.operators.similarity import (
             evict_index_caches,
         )
+        from cs422pp_mapreduce_spark.session import evict_scratch
+
         evict_index_caches(spark)
         evict_cluster_cache(spark)
+        evict_scratch(spark)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint_md5, nonempty_tokens
-from ..session import default_parallelism
+from ..session import default_parallelism, scratch_persist
 from ..sources.catalog import load_table
 
 # MinHash/LSH defaults: 32 hashes in 8 bands of 4 → catches Jaccard
@@ -277,13 +277,15 @@ def containment_pairs(docs: DataFrame, t: float = CONTAIN_THRESHOLD) -> DataFram
     dedup_ngram convention: xxhash64 once up front, content never
     re-shuffles)."""
     sh = _doc_shingles(docs)
-    shh = sh.select(
+    shh = scratch_persist(sh.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     # ^ referenced by the prefix build, the index side, and both
     # verify joins — materialized once, the cluster-scale analog of a
-    # checkpointed hashed-shingle table.
+    # checkpointed hashed-shingle table. scratch_persist: evictable
+    # via session.evict_scratch (ADVICE r10 — no in-query unpersist
+    # point exists for a lazily-returned DataFrame).
     inv = shh.select(
         "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("hsh")
     )
@@ -296,11 +298,12 @@ def containment_pairs(docs: DataFrame, t: float = CONTAIN_THRESHOLD) -> DataFram
                 "ordered"
             )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ranked = scratch_persist(ranked)
     # ^ consumed by BOTH sides of the candidate join (inner prefixes
     # and the positioned index) — without the persist the df-count +
-    # canonical-order pipeline executes twice per run.
+    # canonical-order pipeline executes twice per run. Evictable via
+    # session.evict_scratch (ADVICE r10).
     n = F.size("ordered")
     plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
     pref = ranked.select(
@@ -1333,13 +1336,13 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
         .select("doc_id", "n_batch_copies")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    reps = scratch_persist(reps)
     # ^ consumed by the probe-signature build AND the final report
     # join — without the persist the exact-tier anti-join pipeline
     # runs twice (measured ~4.6 s/run at the local sf3 tier).
 
-    sh = _doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scratch_persist(_doc_shingles(docs))
     # Build side: the standing corpus's banded buckets (the static
     # index). Probe side: only the exact-tier survivors' buckets.
     corpus_bands = lsh_band_buckets(
@@ -1360,8 +1363,8 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.doc_id").alias("dup_doc"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand = scratch_persist(cand)
     # ^ the candidate table feeds BOTH the verify branch (near_n) and
     # the candidate-count branch (cand_n); without the persist the
     # entire corpus+probe signature/banding pipeline executes twice

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..session import scratch_persist
 from ..sources.catalog import load_table
 
 TOP_K = 10
@@ -1281,4 +1282,176 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(i, v[i], rayleigh) for i in range(dim)]
     return spark.createDataFrame(
         out, "pos int, v long, rayleigh double"
+    )
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY contract (VERDICT r10 ask #4): recall@{TOP_K} of
+    the three ANN index shapes — banded sign-LSH, IVF probe, PQ
+    ADC+re-rank — against the EXACT neighbors of the fixed
+    deterministic query batch (vec_id < KNN_Q, the knn_join split),
+    as one driver-hashable report row per index.
+
+    This is the batched form of ann_lsh / ann_ivf / ann_pq: the same
+    index artifacts (sign_band_buckets signatures, build_ivf_index's
+    Lloyd fit, build_pq_index's codebooks), but probed by a query SET
+    through distributed joins instead of one literal predicate — the
+    retrieval-eval shape a 100 TB pipeline runs (corpus-sized scans,
+    per-query work fanned out by broadcast of the tiny probe tables).
+    Ground truth: exact cosine top-K for lsh/ivf (their ranking
+    metric), exact quantized-integer L2 top-K for pq (its metric).
+    Every stage reuses the family's hash-verified deterministic
+    conventions (unrounded-double cosine ranking with vec_id
+    tiebreak, Σ floor((x−y)²·1e15) integer distances), so the report
+    itself is hash-verified by the composed DuckDB oracle — recall
+    numbers are driver-checked artifacts, not pytest pins.
+
+    Bounded driver work, declared per the ann_lsh/ann_ivf contract
+    note: one KNN_Q×dim query-batch collect at build time feeds the
+    driver-side probe-cell pick (KNN_Q×IVF_K dq evaluations) and the
+    PQ LUTs (KNN_Q×PQ_M×PQ_K integer entries shipped back as a
+    broadcast literal table) — index METADATA, not data. One
+    corpus×queries scored pass is shared by all five top-K branches
+    (scratch-persisted; evicted via evict_scratch)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    queries = vecs.where(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    corpus = vecs.where(F.col("vec_id") >= KNN_Q)
+
+    # ONE corpus×queries pass scores BOTH metrics; 5 downstream
+    # branches consume it (exact-cos, exact-l2, 3 re-ranks) — persist
+    # or the whole scan×broadcast re-executes per branch (the
+    # dedup_incremental_near r10 lesson).
+    scored = scratch_persist(
+        corpus.join(F.broadcast(queries)).select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("vec"), F.col("qvec")).alias("sim"),
+            _sqdist_q("vec", F.col("qvec")).alias("l2q"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy("l2q", "vec_id")
+
+    def topk(df: DataFrame, w) -> DataFrame:
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    exact_cos = scratch_persist(topk(scored, w_cos))  # truth ×2
+    exact_l2 = topk(scored, w_l2)
+
+    # --- LSH: candidates share ≥1 band bucket with the query ---
+    bands = sign_band_buckets(spark, vecs)
+    qb = bands.where(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    lsh_cand = (
+        bands.where(F.col("vec_id") >= KNN_Q)
+        .join(F.broadcast(qb), ["band", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    lsh_topk = topk(lsh_cand.join(scored, ["query_id", "vec_id"]), w_cos)
+
+    # --- IVF: probe the NPROBE nearest cells per query ---
+    centroids, assigned = build_ivf_index(spark, sf_dir)
+    qrows = queries.collect()  # KNN_Q×dim: bounded, declared above
+    qmap = {
+        int(r["query_id"]): [float(x) for x in r["qvec"]] for r in qrows
+    }
+
+    def dq(qv: list[float], c: list[float]) -> int:
+        return sum(
+            int(math.floor((qi - ci) * (qi - ci) * 1e15))
+            for qi, ci in zip(qv, c)
+        )
+
+    probe_rows = [
+        (qid, int(cell))
+        for qid in sorted(qmap)
+        for cell in sorted(
+            range(len(centroids)),
+            key=lambda i: (dq(qmap[qid], centroids[i]), i),
+        )[:IVF_NPROBE]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    ivf_cand = (
+        assigned.where(F.col("vec_id") >= KNN_Q)
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id")
+    )
+    ivf_topk = topk(ivf_cand.join(scored, ["query_id", "vec_id"]), w_cos)
+
+    # --- PQ: ADC shortlist per query, exact-L2 re-rank ---
+    books, codes = build_pq_index(spark, sf_dir)
+    lut_rows = [
+        (
+            qid,
+            m,
+            c,
+            sum(
+                int(math.floor((qi - ci) * (qi - ci) * 1e15))
+                for qi, ci in zip(
+                    qmap[qid][m * PQ_DSUB : (m + 1) * PQ_DSUB],
+                    books[m][c],
+                )
+            ),
+        )
+        for qid in sorted(qmap)
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, dq long"
+    )
+    adc = (
+        codes.where(F.col("vec_id") >= KNN_Q)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").alias("adcq"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adcq", "vec_id")
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w_adc))
+        .where(F.col("rank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    pq_topk = topk(shortlist.join(scored, ["query_id", "vec_id"]), w_l2)
+
+    def recall_row(name: str, ann: DataFrame, truth: DataFrame) -> DataFrame:
+        hits = ann.withColumn("hit", F.lit(1))
+        return (
+            truth.join(hits, ["query_id", "vec_id"], "left")
+            .agg(
+                F.countDistinct("query_id").alias("nq"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("num"),
+                F.count(F.lit(1)).alias("den"),
+            )
+            .select(
+                F.lit(name).alias("index_name"),
+                F.col("nq").cast("long").alias("n_queries"),
+                F.col("num").cast("long").alias("recall_num"),
+                F.col("den").cast("long").alias("recall_den"),
+                (F.round(F.col("num") / F.col("den"), 4) + 0.0).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    return (
+        recall_row("lsh", lsh_topk, exact_cos)
+        .unionAll(recall_row("ivf", ivf_topk, exact_cos))
+        .unionAll(recall_row("pq", pq_topk, exact_l2))
+        .orderBy("index_name")
     )

@@ -3664,65 +3664,77 @@ ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 # of PQ_M lookups; shortlist/top-k order on the exact integers with
 # vec_id tiebreak; output distance reconstructed via the
 # VARCHAR-routed int→double /1e15 convention, rounded to 6.
+def _pq_fit_ctes() -> str:
+    """The PQ per-subspace Lloyd-fit CTE chain, name-prefixed ``pq``
+    so it composes with _kmeans_ctes (whose d/a/u names would
+    otherwise collide) inside one statement. Expects ``vv(vec_id, e)``
+    in scope; ends with ``pqa{PQ_ITERS+1}`` (the final codes table,
+    computed against the shipped books) and ``pqb{PQ_ITERS}`` (the
+    shipped codebooks). Shared by the ann_pq oracle and the
+    ann_recall_report composition."""
+    from .operators.similarity import PQ_DSUB, PQ_ITERS, PQ_K
+
+    sql = f""", pqsflat AS (
+            SELECT vec_id, CAST((i - 1) // {PQ_DSUB} AS INT) AS m,
+                   CAST((i - 1) % {PQ_DSUB} AS INT) AS pos, e[i] AS x
+            FROM vv, UNNEST(generate_series(1, len(e))) AS u(i)
+        ), pqfirstk AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM vv ORDER BY vec_id LIMIT {PQ_K}
+        ), pqb0 AS (
+            SELECT s.m, f.cell, s.pos, s.x AS c
+            FROM pqfirstk f JOIN pqsflat s USING (vec_id)
+        )"""
+    for it in range(1, PQ_ITERS + 2):
+        prev = f"pqb{it - 1}"
+        sql += f""", pqd{it} AS (
+            SELECT s.vec_id, s.m, b.cell,
+                   SUM(CAST(FLOOR((s.x - b.c) * (s.x - b.c) * 1e15)
+                            AS HUGEINT)) AS d2q
+            FROM pqsflat s JOIN {prev} b ON b.m = s.m AND b.pos = s.pos
+            GROUP BY s.vec_id, s.m, b.cell
+        ), pqa{it} AS (
+            SELECT vec_id, m, cell AS code FROM (
+                SELECT vec_id, m, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2q, cell) AS rn
+                FROM pqd{it}
+            ) WHERE rn = 1
+        )"""
+        if it <= PQ_ITERS:
+            sql += f""", pqu{it} AS (
+            SELECT a.m, a.code AS cell, s.pos,
+                   ((CAST(CAST(SUM(CAST(FLOOR(s.x * 1e15) AS HUGEINT))
+                               AS VARCHAR) AS DOUBLE) / 1e15)
+                    / COUNT(*)) AS c
+            FROM pqa{it} a
+            JOIN pqsflat s ON s.vec_id = a.vec_id AND s.m = a.m
+            GROUP BY a.m, a.code, s.pos
+        ), pqb{it} AS (
+            SELECT p.m, p.cell, p.pos, COALESCE(u.c, p.c) AS c
+            FROM {prev} p LEFT JOIN pqu{it} u
+              ON u.m = p.m AND u.cell = p.cell AND u.pos = p.pos
+        )"""
+    return sql
+
+
 def _ann_pq_sql() -> str:
     from .operators.similarity import (
-        PQ_DSUB,
         PQ_ITERS,
-        PQ_K,
-        PQ_M,
         PQ_SHORTLIST,
         QUERY_VEC_ID,
         TOP_K,
     )
 
-    sql = f"""
+    final_a = f"pqa{PQ_ITERS + 1}"
+    final_b = f"pqb{PQ_ITERS}"
+    sql = """
         WITH vv AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        ), sflat AS (
-            SELECT vec_id, CAST((i - 1) // {PQ_DSUB} AS INT) AS m,
-                   CAST((i - 1) % {PQ_DSUB} AS INT) AS pos, e[i] AS x
-            FROM vv, UNNEST(generate_series(1, len(e))) AS u(i)
-        ), firstk AS (
-            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-            FROM vv ORDER BY vec_id LIMIT {PQ_K}
-        ), b0 AS (
-            SELECT s.m, f.cell, s.pos, s.x AS c
-            FROM firstk f JOIN sflat s USING (vec_id)
         )"""
-    for it in range(1, PQ_ITERS + 2):
-        prev = f"b{it - 1}"
-        sql += f""", d{it} AS (
-            SELECT s.vec_id, s.m, b.cell,
-                   SUM(CAST(FLOOR((s.x - b.c) * (s.x - b.c) * 1e15)
-                            AS HUGEINT)) AS d2q
-            FROM sflat s JOIN {prev} b ON b.m = s.m AND b.pos = s.pos
-            GROUP BY s.vec_id, s.m, b.cell
-        ), a{it} AS (
-            SELECT vec_id, m, cell AS code FROM (
-                SELECT vec_id, m, cell,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                          ORDER BY d2q, cell) AS rn
-                FROM d{it}
-            ) WHERE rn = 1
-        )"""
-        if it <= PQ_ITERS:
-            sql += f""", u{it} AS (
-            SELECT a.m, a.code AS cell, s.pos,
-                   ((CAST(CAST(SUM(CAST(FLOOR(s.x * 1e15) AS HUGEINT))
-                               AS VARCHAR) AS DOUBLE) / 1e15)
-                    / COUNT(*)) AS c
-            FROM a{it} a
-            JOIN sflat s ON s.vec_id = a.vec_id AND s.m = a.m
-            GROUP BY a.m, a.code, s.pos
-        ), b{it} AS (
-            SELECT p.m, p.cell, p.pos, COALESCE(u.c, p.c) AS c
-            FROM {prev} p LEFT JOIN u{it} u
-              ON u.m = p.m AND u.cell = p.cell AND u.pos = p.pos
-        )"""
-    final_a = f"a{PQ_ITERS + 1}"
-    final_b = f"b{PQ_ITERS}"
+    sql += _pq_fit_ctes()
     sql += f""", qflat AS (
-            SELECT m, pos, x AS qx FROM sflat
+            SELECT m, pos, x AS qx FROM pqsflat
             WHERE vec_id = {QUERY_VEC_ID}
         ), lut AS (
             SELECT b.m, b.cell,
@@ -3744,7 +3756,7 @@ def _ann_pq_sql() -> str:
                    SUM(CAST(FLOOR((f.x - q.qx) * (f.x - q.qx) * 1e15)
                             AS HUGEINT)) AS l2q
             FROM short s
-            JOIN sflat f USING (vec_id)
+            JOIN pqsflat f USING (vec_id)
             JOIN qflat q ON q.m = f.m AND q.pos = f.pos
             GROUP BY s.vec_id
         )
@@ -3757,6 +3769,148 @@ def _ann_pq_sql() -> str:
 
 
 ORACLES["ann_pq"] = _ann_pq_sql()
+
+
+# ANN recall contract (r11, VERDICT r10 ask #4): the batched form of
+# the three ANN oracles above, composed in ONE statement — the
+# kmeans fit chain (ann_ivf's), the sign-LSH signature replica
+# (ann_lsh's), and the prefixed PQ fit chain (ann_pq's) — probed by
+# the knn_join query batch (vec_id < KNN_Q), each index's top-K
+# joined against the EXACT top-K under its own ranking metric
+# (unrounded-double cosine for lsh/ivf, quantized-integer L2 for pq).
+# Every building block is individually hash-verified; this row turns
+# the family's recall QUALITY claim into a driver-verified artifact.
+def _ann_recall_sql() -> str:
+    from .operators.similarity import (
+        IVF_ITERS,
+        IVF_NPROBE,
+        PQ_ITERS,
+        PQ_SHORTLIST,
+        TOP_K,
+    )
+
+    fa, fc = f"a{IVF_ITERS}", f"c{IVF_ITERS}"
+    pa, pb = f"pqa{PQ_ITERS + 1}", f"pqb{PQ_ITERS}"
+
+    def _topk(name: str, src: str, order: str) -> str:
+        return f""", {name} AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY {order}) AS rn
+                FROM {src}
+            ) WHERE rn <= {TOP_K}
+        )"""
+
+    def _report(name: str, ann: str, truth: str) -> str:
+        return f"""
+            SELECT '{name}' AS index_name,
+                   CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+                   CAST(COUNT(a.vec_id) AS BIGINT) AS recall_num,
+                   CAST(COUNT(*) AS BIGINT) AS recall_den,
+                   ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4)
+                       + 0.0 AS recall
+            FROM {truth} t LEFT JOIN {ann} a
+              ON a.query_id = t.query_id AND a.vec_id = t.vec_id"""
+
+    return (
+        _kmeans_ctes()
+        + ", vecs AS (SELECT vec_id, e AS v FROM vv), "
+        + _SIGNLSH_BANDS_CTE
+        + _pq_fit_ctes()
+        + f""", qs AS (
+            SELECT vec_id AS query_id, e AS qvec FROM vv
+            WHERE vec_id < {KNN_Q}
+        ), scored AS (
+            SELECT q.query_id, v.vec_id,
+                   list_cosine_similarity(v.e, q.qvec) AS sim
+            FROM vv v CROSS JOIN qs q WHERE v.vec_id >= {KNN_Q}
+        ), qvflat AS (
+            SELECT vec_id AS query_id, pos, v AS qx FROM vflat
+            WHERE vec_id < {KNN_Q}
+        ), l2s AS (
+            SELECT q.query_id, f.vec_id,
+                   SUM(CAST(FLOOR((f.v - q.qx) * (f.v - q.qx) * 1e15)
+                            AS HUGEINT)) AS l2q
+            FROM vflat f JOIN qvflat q ON q.pos = f.pos
+            WHERE f.vec_id >= {KNN_Q}
+            GROUP BY q.query_id, f.vec_id
+        )"""
+        + _topk("exact_cos", "scored", "sim DESC, vec_id")
+        + _topk("exact_l2", "l2s", "l2q, vec_id")
+        + f""", lqb AS (
+            SELECT vec_id AS query_id, band, bucket FROM sbands
+            WHERE vec_id < {KNN_Q}
+        ), lcand AS (
+            SELECT DISTINCT q.query_id, s.vec_id, sc.sim
+            FROM sbands s
+            JOIN lqb q ON s.band = q.band AND s.bucket = q.bucket
+            JOIN scored sc
+              ON sc.query_id = q.query_id AND sc.vec_id = s.vec_id
+            WHERE s.vec_id >= {KNN_Q}
+        )"""
+        + _topk("lsh_topk", "lcand", "sim DESC, vec_id")
+        + f""", pdq AS (
+            SELECT q.query_id, c.cell,
+                   SUM(CAST(FLOOR((q.qx - c.c) * (q.qx - c.c) * 1e15)
+                            AS HUGEINT)) AS dq
+            FROM {fc} c JOIN qvflat q ON q.pos = c.pos
+            GROUP BY q.query_id, c.cell
+        ), probes AS (
+            SELECT query_id, cell FROM (
+                SELECT query_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dq, cell) AS rn
+                FROM pdq
+            ) WHERE rn <= {IVF_NPROBE}
+        ), icand AS (
+            SELECT p.query_id, a.vec_id, sc.sim
+            FROM {fa} a
+            JOIN probes p ON a.cell = p.cell
+            JOIN scored sc
+              ON sc.query_id = p.query_id AND sc.vec_id = a.vec_id
+            WHERE a.vec_id >= {KNN_Q}
+        )"""
+        + _topk("ivf_topk", "icand", "sim DESC, vec_id")
+        + f""", pqf AS (
+            SELECT vec_id AS query_id, m, pos, x AS qx FROM pqsflat
+            WHERE vec_id < {KNN_Q}
+        ), plut AS (
+            SELECT q.query_id, b.m, b.cell,
+                   SUM(CAST(FLOOR((q.qx - b.c) * (q.qx - b.c) * 1e15)
+                            AS HUGEINT)) AS dq
+            FROM {pb} b JOIN pqf q ON q.m = b.m AND q.pos = b.pos
+            GROUP BY q.query_id, b.m, b.cell
+        ), padc AS (
+            SELECT l.query_id, a.vec_id, SUM(l.dq) AS adcq
+            FROM {pa} a JOIN plut l ON l.m = a.m AND l.cell = a.code
+            WHERE a.vec_id >= {KNN_Q}
+            GROUP BY l.query_id, a.vec_id
+        )"""
+        + f""", pshort AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adcq, vec_id) AS rn
+                FROM padc
+            ) WHERE rn <= {PQ_SHORTLIST}
+        )"""
+        + """, prer AS (
+            SELECT s.query_id, s.vec_id, l.l2q
+            FROM pshort s JOIN l2s l
+              ON l.query_id = s.query_id AND l.vec_id = s.vec_id
+        )"""
+        + _topk("pq_topk", "prer", "l2q, vec_id")
+        + f"""
+        SELECT * FROM ({_report("ivf", "ivf_topk", "exact_cos")}
+            UNION ALL {_report("lsh", "lsh_topk", "exact_cos")}
+            UNION ALL {_report("pq", "pq_topk", "exact_l2")}
+        ) ORDER BY index_name
+    """
+    )
+
+
+ORACLES["ann_recall_report"] = _ann_recall_sql()
 
 
 # Bounded Bellman-Ford SSSP (r07 wave 3): SSSP_ROUNDS relaxation

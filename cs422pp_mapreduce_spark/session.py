@@ -106,3 +106,40 @@ def get_spark(app_name: str = "cs422pp_mapreduce_spark") -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --- scratch-persist registry (ADVICE r10) ----------------------------------
+# Queries that persist branch-shared intermediates (containment's
+# inverted index, the recall report's scored pass) return a LAZY
+# DataFrame, so there is no natural in-query point to unpersist. The
+# harness protocol (bench.py / tools/spot_tier.py per-query isolation)
+# already calls clearCache(); this registry gives NON-harness callers
+# the same explicit hook the index memos have (evict_index_caches /
+# evict_cluster_cache): long-lived sessions call evict_scratch(spark)
+# between queries, otherwise MEMORY_AND_DISK blocks accumulate until
+# spark.catalog.clearCache().
+_SCRATCH: dict[int, list] = {}
+
+
+def scratch_persist(df, level=None):
+    """persist(MEMORY_AND_DISK) + register for evict_scratch."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    bucket = _SCRATCH.setdefault(id(spark), [])
+    bucket.append(out)
+    if len(bucket) == 1:
+        import weakref
+
+        weakref.finalize(spark, _SCRATCH.pop, id(spark), None)
+    return out
+
+
+def evict_scratch(spark: SparkSession) -> None:
+    """Unpersist every scratch frame this session registered."""
+    for df in _SCRATCH.pop(id(spark), []):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — already-stopped session
+            pass

@@ -118,6 +118,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "knn_join": {
         "BroadcastNestedLoopJoin": "KNN_Q-row query-batch broadcast"
     },
+    "ann_recall_report": {
+        "BroadcastNestedLoopJoin": (
+            "KNN_Q-row query-batch broadcast (the knn_join shape; "
+            "exact ground-truth pass of the recall contract)"
+        )
+    },
     "triangle_count": {
         "BroadcastNestedLoopJoin": "1-row scalar count × count crossJoin"
     },

@@ -34,7 +34,7 @@ def main() -> None:
     from cs422pp_mapreduce_spark.operators.similarity import (
         evict_index_caches,
     )
-    from cs422pp_mapreduce_spark.session import get_spark
+    from cs422pp_mapreduce_spark.session import evict_scratch, get_spark
 
     spark = get_spark("spot_tier")
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,6 +46,7 @@ def main() -> None:
         spark.catalog.clearCache()
         evict_index_caches(spark)
         evict_cluster_cache(spark)
+        evict_scratch(spark)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
