@@ -35,6 +35,7 @@ from cs422pp_mapreduce_spark.streaming.events import (
     q_stream_event_session,
     q_stream_event_tumbling,
     q_stream_foreach_upsert,
+    q_stream_late_audit,
     q_stream_sliding,
 )
 from cs422pp_mapreduce_spark.streaming.joins import (
@@ -167,9 +168,15 @@ _QUERIES: dict[str, QueryFn] = {
     # hash-verified, so the family's recall QUALITY claim becomes a
     # driver-verified artifact.
     "ann_recall_report": S.q_ann_recall_report,
-    # (r11 NEW registrations — dedup_suffix / stream_late_audit per
-    # VERDICT r10 asks #5/#6 — are inserted here by their
-    # implementation commits later this round.)
+    # NEW (VERDICT r10 ask #6): stream_late_audit — the late-data
+    # accounting contract. Every other streaming row verifies the
+    # happy path; this one pins what the watermark DROPS: a planted
+    # beyond-watermark file lands last, and the report (on-time vs
+    # dropped per finalized window) hash-matches the batch replay only
+    # if the watermark dropped exactly the planted rows.
+    "stream_late_audit": q_stream_late_audit,
+    # (r11 NEW registration — dedup_suffix per VERDICT r10 ask #5 —
+    # is inserted here by its implementation commit later this round.)
     # --- 3. newest driver row was r07 (first ~13 fall inside the
     # ~50-slot driven prefix; the rest lead the r12 rotation) ---
     "sssp": GR.q_sssp,

@@ -5360,3 +5360,44 @@ ORACLES["hybrid_rrf"] = f"""
     SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) + 0.0 AS rrf_score
     FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_OUT}
 """
+
+
+# Streaming late-data accounting (r11, VERDICT r10 ask #6): replays
+# the arithmetic q_stream_late_audit's construction guarantees — the
+# planted file (a copy of every first-hour event, landed last) arrives
+# ~29 days past the watermark, so on-time = genuine-only counts and
+# dropped = planted counts, over exactly the windows the stream
+# finalized (end <= max ts - 2 h; the cutoff is never hour-aligned on
+# any fixture, so the <=-vs-< emission edge cannot bite). A Spark that
+# failed to drop late rows (or dropped on-time ones) hash-mismatches.
+def _stream_late_audit_sql() -> str:
+    from .streaming.events import LATE_PLANT_OFFSET
+
+    off = LATE_PLANT_OFFSET
+    return f"""
+    WITH ev AS (
+        SELECT event_id, ts, event_type, value FROM events
+    ), plant AS (
+        SELECT event_id + {off} AS event_id, ts, event_type, value
+        FROM ev WHERE ts < (SELECT MIN(ts) FROM ev) + INTERVAL 1 HOUR
+    ), allr AS (
+        SELECT * FROM ev UNION ALL SELECT * FROM plant
+    ), wm AS (
+        SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM allr
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS total_n,
+               COUNT(*) FILTER (WHERE event_id < {off}) AS on_time_n,
+               {_xsum(f"CASE WHEN event_id < {off} THEN value END", 2)}
+                   AS on_time_sum
+        FROM allr GROUP BY 1, 2
+    )
+    SELECT win_start, event_type,
+           CAST(on_time_n AS BIGINT) AS on_time_n,
+           CAST(total_n - on_time_n AS BIGINT) AS dropped_n,
+           COALESCE(on_time_sum, 0.0) + 0.0 AS on_time_sum
+    FROM agg, wm WHERE win_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+ORACLES["stream_late_audit"] = _stream_late_audit_sql()

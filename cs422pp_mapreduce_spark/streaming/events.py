@@ -675,3 +675,174 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+# Planted-late event_ids live above this offset; everything below is a
+# genuine fixture row. Shared by the Spark side, the analysis twin,
+# and the DuckDB oracle.
+LATE_PLANT_OFFSET = 1_000_000_000
+LATE_AUDIT_WM = "2 hours"
+
+
+def _late_audit_report(
+    allr: DataFrame, sink_on_time: DataFrame | None
+) -> DataFrame:
+    """The audit join: batch truth over ``allr`` (genuine + planted
+    rows), restricted to the windows the stream FINALIZED (window end
+    <= final watermark = max ts − delay; the cutoff never lands
+    exactly on an hour boundary on any fixture — pinned in
+    tests/test_round11_ops.py — so the <=-vs-< emission edge cannot
+    bite), left-joined with the streaming sink's on-time aggregates.
+    With ``sink_on_time=None`` (the analysis twin) the on-time side is
+    the batch conditional aggregate instead — same schema, same plan
+    shape, zero build-time jobs."""
+    wm = allr.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("w")
+    )
+    truth = (
+        allr.groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_n"),
+            F.count(
+                F.when(F.col("event_id") < LATE_PLANT_OFFSET, 1)
+            ).alias("batch_on_time_n"),
+            exact_sum(
+                F.when(
+                    F.col("event_id") < LATE_PLANT_OFFSET, F.col("value")
+                ),
+                2,
+                "batch_on_time_sum",
+            ),
+        )
+        .join(F.broadcast(wm))  # 1-row watermark broadcast (declared)
+        .where(F.col("win_start") + F.expr("INTERVAL 1 HOUR") <= F.col("w"))
+        .drop("w")
+    )
+    if sink_on_time is None:
+        on_time = truth.select(
+            "win_start",
+            "event_type",
+            F.col("batch_on_time_n").alias("on_time_n"),
+            F.col("batch_on_time_sum").alias("on_time_sum"),
+        )
+    else:
+        on_time = sink_on_time
+    return (
+        truth.drop("batch_on_time_n", "batch_on_time_sum")
+        .join(on_time, ["win_start", "event_type"], "left")
+        .select(
+            "win_start",
+            "event_type",
+            F.coalesce("on_time_n", F.lit(0)).cast("long").alias(
+                "on_time_n"
+            ),
+            (F.col("total_n") - F.coalesce("on_time_n", F.lit(0)))
+            .cast("long")
+            .alias("dropped_n"),
+            (F.round(F.coalesce("on_time_sum", F.lit(0.0)), 2) + 0.0).alias(
+                "on_time_sum"
+            ),
+        )
+    )
+
+
+def stream_late_audit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis twin of q_stream_late_audit: the identical audit
+    report computed fully lazily from the catalog table (the plant is
+    a 1-row min-ts broadcast filter instead of a staged file; the
+    on-time side is the batch conditional aggregate instead of the
+    memory sink). Exact output schema; representative distributed
+    plan; no build-time jobs."""
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo = ev.agg(F.min("ts").alias("lo"))
+    plant = (
+        ev.join(F.broadcast(lo))
+        .where(F.col("ts") < F.col("lo") + F.expr("INTERVAL 1 HOUR"))
+        .drop("lo")
+        .withColumn(
+            "event_id", F.col("event_id") + F.lit(LATE_PLANT_OFFSET)
+        )
+    )
+    return _late_audit_report(ev.unionByName(plant), None)
+
+
+def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LATE-DATA ACCOUNTING contract (VERDICT r10 ask #6):
+    every other streaming row verifies the happy path — this one pins
+    what the watermark DROPS.
+
+    Arrival sequence: the events table staged as 3 time-ordered
+    micro-batch files, then a 4th PLANTED file landed last containing
+    a copy of every first-hour event (event_id offset by
+    LATE_PLANT_OFFSET). By the time it arrives the watermark sits at
+    max(ts) − 2 h ≈ 29 days past those events' windows, so the
+    watermarked 1-hour tumbling aggregation MUST drop all of them —
+    while the time-ordered genuine slices are never late (each batch's
+    min ts ≥ the prior batch's max, so a genuine row is always ahead
+    of the watermark).
+
+    Sink = the append-mode finalized (window, event_type) on-time
+    aggregates; the returned report joins them against the batch truth
+    over everything staged (genuine + planted), restricted to the
+    finalized windows (end ≤ final watermark): on_time_n must equal
+    the genuine-only counts and dropped_n the planted counts — the
+    DuckDB oracle replays exactly that arithmetic, so a Spark that
+    failed to drop (or over-dropped) hash-mismatches. Deterministic by
+    construction: slice boundaries are ntile-fixed, the planted set is
+    a pure function of the fixture, and no window end ever coincides
+    with the watermark cutoff.
+
+    Scale: watermark-bounded state (windows × types), one extra
+    linear pass for the truth side — the audit you would run
+    continuously on a 100 TB ingest to MEASURE late-data loss rather
+    than assume it."""
+    import os
+    import shutil
+
+    from ..sources.catalog import load_table
+
+    src = stage_event_files(spark, sf_dir, n_files=3)
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts")).collect()[0][0]  # 1-row bounded (declared)
+    plant = ev.where(
+        F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR")
+    ).withColumn("event_id", F.col("event_id") + F.lit(LATE_PLANT_OFFSET))
+    build = os.path.join(src, "_late_build")
+    plant.coalesce(1).write.mode("overwrite").parquet(build)
+    part = next(n for n in os.listdir(build) if n.endswith(".parquet"))
+    dst = os.path.join(src, "slice4_late.parquet")
+    shutil.copy(os.path.join(build, part), dst)
+    shutil.rmtree(build)
+    mt = os.path.getmtime(os.path.join(src, "slice3.parquet")) + 10
+    os.utime(dst, (mt, mt))
+
+    agg = (
+        read_staged_event_stream(spark, src)
+        .withWatermark("ts", LATE_AUDIT_WM)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("on_time_n"),
+            exact_sum("value", 2, "on_time_sum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "on_time_n",
+            "on_time_sum",
+        )
+    )
+    sink = _drain_to_memory(agg, "stream_late_audit", output_mode="append")
+
+    staged = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(src)
+    return _late_audit_report(
+        staged.select("event_id", "ts", "event_type", "value"), sink
+    )
+
+
+STREAM_PLAN_BUILDERS["stream_late_audit"] = stream_late_audit_plan

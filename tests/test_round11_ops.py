@@ -49,3 +49,55 @@ def test_ann_recall_matches_duckdb_oracle(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.sql(ORACLES["ann_recall_report"]).fetchall())
     assert got == want
+
+
+def test_stream_late_audit_drops_exactly_the_planted_rows(spark, sf_dir):
+    """The watermark must drop ALL planted beyond-watermark rows and
+    NO genuine ones: dropped_n is nonzero only inside the planted
+    first hour and equals the plant counts; on_time_n equals the
+    genuine batch counts for every finalized window."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from cs422pp_mapreduce_spark.streaming.events import (
+        q_stream_late_audit,
+    )
+
+    out = q_stream_late_audit(spark, sf_dir).collect()
+    assert out, "no finalized windows"
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime
+
+    plant_cut = lo + datetime.timedelta(hours=1)
+    wm = hi - datetime.timedelta(hours=2)
+    # the <=-vs-< emission edge must be vacuous on this fixture
+    assert not (
+        wm.minute == 0 and wm.second == 0 and wm.microsecond == 0
+    ), "watermark cutoff is hour-aligned; fixture edge assumption broken"
+
+    genuine = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_dropped = 0
+    for r in out:
+        key = (r["win_start"], r["event_type"])
+        assert r["on_time_n"] == genuine[key], key
+        # finalized windows only
+        assert r["win_start"] + datetime.timedelta(hours=1) <= wm
+        if r["win_start"] + datetime.timedelta(hours=1) <= plant_cut or (
+            r["win_start"] <= plant_cut
+            and plant_cut < r["win_start"] + datetime.timedelta(hours=1)
+        ):
+            pass  # plant window(s): dropped_n checked in aggregate below
+        else:
+            assert r["dropped_n"] == 0, key
+        total_dropped += r["dropped_n"]
+    n_planted = ev.where(F.col("ts") < F.lit(plant_cut)).count()
+    assert total_dropped == n_planted

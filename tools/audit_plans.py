@@ -118,6 +118,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "knn_join": {
         "BroadcastNestedLoopJoin": "KNN_Q-row query-batch broadcast"
     },
+    "stream_late_audit": {
+        "BroadcastNestedLoopJoin": (
+            "1-row watermark-cutoff + 1-row min-ts broadcasts (the "
+            "audit's finalized-window filter and the twin's plant)"
+        )
+    },
     "ann_recall_report": {
         "BroadcastNestedLoopJoin": (
             "KNN_Q-row query-batch broadcast (the knn_join shape; "
