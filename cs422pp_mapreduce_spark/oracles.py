@@ -5401,3 +5401,90 @@ def _stream_late_audit_sql() -> str:
 
 
 ORACLES["stream_late_audit"] = _stream_late_audit_sql()
+
+
+# Suffix-array substring dedup (r11, VERDICT r10 ask #5): brute-force
+# twin of operators/suffix.q_dedup_suffix. Materialize every doc-local
+# suffix (token lists — DuckDB's native list comparison IS
+# lexicographic with shorter-prefix-first, exactly the -1-padded rank
+# order the Spark side builds), sort with the same (doc_id, pos)
+# tiebreak, LCP adjacent pairs elementwise, take each position's max
+# over its two neighbors, then the same >=SUFFIX_MIN_TOKENS coverage
+# and gaps-and-islands merge. Comparison cap replays the Spark
+# arithmetic (2^ceil(log2(least(max_len, SUFFIX_CAP)))) — vacuous on
+# every fixture, but the contract if a corpus exceeds it.
+def _dedup_suffix_sql() -> str:
+    from .operators.suffix import SUFFIX_CAP, SUFFIX_MIN_TOKENS
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), toks2 AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+    ), params AS (
+        SELECT CAST(POWER(2, CEIL(LOG2(LEAST(MAX(n), {SUFFIX_CAP}))))
+                    AS BIGINT) AS cmp
+        FROM toks2
+    ), sfx AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               t[i : i + (SELECT cmp FROM params) - 1] AS s
+        FROM toks2, UNNEST(generate_series(1, n)) AS g(i)
+    ), ord AS (
+        SELECT doc_id, pos, s,
+               ROW_NUMBER() OVER (ORDER BY s, doc_id, pos) AS sa
+        FROM sfx
+    ), adj0 AS (
+        SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+               LEAST(len(a.s), len(b.s)) AS m,
+               list_position(
+                   list_transform(
+                       generate_series(1, LEAST(len(a.s), len(b.s))),
+                       i -> a.s[i] = b.s[i]),
+                   false) AS idx
+        FROM ord a JOIN ord b ON b.sa = a.sa + 1
+    ), adj AS (
+        -- list_position yields 0/NULL when no element differs (a full
+        -- match up to the shorter suffix) — then lcp = m
+        SELECT da, pa, db, pb,
+               CASE WHEN NULLIF(idx, 0) IS NULL THEN m
+                    ELSE idx - 1 END AS lcp
+        FROM adj0
+    ), lrs AS (
+        SELECT doc_id, pos, MAX(lcp) AS lcp FROM (
+            SELECT da AS doc_id, pa AS pos, lcp FROM adj
+            UNION ALL
+            SELECT db AS doc_id, pb AS pos, lcp FROM adj
+        ) GROUP BY doc_id, pos
+    ), hits AS (
+        SELECT doc_id, pos, lcp, pos + lcp - 1 AS e
+        FROM lrs WHERE lcp >= {SUFFIX_MIN_TOKENS}
+    ), isl AS (
+        SELECT doc_id, pos, lcp, e,
+               CASE WHEN pos > COALESCE(
+                        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS flag
+        FROM hits
+    ), isl2 AS (
+        SELECT *, SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS grp
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, grp, MIN(pos) AS s, MAX(e) AS e2,
+               MAX(lcp) AS span_lrs
+        FROM isl2 GROUP BY doc_id, grp
+    )
+    SELECT sp.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(MAX(sp.span_lrs) AS BIGINT) AS lrs_len,
+           CAST(SUM(sp.e2 - sp.s + 1) AS BIGINT) AS dup_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans sp JOIN toks2 t ON t.doc_id = sp.doc_id
+    GROUP BY sp.doc_id, t.n
+"""
+
+
+ORACLES["dedup_suffix"] = _dedup_suffix_sql()

@@ -156,6 +156,36 @@ def pca_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.*")
 
 
+def dedup_suffix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy twin of ``q_dedup_suffix`` (which is driver-paced: the
+    real query collects the 1-row corpus bounds, then materializes
+    each prefix-doubling level with localCheckpoint — the bpe_train
+    lineage-truncation class). The twin runs the SAME suffix_report
+    tail with ONE doubling level, a fixed combine base, and
+    checkpoint=False (scratch persists): exact output schema, the
+    representative range-exchange/dense-rank/descent/island plan, no
+    build-time jobs."""
+    from ..functions.text import nonempty_tokens
+    from ..operators.suffix import suffix_report
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", nonempty_tokens("text").alias("t")
+    ).where(F.size("t") >= 1)
+    lens = toks.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    pos = toks.select("doc_id", F.posexplode("t")).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("col").alias("tok"),
+    )
+    return suffix_report(
+        pos, lens, levels=1, n_positions=1 << 30, checkpoint=False
+    )
+
+
 def analysis_plan_builders() -> dict:
     """Full name → lazy-builder map for the analysis tools (streaming
     twins + driver-paced twins)."""
@@ -164,6 +194,7 @@ def analysis_plan_builders() -> dict:
     return {
         **STREAM_PLAN_BUILDERS,
         "order_stat": order_stat_plan,
+        "dedup_suffix": dedup_suffix_plan,
         "bloom_semi_join": bloom_semi_join_plan,
         "pca_power": pca_power_plan,
     }

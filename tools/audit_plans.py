@@ -149,6 +149,10 @@ ALLOW: dict[str, dict[str, str]] = {
 # windows whose input is O(partitions) or O(groups), not data-sized
 WINDOW_OK = {
     "global_rank": "offset frame is O(partitions) rows",
+    "dedup_suffix": (
+        "offset frames are O(partitions) rows (one per prefix-"
+        "doubling dense-rank pass of the global_rank kernel)"
+    ),
     "quality_deciles": "offset frame is O(partitions) rows",
     "seq_pack": "offset frame is O(partitions) rows",
     "pps_sample": "offset frame is O(partitions) rows",
