@@ -82,15 +82,18 @@ _QUERIES: dict[str, QueryFn] = {
     #    (oldest-banked first, prior relative order preserved).
     #    tools/check_oracles.py replays them green on this HEAD, but
     #    the driver hash row is the only EXTERNAL correctness signal.
-    # 2. the r11 NEW/CHANGED block (CAPPED <=10): CHANGED bpe_train +
-    #    bpe_vocab (trainer word filter now rejects the full ^\s+$
-    #    whitespace class like the encoder/replica, ADVICE r10 —
-    #    hash-neutral on the fixture, which has no tab/newline runs,
-    #    but the semantics changed so both re-drive); NEW
+    # 2. the r11 NEW/CHANGED block (CAPPED <=10; 7 used): CHANGED
+    #    bpe_train + bpe_vocab (trainer word filter now rejects the
+    #    full ^\s+$ whitespace class like the encoder/replica, ADVICE
+    #    r10 — hash-neutral on the fixture, which has no tab/newline
+    #    runs, but the semantics changed so both re-drive); NEW
     #    ann_recall_report (VERDICT r10 ask #4), dedup_suffix
-    #    (ask #5), stream_late_audit (ask #6).
+    #    (ask #5), stream_late_audit (ask #6); CHANGED semantic_dedup
+    #    (>=2-band candidate rule) + dedup_ngram (AdaptJoin L-extended
+    #    prefixes) — the two superlinear cliffs the r11 sf10 tier
+    #    caught (ask #2), both re-driven here.
     # 3. the r07-banked block (45 queries, prior relative order) —
-    #    with 32 + ~5 prefix slots used, ~13 of these get r11 rows;
+    #    with 32 + 7 prefix slots used, ~11 of these get r11 rows;
     #    the rest are the r12 rotation's lead block. Keep new-query
     #    registration <=10/round so the tail keeps draining.
     # 4. then the r08-banked, r09-fresh, and r10-fresh blocks
@@ -183,6 +186,18 @@ _QUERIES: dict[str, QueryFn] = {
     # longest-repeat lengths, island-merged spans. The DuckDB oracle
     # brute-forces every doc-local suffix and must agree exactly.
     "dedup_suffix": SX.q_dedup_suffix,
+    # CHANGED (r11 sf10-tier catches — the one-notch-above-sf3 wave,
+    # VERDICT r10 ask #2, found BOTH cliffs it predicted):
+    # semantic_dedup now requires candidate agreement on >=2 of 8 LSH
+    # bands (chance collisions of uniform vectors fall ~70x, planted-
+    # twin miss ~1e-6; oracle applies the identical rule) — sf10
+    # 404.7 -> 64.0 s, ratio 14.6x -> 3.2x for 3.33x data.
+    # dedup_ngram moves to AdaptJoin L-extended prefixes (lossless
+    # >= min(L, omin) shared-prefix-element requirement; the oracle
+    # stays the NAIVE all-pairs, so any lost pair would hash-mismatch)
+    # — sf10 208.4 -> 29.8 s, ratio 13.2x -> 1.7x.
+    "semantic_dedup": S.q_semantic_dedup,
+    "dedup_ngram": D.q_dedup_ngram,
     # --- 3. newest driver row was r07 (first ~13 fall inside the
     # ~50-slot driven prefix; the rest lead the r12 rotation) ---
     "sssp": GR.q_sssp,
@@ -193,7 +208,6 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": D.q_dedup_clusters,
     "embedding_neardup": S.q_embedding_neardup,
     "ann_lsh": S.q_ann_lsh,
-    "semantic_dedup": S.q_semantic_dedup,
     "ann_pq": S.q_ann_pq,
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
@@ -346,7 +360,6 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_wordcount": q_stream_wordcount,
     "bucketed_join": MT.q_bucketed_join,
     "stream_enrich": q_stream_enrich,
-    "dedup_ngram": D.q_dedup_ngram,
     "csv_roundtrip": MT.q_csv_roundtrip,
     "json_roundtrip": MT.q_json_roundtrip,
     "orc_roundtrip": MT.q_orc_roundtrip,

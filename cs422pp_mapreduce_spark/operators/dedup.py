@@ -37,6 +37,12 @@ from ..sources.catalog import load_table
 N_MINHASHES = 32
 LSH_BANDS = 8
 JACCARD_THRESHOLD = 0.5
+# q_dedup_ngram's AdaptJoin knob: extend every Bayardo prefix by L−1
+# elements and require ≥ min(L, omin) shared prefix elements per
+# candidate pair (lossless — see the q_dedup_ngram derivation). L=4
+# was chosen on the closed-vocab sf10 tier: chance ≥4-shared-rare-
+# shingle pairs are orders of magnitude rarer than ≥1.
+NGRAM_PREFIX_SHARED = 4
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -187,21 +193,40 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was — the prefix theorem only needs SOME shared total order, and
     # hashing first keeps the sort keys fixed-width.
     n = F.size("ordered")
-    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    # r11 scale fix (the sf10 tier catch — 13.2× time for 3.33× data):
+    # AdaptJoin-style L-EXTENDED prefixes (Wang/Li/Feng 2012, "Can we
+    # beat the prefix filtering?"). On a CLOSED vocabulary (this
+    # fixture: 31 words → ~30k possible 3-grams) every shingle's df
+    # grows linearly with the corpus, so even rarest-first 1-prefixes
+    # collide quadratically (measured 21.2M candidates at sf10 for
+    # 5.8k true pairs; the verify join's array shuffle was 57 s of the
+    # 70 s wall). Extending every prefix by L−1 elements buys the
+    # LOSSLESS requirement that a qualifying pair share ≥ L prefix
+    # elements: the j-th (global canonical order) shared element of a
+    # pair with overlap o ≥ omin has ≥ o−j shared elements after it,
+    # so its 0-based position ≤ n − omin + j − 1 < n − ⌈t·n⌉ + L for
+    # every j ≤ L (omin ≥ ⌈t·n⌉ holds for both sides given the length
+    # filter) — all first L shared elements land in BOTH extended
+    # prefixes. Chance candidates sharing ≥ L rare shingles are ~df^L
+    # rarer than ≥ 1, so the verify join shrinks by orders of
+    # magnitude while exactness is preserved (the all-pairs oracle
+    # would flag any lost pair).
+    L = F.lit(NGRAM_PREFIX_SHARED)
+    plen = (n - F.ceil(F.lit(t) * n) + L).cast("int")
     prefix = ranked.select(
         "doc_id",
         n.alias("n_sh"),
         F.posexplode(F.slice("ordered", F.lit(1), plen)).alias("pos", "ps"),
     ).select("doc_id", "n_sh", "pos", F.col("ps.hsh").alias("hsh"))
     a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin positional filter (Xiao et al. 2008): a prefix match at
-    # (0-based) positions i_a, i_b can witness at most
-    # 1 + min(n_a − i_a, n_b − i_b) overlapping shingles, and J ≥ t
-    # needs overlap ≥ ⌈t/(1+t)·(n_a+n_b)⌉ — prune the join row when
-    # the bound can't reach it. At t = 0.5 the Bayardo prefix is half
-    # of every document, so this is the filter that bites: measured
-    # 7.26M → 1.58M candidate pairs at sf1 (the verify join was 96%
-    # of the query's cost before).
+    # PPJoin positional filter (Xiao et al. 2008), RELAXED by L−1 so
+    # the per-pair count stays exact: a match at (0-based) i_a, i_b
+    # witnesses ≤ 1 + min(n_a − i_a, n_b − i_b) overlap; the j-th
+    # shared element of a true pair satisfies ub ≥ 1 + omin − j ≥
+    # omin − (L−1) for j ≤ L, so filtering at omin−(L−1) keeps all L
+    # counted rows. The strict ub ≥ omin test survives as the
+    # any-match flag (the FIRST shared element of a true pair always
+    # passes it).
     omin = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")))
     ub = F.lit(1) + F.least(
         F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
@@ -213,13 +238,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh"))
             & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh"))
-            & (ub >= omin),
+            & (ub >= omin - (L - 1)),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_prefix"),
+            F.max((ub >= omin).cast("int")).alias("anypass"),
+            # omin is a pure function of the pair's lengths — carry it
+            F.first(F.least(L.cast("bigint"), omin)).alias("need"),
+        )
+        .where(
+            (F.col("anypass") == 1)
+            & (F.col("n_shared_prefix") >= F.col("need"))
+        )
+        .select("doc_a", "doc_b")
     )
     sha = shh.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")

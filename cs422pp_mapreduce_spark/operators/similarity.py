@@ -543,6 +543,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_COS = NEARDUP_COS  # prune threshold (cos ≥ 0.95)
+# Bands a candidate pair must agree on (of LSH_BANDS=8). 1 was the
+# r07 setting; 2 cuts uniform-vector chance collisions ~70x (the sf10
+# scale fix) at ~1e-6 planted-twin miss probability.
+SEMDEDUP_MIN_BANDS = 2
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +647,15 @@ def semantic_keep_table(
     )  # (vec_id, band, bucket, cell): both sides of the candidate join
     a = bbc.alias("a")
     b = bbc.alias("b")
+    # r11 scale fix (the sf10 tier catch — 404 s at sf10, 14.6x for
+    # 3.33x data): candidates must agree on >= SEMDEDUP_MIN_BANDS
+    # bands, not just one. Chance same-bucket collisions of UNIFORM
+    # vectors fall ~70x (P: 8/256 -> C(8,2)/256^2 per cell-pair)
+    # while a genuine >=0.95-cos pair still collides on >=2 bands
+    # w.h.p. (planted 0.999-twins: miss ~1e-6 — the recall pins in
+    # tests/test_dedup_similarity.py still hold). The groupBy COUNT
+    # replaces the distinct — same shuffle volume in, ~70x fewer
+    # verify pairs out. The DuckDB oracle applies the identical rule.
     cands = (
         a.join(
             b,
@@ -651,10 +664,13 @@ def semantic_keep_table(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= SEMDEDUP_MIN_BANDS)
+        .select("vec_a", "vec_b")
     )
     va = assigned.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     vb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))

@@ -66,7 +66,11 @@ SUFFIX_CAP = 512
 
 
 def _global_rank(
-    df: DataFrame, cols: list[str], out: str, dense: bool
+    df: DataFrame,
+    cols: list[str],
+    out: str,
+    dense: bool,
+    locals_out: list | None = None,
 ) -> DataFrame:
     """Global (dense_)rank over ``cols`` without the single-partition
     window: range-repartition on the keys, rank per partition, add the
@@ -80,7 +84,18 @@ def _global_rank(
     ).withColumn("pid", F.spark_partition_id())
     w = Window.partitionBy("pid").orderBy(*cols)
     rank_fn = F.dense_rank() if dense else F.row_number()
-    local = scratch_persist(ranged.withColumn("_lr", rank_fn.over(w)))
+    local = ranged.withColumn("_lr", rank_fn.over(w))
+    if locals_out is not None:
+        # checkpointing caller: it releases this persist as soon as
+        # the level materializes (9 resident n-row frames otherwise
+        # accumulate PER RUN under the 8g local heap — the sf3 tier's
+        # superlinear signature)
+        from pyspark.storagelevel import StorageLevel
+
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
+        locals_out.append(local)
+    else:
+        local = scratch_persist(local)
     per_part = (
         F.countDistinct(*cols) if dense else F.count(F.lit(1))
     ).alias("n")
@@ -132,14 +147,26 @@ def suffix_rank_tables(
     def _ckpt(df: DataFrame) -> DataFrame:
         # checkpoint=False is the ANALYSIS-TWIN mode (plans/analysis):
         # fully lazy, shallow because the twin runs a single level
-        return df.localCheckpoint() if checkpoint else scratch_persist(df)
+        if not checkpoint:
+            return scratch_persist(df)
+        out = df.localCheckpoint()
+        for fr in _locals:
+            try:
+                fr.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        _locals.clear()
+        return out
+
+    _locals: list = []
 
     base = n_positions + 2
+    lo = _locals if checkpoint else None
     ranks: dict[int, DataFrame] = {
         0: _ckpt(
-            _global_rank(pos, ["tok"], "r", dense=True).select(
-                "doc_id", "pos", "r"
-            )
+            _global_rank(
+                pos, ["tok"], "r", dense=True, locals_out=lo
+            ).select("doc_id", "pos", "r")
         )
     }
     for k in range(1, levels + 1):
@@ -174,7 +201,7 @@ def suffix_rank_tables(
             )
         else:
             lvl = _global_rank(
-                paired, ["r1", "r2"], "r", dense=True
+                paired, ["r1", "r2"], "r", dense=True, locals_out=lo
             ).select("doc_id", "pos", "r")
         ranks[k] = _ckpt(lvl)
     return ranks
@@ -238,10 +265,23 @@ def suffix_report(
 
     ranks = suffix_rank_tables(pos, levels, n_positions, checkpoint)
 
+    sa_locals: list = []
     sa = _global_rank(
-        ranks[levels], ["r", "doc_id", "pos"], "sa", dense=False
+        ranks[levels],
+        ["r", "doc_id", "pos"],
+        "sa",
+        dense=False,
+        locals_out=sa_locals if checkpoint else None,
     ).select("doc_id", "pos", "sa")
-    sa = sa.localCheckpoint() if checkpoint else scratch_persist(sa)
+    if checkpoint:
+        sa = sa.localCheckpoint()
+        for fr in sa_locals:
+            try:
+                fr.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    else:
+        sa = scratch_persist(sa)
     nxt = sa.select(
         (F.col("sa") - 1).alias("sa"),
         F.col("doc_id").alias("db"),

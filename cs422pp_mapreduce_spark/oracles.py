@@ -3602,7 +3602,12 @@ ORACLES["ann_ivf"] = _ann_ivf_sql()
 # neighbor with ROUND(cos, 4) ≥ 0.95 (the engine's cosine
 # convention). Output is the full (vec_id, cell, keep) table.
 def _semantic_dedup_sql() -> str:
-    from .operators.similarity import IVF_ITERS, PLANT_MOD, PLANT_OFFSET
+    from .operators.similarity import (
+        IVF_ITERS,
+        PLANT_MOD,
+        PLANT_OFFSET,
+        SEMDEDUP_MIN_BANDS,
+    )
 
     return (
         _kmeans_ctes()
@@ -3633,10 +3638,13 @@ def _semantic_dedup_sql() -> str:
             SELECT s.vec_id, s.band, s.bucket, a.cell
             FROM sbands s JOIN acell a USING (vec_id)
         ), scand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            -- r11: >= MIN_BANDS band agreements, the Spark side's rule
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bbc a
             JOIN bbc b ON a.cell = b.cell AND a.band = b.band
                       AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+            HAVING COUNT(*) >= {SEMDEDUP_MIN_BANDS}
         ), pruned AS (
             SELECT DISTINCT c.vec_b AS vec_id
             FROM scand c
