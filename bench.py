@@ -199,6 +199,14 @@ HEADLINE = [
     "dedup_containment",
     # round-10: interpolated-bigram LM quality proxy (KenLM ladder)
     "bigram_logprob",
+    # round-11: the ANN recall contract (batched lsh/ivf/pq probes vs
+    # exact, index builds inside the cold window), suffix-array
+    # substring dedup (prefix doubling + LCP descent — the suite's
+    # heaviest fixed-cost row, ~25 jobs; see BASELINE r11 notes), and
+    # the streaming watermark-drop audit (staged micro-batches class)
+    "ann_recall_report",
+    "dedup_suffix",
+    "stream_late_audit",
 ]
 
 RUNS = 3
