@@ -70,39 +70,26 @@ def _wrap(fn: QueryFn) -> QueryFn:
 
 
 _QUERIES: dict[str, QueryFn] = {
-
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-11 order, per VERDICT r10 ask #1 ("lead the
-    # prefix with the 32 r06-stale rows, cap new registrations
+    # round). Round-12 order, per VERDICT r11 ask #1 ("lead the
+    # prefix with the 33 r07-stale rows, cap new registrations
     # <=10"):
-    # 1. slots 1-32: the 32 queries whose newest driver row is r06
-    #    (five rounds old — the staleness floor), in the
-    #    tools/staleness.py --target 11 --order sequence
-    #    (oldest-banked first, prior relative order preserved).
+    # 1. slots 1-33: the 33 queries whose newest driver row is r07
+    #    (five rounds old — the staleness floor), in prior relative
+    #    order (tools/staleness.py --target 12 --order sequence).
     #    tools/check_oracles.py replays them green on this HEAD, but
     #    the driver hash row is the only EXTERNAL correctness signal.
-    # 2. the r11 NEW/CHANGED block (CAPPED <=10; 7 used): CHANGED
-    #    bpe_train + bpe_vocab (trainer word filter now rejects the
-    #    full ^\s+$ whitespace class like the encoder/replica, ADVICE
-    #    r10 — hash-neutral on the fixture, which has no tab/newline
-    #    runs, but the semantics changed so both re-drive); NEW
-    #    ann_recall_report (VERDICT r10 ask #4), dedup_suffix
-    #    (ask #5), stream_late_audit (ask #6); CHANGED semantic_dedup
-    #    (>=2-band candidate rule) + dedup_ngram (AdaptJoin L-extended
-    #    prefixes) — the two superlinear cliffs the r11 sf10 tier
-    #    caught (ask #2), both re-driven here.
-    # 3. the r07-banked block (45 queries, prior relative order) —
-    #    with 32 + 7 prefix slots used, ~11 of these get r11 rows;
-    #    the rest are the r12 rotation's lead block. Keep new-query
-    #    registration <=10/round so the tail keeps draining.
-    # 4. then the r08-banked, r09-fresh, and r10-fresh blocks
-    #    (oldest-first throughout, so next round's --order is the
-    #    identity on this layout).
-    # Every ordering decision is validated locally by
-    # tools/check_oracles.py (driver-exact) + tools/sweep_dtypes.py,
-    # full-surface green at sf0.01, and
-    # tools/staleness.py --target 11 --check 25.
+    # 2. the r12 NEW/CHANGED block is inserted mid-round immediately
+    #    after this block (cap <=10), displacing r08 fill rows: see
+    #    the "r12 NEW/CHANGED" marker below.
+    # 3. slots to ~50: the oldest r08-banked rows (46 total; ~17 fit
+    #    the prefix this round, the rest lead the r13 rotation).
+    # 4. then r09-, r10-, r11-banked blocks oldest-first, prior
+    #    relative order preserved, so next round's --order is close
+    #    to the identity on this layout.
+    # Validated by tools/check_oracles.py (driver-exact) at sf0.001 +
+    # sf0.01 and tools/staleness.py --target 12 --check 25.
     # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
     # one bounded 1-row Spark job at plan-BUILD time (query-vector
     # fetch that plans its literal bucket predicate), q_bucketed_join
@@ -113,104 +100,14 @@ _QUERIES: dict[str, QueryFn] = {
     # selection is driver-paced by nature), and q_bloom_semi_join
     # builds its broadcast bitmap with one JVM-folded word-aggregate
     # collect bounded by BLOOM_M/64 = 16384 rows at build time (a
-    # bloom filter is driver-resident index metadata by design, and
-    # the fold happens map-side per VERDICT r09 ask #6); every other
-    # query
-    # builds without executing anything (streaming contract queries,
-    # order_stat, and bloom_semi_join are intercepted by the lazy plan
-    # twins in plans/analysis.py for the analysis tools).
-    # --- 1. newest driver row is r06 (staleness-floor refresh:
-    # these 32 lead the prefix, VERDICT r10 ask #1) ---
-    "png_meta": MM.q_png_meta,
-    "jpeg_meta": MM.q_jpeg_meta,
-    "stream_foreach_upsert": q_stream_foreach_upsert,
-    "zorder_stats": MT.q_zorder_stats,
-    "dedup_keep": D.q_dedup_keep,
-    "knn_join": S.q_knn_join,
-    "topk_similarity": S.q_topk_similarity,
-    "union_all": R.q_union_all,
-    "except_op": R.q_except_op,
-    "intersect_op": R.q_intersect_op,
-    "case_expr": R.q_case_expr,
-    "null_handling": R.q_null_handling,
-    "array_funcs": R.q_array_funcs,
-    "string_funcs2": R.q_string_funcs2,
-    "date_funcs2": R.q_date_funcs2,
-    "math_funcs": R.q_math_funcs,
-    "json_funcs": R.q_json_funcs,
-    "asof_join": AJ.q_asof_join,
-    "tpch_q3": TQ.q_tpch_q3,
-    "corpus_prep": CP.q_corpus_prep,
-    "merge_upsert": MT.q_merge_upsert,
-    "text_stats": TX.q_text_stats,
-    "lang_id": TX.q_lang_id,
-    "tfidf": TX.q_tfidf,
-    "keyword_extract": TX.q_keyword_extract,
-    "doc_chunk": TX.q_doc_chunk,
-    "dedup_exact": D.q_dedup_exact,
-    "corpus_to_sequences": CP.q_corpus_to_sequences,
-    "label_centroid": S.q_label_centroid,
-    "media_meta": MM.q_media_meta,
-    "corpus_pipeline": CP.q_corpus_pipeline,
-    "fuzzy_name_match": D.q_fuzzy_name_match,
-    # --- 2. r11 NEW/CHANGED (capped <=10) ---
-    # CHANGED (ADVICE r10): the distributed trainer's word filter and
-    # its oracle's now reject the full ^\s+$ whitespace class —
-    # previously Spark F.trim / DuckDB trim() dropped only SPACE runs,
-    # so a tab/newline run would have entered the vocab as a mergeable
-    # "word" while encode_pieces and the pure-Python replica
-    # (functions/bpe.py, tok.strip()) treat it as a 1-piece whitespace
-    # token. Hash-neutral on the fixture (no tab/newline runs in
-    # documents.text) but the semantics changed, so both re-drive.
-    "bpe_train": TK.q_bpe_train,
-    "bpe_vocab": TK.q_bpe_vocab,
-    # NEW (VERDICT r10 ask #4): ann_recall_report — recall@10 of the
-    # three ANN index shapes (sign-LSH / IVF / PQ) against the EXACT
-    # neighbors of the fixed knn_join query batch, each under its own
-    # ranking metric. The batched probe path is new; every index
-    # artifact and distance convention it composes is already
-    # hash-verified, so the family's recall QUALITY claim becomes a
-    # driver-verified artifact.
-    "ann_recall_report": S.q_ann_recall_report,
-    # NEW (VERDICT r10 ask #6): stream_late_audit — the late-data
-    # accounting contract. Every other streaming row verifies the
-    # happy path; this one pins what the watermark DROPS: a planted
-    # beyond-watermark file lands last, and the report (on-time vs
-    # dropped per finalized window) hash-matches the batch replay only
-    # if the watermark dropped exactly the planted rows.
-    "stream_late_audit": q_stream_late_audit,
-    # NEW (VERDICT r10 ask #5): dedup_suffix — the full Lee et al.
-    # suffix-array substring-dedup path: Manber–Myers prefix doubling
-    # as log n range-exchange dense ranks (the q_global_rank kernel),
-    # SA-adjacent LCP via rank-table descent, exact per-position
-    # longest-repeat lengths, island-merged spans. The DuckDB oracle
-    # brute-forces every doc-local suffix and must agree exactly.
-    "dedup_suffix": SX.q_dedup_suffix,
-    # CHANGED (r11 sf10-tier catches — the one-notch-above-sf3 wave,
-    # VERDICT r10 ask #2, found BOTH cliffs it predicted):
-    # semantic_dedup now requires candidate agreement on >=2 of 8 LSH
-    # bands (chance collisions of uniform vectors fall ~70x, planted-
-    # twin miss ~1e-6; oracle applies the identical rule) — sf10
-    # 404.7 -> 64.0 s, ratio 14.6x -> 3.2x for 3.33x data.
-    # dedup_ngram moves to AdaptJoin L-extended prefixes (lossless
-    # >= min(L, omin) shared-prefix-element requirement; the oracle
-    # stays the NAIVE all-pairs, so any lost pair would hash-mismatch)
-    # — sf10 208.4 -> 29.8 s, ratio 13.2x -> 1.7x.
-    "semantic_dedup": S.q_semantic_dedup,
-    "dedup_ngram": D.q_dedup_ngram,
-    # --- 3. newest driver row was r07 (first ~13 fall inside the
-    # ~50-slot driven prefix; the rest lead the r12 rotation) ---
-    "sssp": GR.q_sssp,
-    "ewma_smooth": EV.q_ewma_smooth,
-    "stream_ewma": q_stream_ewma,
-    "cluster_silhouette": S.q_cluster_silhouette,
-    "dedup_minhash": D.q_dedup_minhash,
-    "dedup_clusters": D.q_dedup_clusters,
-    "embedding_neardup": S.q_embedding_neardup,
-    "ann_lsh": S.q_ann_lsh,
-    "ann_pq": S.q_ann_pq,
-    "text_roundtrip": MT.q_text_roundtrip,
-    "pagerank": GR.q_pagerank,
+    # bloom filter is driver-resident index metadata by design);
+    # every other query builds without executing anything (streaming
+    # contract queries, order_stat, and bloom_semi_join are
+    # intercepted by the lazy plan twins in plans/analysis.py for the
+    # analysis tools).
+
+    # --- 1. newest driver row is r07 (staleness-floor refresh:
+    # these 33 lead the prefix, VERDICT r11 ask #1) ---
     "dedup_substring_apply": D.q_dedup_substring_apply,
     "kmeans_clusters": S.q_kmeans_clusters,
     "linreg_ols": R.q_linreg_ols,
@@ -244,8 +141,21 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": TX.q_doc_fingerprint,
     "deterministic_sample": TX.q_deterministic_sample,
     "mixture_rebalance": TX.q_mixture_rebalance,
-    # --- 4. newest driver row was r08 (wave notes in the r08 git
-    # history) ---
+
+    # --- r12 NEW/CHANGED block (cap <=10) ---
+    # CHANGED stream_late_audit: the 2h watermark delay now derives
+    # from one shared constant (LATE_AUDIT_WM_HOURS) on the stream,
+    # the report cutoff, and the DuckDB oracle (ADVICE r11) —
+    # hash-neutral by construction, re-driven per the r11 bpe
+    # precedent. CHANGED dedup_suffix: the oracle params CTE now
+    # mirrors the Spark side's max(1, ...) levels floor (ADVICE
+    # r11) — vacuous on every real fixture, re-driven anyway.
+    "stream_late_audit": q_stream_late_audit,
+    "dedup_suffix": SX.q_dedup_suffix,
+
+    # --- 2. newest driver row is r08 (oldest-banked fill; the
+    # first ~17 complete the ~50-slot prefix, the rest lead the
+    # r13 rotation) ---
     "unigram_logprob": TX.q_unigram_logprob,
     "source_dup_stats": D.q_source_dup_stats,
     "bigram_freq": TX.q_bigram_freq,
@@ -292,11 +202,8 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q2": TQ.q_tpch_q2,
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
-    # --- 5. r09-fresh block. First the 34 rows the r09 rotation
-    # refreshed, then the r09 NEW/CHANGED block (sketch bound
-    # contracts, hybrid_rrf, hll_bound, triangle_count; bpe_vocab
-    # moved up to the r11 changed block), then the 8 r05-banked rows
-    # that fell inside the r09 prefix. ---
+
+    # --- newest driver row is r09 ---
     "stream_event_tumbling": q_stream_event_tumbling,
     "stream_event_session": q_stream_event_session,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
@@ -346,14 +253,8 @@ _QUERIES: dict[str, QueryFn] = {
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "stream_profile": q_stream_profile,
-    # --- 6. r10-fresh block (newest rows — last in line). First the
-    # 32 r05-banked rows the r10 rotation refreshed, then the r10
-    # NEW/CHANGED block (bloom_semi_join JVM-folded bitmap,
-    # triangle_count_sampled, dedup_incremental_near,
-    # token_count_bpe/seq_pack_bpe recursive-CTE oracle flips,
-    # dedup_containment, bigram_logprob; bpe_train moved up to the
-    # r11 changed block), then the 10 r06-banked rows that fell
-    # inside the r10 prefix. ---
+
+    # --- newest driver row is r10 ---
     "skew_join": R.q_skew_join,
     "embedding_quantize": S.q_embedding_quantize,
     "compaction_plan": MT.q_compaction_plan,
@@ -402,6 +303,56 @@ _QUERIES: dict[str, QueryFn] = {
     "order_stat": R.q_order_stat,
     "resample_ohlc": EV.q_resample_ohlc,
     "pps_sample": TX.q_pps_sample,
+
+    # --- newest driver row is r11 ---
+    "png_meta": MM.q_png_meta,
+    "jpeg_meta": MM.q_jpeg_meta,
+    "stream_foreach_upsert": q_stream_foreach_upsert,
+    "zorder_stats": MT.q_zorder_stats,
+    "dedup_keep": D.q_dedup_keep,
+    "knn_join": S.q_knn_join,
+    "topk_similarity": S.q_topk_similarity,
+    "union_all": R.q_union_all,
+    "except_op": R.q_except_op,
+    "intersect_op": R.q_intersect_op,
+    "case_expr": R.q_case_expr,
+    "null_handling": R.q_null_handling,
+    "array_funcs": R.q_array_funcs,
+    "string_funcs2": R.q_string_funcs2,
+    "date_funcs2": R.q_date_funcs2,
+    "math_funcs": R.q_math_funcs,
+    "json_funcs": R.q_json_funcs,
+    "asof_join": AJ.q_asof_join,
+    "tpch_q3": TQ.q_tpch_q3,
+    "corpus_prep": CP.q_corpus_prep,
+    "merge_upsert": MT.q_merge_upsert,
+    "text_stats": TX.q_text_stats,
+    "lang_id": TX.q_lang_id,
+    "tfidf": TX.q_tfidf,
+    "keyword_extract": TX.q_keyword_extract,
+    "doc_chunk": TX.q_doc_chunk,
+    "dedup_exact": D.q_dedup_exact,
+    "corpus_to_sequences": CP.q_corpus_to_sequences,
+    "label_centroid": S.q_label_centroid,
+    "media_meta": MM.q_media_meta,
+    "corpus_pipeline": CP.q_corpus_pipeline,
+    "fuzzy_name_match": D.q_fuzzy_name_match,
+    "bpe_train": TK.q_bpe_train,
+    "bpe_vocab": TK.q_bpe_vocab,
+    "ann_recall_report": S.q_ann_recall_report,
+    "semantic_dedup": S.q_semantic_dedup,
+    "dedup_ngram": D.q_dedup_ngram,
+    "sssp": GR.q_sssp,
+    "ewma_smooth": EV.q_ewma_smooth,
+    "stream_ewma": q_stream_ewma,
+    "cluster_silhouette": S.q_cluster_silhouette,
+    "dedup_minhash": D.q_dedup_minhash,
+    "dedup_clusters": D.q_dedup_clusters,
+    "embedding_neardup": S.q_embedding_neardup,
+    "ann_lsh": S.q_ann_lsh,
+    "ann_pq": S.q_ann_pq,
+    "text_roundtrip": MT.q_text_roundtrip,
+    "pagerank": GR.q_pagerank,
 }
 
 

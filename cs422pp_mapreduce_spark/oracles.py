@@ -5379,9 +5379,10 @@ ORACLES["hybrid_rrf"] = f"""
 # any fixture, so the <=-vs-< emission edge cannot bite). A Spark that
 # failed to drop late rows (or dropped on-time ones) hash-mismatches.
 def _stream_late_audit_sql() -> str:
-    from .streaming.events import LATE_PLANT_OFFSET
+    from .streaming.events import LATE_AUDIT_WM_HOURS, LATE_PLANT_OFFSET
 
     off = LATE_PLANT_OFFSET
+    wm_h = LATE_AUDIT_WM_HOURS
     return f"""
     WITH ev AS (
         SELECT event_id, ts, event_type, value FROM events
@@ -5391,7 +5392,7 @@ def _stream_late_audit_sql() -> str:
     ), allr AS (
         SELECT * FROM ev UNION ALL SELECT * FROM plant
     ), wm AS (
-        SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM allr
+        SELECT MAX(ts) - INTERVAL {wm_h} HOUR AS w FROM allr
     ), agg AS (
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                COUNT(*) AS total_n,
@@ -5432,8 +5433,14 @@ def _dedup_suffix_sql() -> str:
     ), toks2 AS (
         SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
     ), params AS (
-        SELECT CAST(POWER(2, CEIL(LOG2(LEAST(MAX(n), {SUFFIX_CAP}))))
-                    AS BIGINT) AS cmp
+        -- cmp = 2^levels with levels = max(1, ceil(log2(min(maxlen,
+        -- cap)))) — the GREATEST(1, ...) floor mirrors the Spark
+        -- side's max(1, ...) literally (ADVICE r11: at maxlen=1 Spark
+        -- used levels=1 ⇒ cmp=2 while the oracle computed cmp=1;
+        -- vacuous for any real fixture but the declared
+        -- same-arithmetic contract now holds for all inputs).
+        SELECT CAST(POWER(2, GREATEST(1, CEIL(LOG2(LEAST(MAX(n),
+                    {SUFFIX_CAP}))))) AS BIGINT) AS cmp
         FROM toks2
     ), sfx AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,

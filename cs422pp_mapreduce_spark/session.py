@@ -118,6 +118,13 @@ def get_spark(app_name: str = "cs422pp_mapreduce_spark") -> SparkSession:
 # evict_cluster_cache): long-lived sessions call evict_scratch(spark)
 # between queries, otherwise MEMORY_AND_DISK blocks accumulate until
 # spark.catalog.clearCache().
+# The bucket stores the py4j Dataset handles (df._jdf), NOT the Python
+# DataFrame wrappers: a wrapper references .sparkSession, so a bucket
+# of DataFrames would keep the session strongly reachable from this
+# module-level dict and the weakref.finalize below could never fire
+# (ADVICE r11). The JVM handle is all unpersist() needs, and it does
+# not reference the Python session, so a dropped session becomes
+# weakly reachable and the finalizer prunes its registry entry.
 _SCRATCH: dict[int, list] = {}
 
 
@@ -128,7 +135,7 @@ def scratch_persist(df, level=None):
     spark = df.sparkSession
     out = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     bucket = _SCRATCH.setdefault(id(spark), [])
-    bucket.append(out)
+    bucket.append(out._jdf)
     if len(bucket) == 1:
         import weakref
 
@@ -138,8 +145,8 @@ def scratch_persist(df, level=None):
 
 def evict_scratch(spark: SparkSession) -> None:
     """Unpersist every scratch frame this session registered."""
-    for df in _SCRATCH.pop(id(spark), []):
+    for jdf in _SCRATCH.pop(id(spark), []):
         try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — already-stopped session
+            jdf.unpersist(False)
+        except Exception:  # noqa: BLE001 — already-stopped session/JVM
             pass

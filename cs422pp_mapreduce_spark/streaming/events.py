@@ -681,7 +681,13 @@ def run_stream_to_memory(
 # genuine fixture row. Shared by the Spark side, the analysis twin,
 # and the DuckDB oracle.
 LATE_PLANT_OFFSET = 1_000_000_000
-LATE_AUDIT_WM = "2 hours"
+# Single source of truth for the late-audit watermark delay: the
+# stream's withWatermark string, the report's finalized-window cutoff,
+# and the DuckDB oracle's INTERVAL all derive from this one integer
+# (ADVICE r11 — three hardcoded copies meant changing any one alone
+# silently broke the hash contract).
+LATE_AUDIT_WM_HOURS = 2
+LATE_AUDIT_WM = f"{LATE_AUDIT_WM_HOURS} hours"
 
 
 def _late_audit_report(
@@ -697,7 +703,10 @@ def _late_audit_report(
     the batch conditional aggregate instead — same schema, same plan
     shape, zero build-time jobs."""
     wm = allr.agg(
-        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("w")
+        (
+            F.max("ts")
+            - F.expr(f"INTERVAL {LATE_AUDIT_WM_HOURS} HOURS")
+        ).alias("w")
     )
     truth = (
         allr.groupBy(
