@@ -152,6 +152,10 @@ _QUERIES: dict[str, QueryFn] = {
     # r11) — vacuous on every real fixture, re-driven anyway.
     "stream_late_audit": q_stream_late_audit,
     "dedup_suffix": SX.q_dedup_suffix,
+    # NEW trigram_logprob (VERDICT r11 ask #5): exact interpolated
+    # Kneser–Ney trigram proxy, every statistic from the trigram type
+    # inventory, D=0.75 literal on both engines.
+    "trigram_logprob": TX.q_trigram_logprob,
 
     # --- 2. newest driver row is r08 (oldest-banked fill; the
     # first ~17 complete the ~50-slot prefix, the rest lead the

@@ -207,6 +207,10 @@ HEADLINE = [
     "ann_recall_report",
     "dedup_suffix",
     "stream_late_audit",
+    # round-12: exact interpolated Kneser–Ney trigram LM proxy (the
+    # next KenLM rung; five count tables over the trigram type
+    # inventory)
+    "trigram_logprob",
 ]
 
 RUNS = 3

@@ -22,6 +22,7 @@ from ..functions.text import (
     token_count_bpe,
     token_count_ws,
 )
+from ..session import scratch_persist
 from ..sources.catalog import load_table
 
 
@@ -918,6 +919,131 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(F.col("tf") * F.col("nll")).cast("double") / F.sum("tf")
             ).alias("mean_nll_bigram"),
+            F.sum("tf").cast("long").alias("n_transitions"),
+        )
+    )
+
+
+# Kneser–Ney absolute discount. An exactly-representable double
+# (0.75 = 3/2^2), written as the SAME literal on both engines (the
+# BIGRAM_LAMBDA convention — never derive it as 1 − x).
+KN_DISCOUNT = 0.75
+
+
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney TRIGRAM LM quality proxy — the next
+    KenLM rung above q_bigram_logprob (VERDICT r11 ask #5): real
+    curation pipelines filter on ≥trigram perplexity; the KN
+    continuation counts are what make low-order backoff estimate "how
+    many contexts does this word complete" instead of raw frequency
+    (Kneser & Ney 1995; Chen & Goodman 1999 — public literature).
+
+    Model (exact interpolated KN, discount D = 0.75):
+      p(w3|w1 w2) = max(c123 − D, 0)/c12 + (D·t12/c12) · p(w3|w2)
+      p(w3|w2)    = max(n23 − D, 0)/n2·  + (D·t2/n2·)  · p_cont(w3)
+      p_cont(w3)  = n·3 / n··
+    where EVERY statistic derives from the corpus's trigram TYPE
+    inventory: c123 = trigram count, c12/t12 = token/type totals of
+    the (w1,w2) context, n23 = |{w1: c123>0}| (continuation count of
+    the bigram), n2· = Σ_w3 n23, t2 = |{w3: n23>0}|, n·3 = |{w2:
+    n23>0}|, n·· = total distinct (w2,w3) types. Deriving the middle
+    level from trigram types (not raw bigram counts) is exactly the
+    KN construction, and it makes each level self-normalizing: with
+    all counts ≥ 1 > D, Σ_w3 p = 1 per context.
+
+    Scored over the corpus's own transitions, every scored trigram
+    has c123 ≥ 1, so no unseen-event branch exists — the whole model
+    is count tables joined back onto the type inventory.
+
+    Shape: ONE tokenize pass builds the per-doc trigram tf matrix via
+    two chained zip_with's over three shifted token-array slices (the
+    bigram_logprob move — adjacent triples inside the row, no
+    positional shuffle); the five model tables are aggregates OVER
+    that matrix; joins key on token tuples, so AQE broadcasts them at
+    test scale and shuffles at 1e8-row vocab scale. Document text
+    never re-shuffles. Determinism: counts are exact integers, the
+    probability is a fixed-order IEEE-double expression with literal
+    D on both engines, -ln rounded to 6 decimals per TYPE and
+    decimal-routed for the per-doc sum (the unigram/bigram
+    convention) — partition-order independent, bit-identical to the
+    DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", nonempty_tokens("text").alias("toks"))
+    n2 = F.size("toks") - 2
+    pair = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.slice("toks", 2, n2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tg = F.zip_with(
+        pair,
+        F.slice("toks", 3, n2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    tf = scratch_persist(
+        toks.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(tg).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # ^ the model tables below are aggregates of this matrix (and the
+    # final join reads it again): persist keeps the tokenize/explode
+    # pass single-execution; evictable via session.evict_scratch.
+    tri = tf.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c123"))
+    tri = scratch_persist(tri)  # ctx12 + mid + the nll join read it
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("t12")
+    )
+    # one row per trigram TYPE ⇒ COUNT(*) per (w2,w3) = |{w1}| = the
+    # KN continuation count of the bigram
+    mid = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n23"))
+    mid = scratch_persist(mid)  # ctx2 + cont + tt + the nll join
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("n23").alias("n2tot"), F.count(F.lit(1)).alias("t2")
+    )
+    cont = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n_3"))
+    tt = mid.agg(F.count(F.lit(1)).alias("ntt"))
+
+    D = F.lit(KN_DISCOUNT)
+    p_cont = F.col("n_3").cast("double") / F.col("ntt").cast("double")
+    p_mid = F.greatest(
+        F.col("n23").cast("double") - D, F.lit(0.0)
+    ) / F.col("n2tot").cast("double") + (
+        D * F.col("t2").cast("double") / F.col("n2tot").cast("double")
+    ) * p_cont
+    p_tri = F.greatest(
+        F.col("c123").cast("double") - D, F.lit(0.0)
+    ) / F.col("c12").cast("double") + (
+        D * F.col("t12").cast("double") / F.col("c12").cast("double")
+    ) * p_mid
+    nll = (
+        tri.join(ctx12, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(-F.log(p_tri), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    return (
+        tf.join(nll, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.col("nll")).cast("double") / F.sum("tf")
+            ).alias("mean_nll_trigram"),
             F.sum("tf").cast("long").alias("n_transitions"),
         )
     )

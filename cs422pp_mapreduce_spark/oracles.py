@@ -2314,6 +2314,65 @@ ORACLES: dict[str, str] = {
         FROM tf JOIN nll USING (w1, w2)
         GROUP BY doc_id
     """,
+    # Interpolated Kneser–Ney trigram proxy (r12): mirrors
+    # q_trigram_logprob term-for-term — D = 0.75 as a literal double
+    # on both engines, every statistic derived from the trigram TYPE
+    # inventory (mid's COUNT(*) per (w2,w3) IS the KN continuation
+    # count |{w1}| because tri has one row per type), fixed-order
+    # IEEE-double expression, -ln rounded to 6 decimals per type,
+    # decimal-routed per-doc sum.
+    "trigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+                   COUNT(*) AS tf
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 3
+            GROUP BY 1, 2, 3, 4
+        ), tri AS (
+            SELECT w1, w2, w3, SUM(tf) AS c123 FROM tf GROUP BY 1, 2, 3
+        ), ctx12 AS (
+            SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS t12
+            FROM tri GROUP BY 1, 2
+        ), mid AS (
+            SELECT w2, w3, COUNT(*) AS n23 FROM tri GROUP BY 1, 2
+        ), ctx2 AS (
+            SELECT w2, SUM(n23) AS n2tot, COUNT(*) AS t2
+            FROM mid GROUP BY 1
+        ), cont AS (
+            SELECT w3, COUNT(*) AS n_3 FROM mid GROUP BY 1
+        ), tt AS (
+            SELECT COUNT(*) AS ntt FROM mid
+        ), nll AS (
+            SELECT g.w1, g.w2, g.w3,
+                   CAST(ROUND(-ln(
+                       GREATEST(CAST(g.c123 AS DOUBLE) - 0.75, 0.0)
+                           / CAST(x.c12 AS DOUBLE)
+                       + ((0.75 * CAST(x.t12 AS DOUBLE))
+                              / CAST(x.c12 AS DOUBLE))
+                         * (GREATEST(CAST(m.n23 AS DOUBLE) - 0.75, 0.0)
+                                / CAST(y.n2tot AS DOUBLE)
+                            + ((0.75 * CAST(y.t2 AS DOUBLE))
+                                   / CAST(y.n2tot AS DOUBLE))
+                              * (CAST(c.n_3 AS DOUBLE)
+                                     / CAST(t.ntt AS DOUBLE)))
+                   ), 6) AS DECIMAL(18,6)) AS nll
+            FROM tri g
+            JOIN ctx12 x ON x.w1 = g.w1 AND x.w2 = g.w2
+            JOIN mid m ON m.w2 = g.w2 AND m.w3 = g.w3
+            JOIN ctx2 y ON y.w2 = g.w2
+            JOIN cont c ON c.w3 = g.w3
+            CROSS JOIN tt t
+        )
+        SELECT doc_id,
+               CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf) AS mean_nll_trigram,
+               CAST(SUM(tf) AS BIGINT) AS n_transitions
+        FROM tf JOIN nll USING (w1, w2, w3)
+        GROUP BY doc_id
+    """,
     "source_dup_stats": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT fp) AS n_unique_exact,

@@ -73,6 +73,151 @@ class TestLateAuditWatermarkConstant:
         )
 
 
+class TestTrigramKNLogprob:
+    """q_trigram_logprob (VERDICT r11 ask #5): exact interpolated
+    Kneser–Ney against an independent pure-Python replica, plus the
+    self-normalization property the KN construction guarantees."""
+
+    DOCS = [
+        (1, "a b c a b c a b d"),
+        (2, "a b c x y z x y z"),
+        (3, "b c a b c a"),
+        (4, "q r"),           # <3 tokens: contributes nothing
+        (5, "m m m m m"),     # degenerate single-type doc
+    ]
+
+    @staticmethod
+    def _kn_model(docs):
+        from collections import Counter, defaultdict
+
+        D = 0.75
+        tf = Counter()
+        for _, text in docs:
+            t = [x for x in text.split(" ") if x]
+            for i in range(len(t) - 2):
+                tf[(t[i], t[i + 1], t[i + 2])] += 1
+        tri = dict(tf)
+        c12, t12 = Counter(), Counter()
+        mid = defaultdict(set)
+        for (w1, w2, w3), c in tri.items():
+            c12[(w1, w2)] += c
+            t12[(w1, w2)] += 1
+            mid[(w2, w3)].add(w1)
+        n23 = {k: len(v) for k, v in mid.items()}
+        n2tot, t2 = Counter(), Counter()
+        cont = Counter()
+        for (w2, w3), n in n23.items():
+            n2tot[w2] += n
+            t2[w2] += 1
+            cont[w3] += 1
+        ntt = len(n23)
+
+        def p(w1, w2, w3):
+            pc = cont[w3] / ntt
+            pm = max(n23[(w2, w3)] - D, 0.0) / n2tot[w2] + (
+                D * t2[w2] / n2tot[w2]
+            ) * pc
+            return max(tri[(w1, w2, w3)] - D, 0.0) / c12[(w1, w2)] + (
+                D * t12[(w1, w2)] / c12[(w1, w2)]
+            ) * pm
+
+        return p
+
+    def _spark_docs(self, spark):
+        return spark.createDataFrame(
+            [(i, t, "en", "src") for i, t in self.DOCS],
+            "doc_id long, text string, lang string, source string",
+        )
+
+    def test_matches_python_replica(self, spark, tmp_path):
+        import decimal
+
+        from cs422pp_mapreduce_spark.operators.textops import (
+            q_trigram_logprob,
+        )
+
+        sf = str(tmp_path / "sf")
+        self._spark_docs(spark).write.parquet(sf + "/documents.parquet")
+        got = {
+            r["doc_id"]: (r["mean_nll_trigram"], r["n_transitions"])
+            for r in q_trigram_logprob(spark, sf).collect()
+        }
+
+        p = self._kn_model(self.DOCS)
+        import math
+
+        for doc_id, text in self.DOCS:
+            t = [x for x in text.split(" ") if x]
+            grams = [
+                (t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)
+            ]
+            if not grams:
+                assert doc_id not in got
+                continue
+            total = decimal.Decimal(0)
+            for g in grams:
+                nll = decimal.Decimal(
+                    str(round(-math.log(p(*g)), 6))
+                ).quantize(decimal.Decimal("0.000001"))
+                total += nll
+            want = float(total) / len(grams)
+            assert got[doc_id][1] == len(grams)
+            assert abs(got[doc_id][0] - want) < 1e-12, doc_id
+
+    def test_self_normalizing(self):
+        """Σ_w3 p(w3 | w1 w2) over the model vocab = 1 exactly (the KN
+        type-inventory construction): verified per seen context."""
+        p = self._kn_model(self.DOCS)
+        from collections import Counter
+
+        tri = Counter()
+        vocab = set()
+        for _, text in self.DOCS:
+            t = [x for x in text.split(" ") if x]
+            vocab.update(t)
+            for i in range(len(t) - 2):
+                tri[(t[i], t[i + 1], t[i + 2])] += 1
+        # extend p to unseen w3 within a seen context (backoff only)
+        from collections import defaultdict
+
+        D = 0.75
+        mid = defaultdict(set)
+        for (w1, w2, w3), c in tri.items():
+            mid[(w2, w3)].add(w1)
+        n23 = {k: len(v) for k, v in mid.items()}
+        n2tot, t2, cont = Counter(), Counter(), Counter()
+        for (w2, w3), n in n23.items():
+            n2tot[w2] += n
+            t2[w2] += 1
+            cont[w3] += 1
+        ntt = len(n23)
+        c12, t12 = Counter(), Counter()
+        for (w1, w2, w3), c in tri.items():
+            c12[(w1, w2)] += c
+            t12[(w1, w2)] += 1
+
+        def p_full(w1, w2, w3):
+            pc = cont[w3] / ntt
+            pm = (
+                max(n23.get((w2, w3), 0) - D, 0.0) / n2tot[w2]
+                + (D * t2[w2] / n2tot[w2]) * pc
+                if n2tot[w2]
+                else pc
+            )
+            return (
+                max(tri.get((w1, w2, w3), 0) - D, 0.0) / c12[(w1, w2)]
+                + (D * t12[(w1, w2)] / c12[(w1, w2)]) * pm
+            )
+
+        # continuation distribution sums to 1 over w3 TYPES seen as
+        # trigram finals; per-context sums hit 1 over that same support
+        finals = {w3 for (_, w3) in n23}
+        assert abs(sum(cont[w3] / ntt for w3 in finals) - 1.0) < 1e-12
+        for (w1, w2) in list(c12)[:10]:
+            s = sum(p_full(w1, w2, w3) for w3 in finals)
+            assert abs(s - 1.0) < 1e-9, (w1, w2, s)
+
+
 class TestSuffixOracleCmpFloor:
     """ADVICE r11 #3: the oracle's cmp-cap arithmetic literally mirrors
     the Spark side's levels = max(1, ceil(log2(min(maxlen, cap))))."""

@@ -87,6 +87,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "bigram_logprob": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total broadcast"
     },
+    "trigram_logprob": {
+        "BroadcastNestedLoopJoin": "1-row trigram-type-total broadcast"
+    },
     "tfidf": {"BroadcastNestedLoopJoin": "1-row n_docs broadcast (idf)"},
     "bloom_semi_join": {
         "BroadcastNestedLoopJoin": "1-row 128KiB bloom-bitmap broadcast"
