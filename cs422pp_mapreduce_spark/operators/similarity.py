@@ -333,6 +333,44 @@ def _sqdist_q(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _lit_vec(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _argmin_cell(arr: Column | str, centroids: list[list[float]]) -> Column:
+    """MAP-ONLY Lloyd assignment: the K centroids are driver-side
+    index metadata (K×dim ≤ 1024 doubles), so the per-vector argmin
+    is a literal-array projection — array_min over
+    struct<d2q:long, cell:int> (field-by-field struct ordering = the
+    same (d2q, cell) deterministic tiebreak as the old min-struct
+    groupBy). Replaces the r02 crossJoin(K-row table) +
+    groupBy(vec_id) shape, which shuffled K rows per vector per
+    iteration — at 100 TB a Lloyd pass must be a narrow scan with
+    broadcast centroids, and this is that plan (zero shuffles; the
+    only exchange left in an iteration is the K×dim partial-agg
+    centroid update). Arithmetic unchanged: the same _sqdist_q
+    integer distances against the same Python-float centroid values
+    (literal doubles ≡ createDataFrame doubles), so fits are
+    bit-identical and every downstream hash is preserved (proven at
+    the r12 swap: golden centroid/assignment dumps matched exactly)."""
+    # named_struct, not struct: when this projection shares a select
+    # with a generator (posexplode in the update pass), the analyzer
+    # re-derives the struct type and drops Column.alias field names
+    # (col1/col2), breaking getField("cell").
+    cells = F.array(
+        *[
+            F.named_struct(
+                F.lit("d2q"),
+                _sqdist_q(arr, _lit_vec(c)),
+                F.lit("cell"),
+                F.lit(i).cast("int"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cells).getField("cell")
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -343,12 +381,19 @@ def build_ivf_index(
     Lloyd's k-means implemented as DataFrame ops, plus the persisted
     cell assignment table.
 
-    Everything data-sized stays distributed: assignment is a broadcast
-    join against the K-row centroid table with a min-struct argmin
-    (deterministic tiebreak on cell id); the centroid update collects
-    only K×dim averaged components (bounded, index metadata — the
-    standard IVF layout keeps centroids driver/coordinator-side).
-    Deterministic init (first K vec_ids) → the index is reproducible."""
+    Everything data-sized stays distributed AND shuffle-free per
+    iteration: assignment is the map-only literal-centroid argmin
+    (_argmin_cell — no crossJoin, no groupBy(vec_id)); the centroid
+    update collects only K×dim averaged components through a
+    K×dim-group partial agg (bounded, index metadata — the standard
+    IVF layout keeps centroids driver/coordinator-side).
+    Deterministic init (first K vec_ids) → the index is reproducible.
+
+    Iteration contract (oracle-replayed, unchanged since r02): the
+    returned ``assigned`` frame is the assignment under the centroids
+    at the START of the last iteration — there is no closing
+    re-assignment pass — while the returned centroid list carries all
+    ``iters`` updates."""
     per_session = _ivf_session_cache(spark)
     if sf_dir in per_session:
         return per_session[sf_dir]
@@ -362,31 +407,21 @@ def build_ivf_index(
         for r in vecs.orderBy("vec_id").limit(k).collect()
     ]
 
-    assign = None
+    last_assign_centroids = centroids
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            list(enumerate(centroids)), "cell int, cvec array<double>"
-        )
-        assign = (
-            vecs.crossJoin(F.broadcast(cdf))
-            .select(
-                "vec_id",
-                F.struct(
-                    _sqdist_q("arr", "cvec").alias("d2q"), "cell"
-                ).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("m"))
-            .select("vec_id", F.col("m.cell").alias("cell"))
-        )
+        last_assign_centroids = centroids
         # centroid update: K×dim bounded collect of per-cell means.
         # The mean is made engine-exact (and partition-order-free,
         # which plain F.avg over doubles is NOT) by the quantized-sum
         # convention: Σ floor(x·1e15) sums exactly in decimal(38,0),
         # and float(sum)/1e15/n is two correctly-rounded ops — the
         # identical double in Spark, NumPy, and the DuckDB oracle.
+        # two selects, deliberately: a generator sharing a select
+        # re-evaluates sibling expressions once PER EXPLODED ROW —
+        # the 16-cell argmin would run 64× per vector (measured 12×
+        # the split plan at the r12 swap).
         comp = (
-            assign.join(vecs, "vec_id")
+            vecs.select(_argmin_cell("arr", centroids).alias("cell"), "arr")
             .select("cell", F.posexplode("arr").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
@@ -405,8 +440,11 @@ def build_ivf_index(
         centroids = new_c
 
     assigned = (
-        assign.join(vecs, "vec_id")
-        .select("vec_id", "arr", "cell")
+        vecs.select(
+            "vec_id",
+            "arr",
+            _argmin_cell("arr", last_assign_centroids).alias("cell"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     assigned.count()  # materialize so queries never re-run the fit
@@ -829,12 +867,40 @@ def build_pq_index(
     """Train per-subspace codebooks (Lloyd's, deterministic init =
     the first PQ_K vectors' subvectors) and persist the codes table.
 
-    Distribution contract mirrors build_ivf_index: assignment is a
-    broadcast join against the (PQ_M × PQ_K)-row codebook table with a
-    min-struct argmin (deterministic cell tiebreak); each update
-    collects only PQ_M × PQ_K × PQ_DSUB averaged components (bounded
-    index metadata). Session-cached; bench eviction handles it via
-    evict_index_caches."""
+    Distribution contract mirrors build_ivf_index: assignment is
+    MAP-ONLY — the PQ_M×PQ_K codebook ships as a nested literal array
+    and each (vec_id, m) row argmins over its own subspace's PQ_K
+    entries via array_min over struct<d2q, cell> (_pq_argmin below;
+    same deterministic cell tiebreak as the old broadcast-join +
+    groupBy(vec_id, m) shape, which shuffled PQ_K rows per subvector
+    per iteration); each update collects only PQ_M × PQ_K × PQ_DSUB
+    averaged components (bounded index metadata). Session-cached;
+    bench eviction handles it via evict_index_caches."""
+
+    def _pq_argmin(books: list[list[list[float]]]) -> Column:
+        # nested literal codebook: PQ_M × PQ_K × PQ_DSUB = 1024
+        # doubles — index metadata, the broadcast-literal convention
+        # shared with q_ann_pq's LUT.
+        books_lit = F.array(
+            *[
+                F.array(*[_lit_vec(books[m][c]) for c in range(PQ_K)])
+                for m in range(PQ_M)
+            ]
+        )
+        book = F.element_at(books_lit, F.col("m") + 1)
+        cells = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+            # named_struct, not struct: Column.alias is dropped on
+            # lambda-derived columns inside HOF bodies (fields would
+            # come out col1/col2 and getField("cell") would fail).
+            lambda c: F.named_struct(
+                F.lit("d2q"),
+                _sqdist_q(F.col("sub"), F.element_at(book, c + 1)),
+                F.lit("cell"),
+                c.cast("int"),
+            ),
+        )
+        return F.array_min(cells).getField("cell")
     per_session = _ivf_session_cache(spark)
     key = ("pq", sf_dir)
     if key in per_session:
@@ -875,44 +941,21 @@ def build_pq_index(
             ranks[r["vec_id"]] = len(ranks)
         books[r["m"]][ranks[r["vec_id"]]] = list(map(float, r["sub"]))
 
-    assign = None
     # PQ_ITERS centroid updates + ONE extra closing assignment pass so
-    # the persisted codes are consistent with the final books.
-    for it in range(PQ_ITERS + 1):
-        cdf = spark.createDataFrame(
-            [
-                (m, c, books[m][c])
-                for m in range(PQ_M)
-                for c in range(PQ_K)
-            ],
-            "m int, cell int, cvec array<double>",
-        )
-        assign = (
-            subs.join(F.broadcast(cdf), "m")
-            .select(
-                "vec_id",
-                "m",
-                F.struct(
-                    _sqdist_q("sub", "cvec").alias("d2q"), "cell"
-                ).alias("dc"),
-            )
-            .groupBy("vec_id", "m")
-            .agg(F.min("dc").alias("mn"))
-            .select("vec_id", "m", F.col("mn.cell").alias("code"))
-        )
-        if it == PQ_ITERS:
-            # No update after the FINAL assignment: the persisted codes
-            # must be the nearest-centroid assignment of the SHIPPED
-            # codebooks, or ADC LUT distances aren't true
-            # reconstruction distances of the stored codes (ADVICE r05).
-            break
+    # the persisted codes are consistent with the final books: the
+    # persisted codes must be the nearest-centroid assignment of the
+    # SHIPPED codebooks, or ADC LUT distances aren't true
+    # reconstruction distances of the stored codes (ADVICE r05).
+    for _ in range(PQ_ITERS):
         # quantized-mean update (the build_ivf_index convention):
         # Σ floor(x·1e15) sums exactly in decimal(38,0), and
         # float(sum)/1e15/n is two correctly-rounded ops — the same
         # double in Spark, Python, and the DuckDB oracle (plain avg
         # over doubles is partition-order-dependent).
+        # two selects: same generator re-evaluation trap as the IVF
+        # update pass (argmin would run once per exploded element).
         comp = (
-            assign.join(subs, ["vec_id", "m"])
+            subs.select("m", _pq_argmin(books).alias("code"), "sub")
             .select("m", "code", F.posexplode("sub").alias("pos", "x"))
             .groupBy("m", "code", "pos")
             .agg(
@@ -928,6 +971,7 @@ def build_pq_index(
                 float(int(r["qs"])) / 1e15
             ) / int(r["n"])
 
+    assign = subs.select("vec_id", "m", _pq_argmin(books).alias("code"))
     codes = assign.persist(StorageLevel.MEMORY_AND_DISK)
     codes.count()  # materialize: queries never re-run the fit
     per_session[key] = (books, codes)
