@@ -156,6 +156,12 @@ _QUERIES: dict[str, QueryFn] = {
     # Kneser–Ney trigram proxy, every statistic from the trigram type
     # inventory, D=0.75 literal on both engines.
     "trigram_logprob": TX.q_trigram_logprob,
+    # NEW dedup_incremental_substring (VERDICT r11 ask #6): the
+    # substring tier of the admission gate — batch spans whose every
+    # K-shingle already exists in the standing corpus's distinct
+    # shingle ledger, gaps-and-islands to maximal spans, block on any
+    # span >= MIN_SPAN_TOKENS.
+    "dedup_incremental_substring": D.q_dedup_incremental_substring,
 
     # --- 2. newest driver row is r08 (oldest-banked fill; the
     # first ~17 complete the ~50-slot prefix, the rest lead the

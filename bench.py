@@ -209,8 +209,11 @@ HEADLINE = [
     "stream_late_audit",
     # round-12: exact interpolated Kneser–Ney trigram LM proxy (the
     # next KenLM rung; five count tables over the trigram type
-    # inventory)
+    # inventory), plus the substring tier of the incremental
+    # admission gate (batch shingles semi-joined against the standing
+    # corpus's distinct-shingle ledger)
     "trigram_logprob",
+    "dedup_incremental_substring",
 ]
 
 RUNS = 3

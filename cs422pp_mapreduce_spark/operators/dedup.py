@@ -1494,6 +1494,117 @@ def q_dedup_incremental_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.unionAll(two)
 
 
+def q_dedup_incremental_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest with the SUBSTRING tier (VERDICT r11 ask #6)
+    — closes the admission-gate triple exact (q_dedup_incremental) →
+    near (q_dedup_incremental_near) → substring: each incoming-batch
+    document (doc_id % 5 == 0, the family's deterministic batch slice)
+    is scanned for maximal spans of ≥ MIN_SPAN_TOKENS tokens whose
+    every SUBSTR_K-token shingle ALREADY OCCURS in the standing corpus
+    (doc_id % 5 != 0), and a document carrying any such span is
+    blocked — the cross-corpus form of q_dedup_substring's Lee et al.
+    2022 repeated-passage rule, applied at admission time instead of
+    by full-corpus rebuild.
+
+    The standing side reduces to its DISTINCT 64-bit shingle-hash set
+    before any shuffle — this IS the incremental substring index a
+    crawl pipeline maintains (append new admitted docs' shingles per
+    batch; no suffix structure is rebuilt, which is why a true
+    incremental suffix-ARRAY merge is not needed for the admission
+    gate: span detection only asks "does this K-shingle exist in the
+    corpus", a set-membership question the hash index answers
+    exactly for spans ≥ K — see operators/suffix.py for the
+    full-corpus analysis pass). Probe side is only the batch's
+    (doc_id, pos, sh) rows; the LEFT SEMI join on the 8-byte hash is
+    the only data-sized shuffle, then the family's gaps-and-islands
+    window (bounded per doc) collapses flagged positions into maximal
+    spans. Batch text never shuffles; corpus text never leaves its
+    scan.
+
+    Output: one row per batch doc that has at least one K-shingle in
+    common with the corpus ledger — (doc_id, n_tokens, n_spans,
+    dup_positions = Σ flagged-shingle run lengths over qualifying
+    runs (position runs are disjoint, so the sum is exact),
+    max_span_tokens, admitted = no qualifying span). Docs with zero
+    corpus overlap are pure pass-through and are not re-emitted (the
+    q_dedup_substring_apply affected-docs convention)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(default_parallelism(), "doc_id").select(
+        "doc_id", nonempty_tokens("text").alias("t")
+    )
+    n = F.size("t")
+    idx = F.when(
+        n >= SUBSTR_K,
+        F.sequence(F.lit(1), n - (SUBSTR_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.xxhash64(
+                        F.array_join(F.slice("t", i, SUBSTR_K), " ")
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_tokens", "s.pos", "s.sh")
+    # standing index: DISTINCT corpus shingle hashes (8-byte keys)
+    corpus_sh = (
+        sh.where(F.col("doc_id") % 5 != 0).select("sh").distinct()
+    )
+    flagged = sh.where(F.col("doc_id") % 5 == 0).join(
+        corpus_sh, "sh", "left_semi"
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(by_pos)
+    )
+    spans = runs.groupBy("doc_id", "grp").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("run_len"),
+        (F.max("pos") - F.min("pos") + SUBSTR_K).alias("span_tokens"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("span_tokens") >= MIN_SPAN_TOKENS, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_spans"),
+            F.sum(
+                F.when(
+                    F.col("span_tokens") >= MIN_SPAN_TOKENS,
+                    F.col("run_len"),
+                ).otherwise(F.lit(0))
+            ).alias("dup_positions"),
+            F.max(
+                F.when(
+                    F.col("span_tokens") >= MIN_SPAN_TOKENS,
+                    F.col("span_tokens"),
+                ).otherwise(F.lit(0))
+            ).alias("max_span_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "dup_positions",
+            "max_span_tokens",
+            (F.col("n_spans") == 0).alias("admitted"),
+        )
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty of the incoming batch (doc_id % 5
     == 0, the same slice dedup_incremental admits) against the standing

@@ -957,6 +957,49 @@ ORACLES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.pfx = i.pfx)
         GROUP BY fp
     """,
+    # Incremental ingest, SUBSTRING tier: the dedup_substring CTE
+    # chain with the corpus-count filter replaced by set membership in
+    # the STANDING side's distinct shingles (string equality here ≡
+    # the Spark side's xxhash64 join, the established dedup_substring
+    # convention), scoped to the batch slice, then the same
+    # gaps-and-islands runs and a per-doc admission rollup.
+    "dedup_incremental_substring": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(i AS BIGINT) AS pos,
+                   array_to_string(t[i:i+4], ' ') AS shingle
+            FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        ), flagged AS (
+            SELECT doc_id, n_tokens, pos FROM sh
+            WHERE doc_id % 5 = 0
+              AND shingle IN (SELECT DISTINCT shingle FROM sh
+                              WHERE doc_id % 5 <> 0)
+        ), runs AS (
+            SELECT doc_id, n_tokens, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, MIN(n_tokens) AS n_tokens,
+                   COUNT(*) AS run_len,
+                   MAX(pos) - MIN(pos) + 5 AS span_tokens
+            FROM runs GROUP BY doc_id, grp
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(CASE WHEN span_tokens >= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN span_tokens >= 30 THEN run_len
+                             ELSE 0 END) AS BIGINT) AS dup_positions,
+               MAX(CASE WHEN span_tokens >= 30 THEN span_tokens
+                        ELSE 0 END) AS max_span_tokens,
+               SUM(CASE WHEN span_tokens >= 30 THEN 1 ELSE 0 END) = 0
+                   AS admitted
+        FROM spans GROUP BY doc_id, n_tokens
+    """,
     # Incremental ingest + LSH near-dup tier: exact tiers replayed as
     # in dedup_incremental, then the survivors' MinHash band buckets
     # (same md5-prefix universal-hash chain as dedup_minhash — bands

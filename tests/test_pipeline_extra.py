@@ -282,3 +282,84 @@ def test_dedup_incremental_near_lsh_tier(spark):
     for r in q_dedup_minhash(spark, SF_ORACLE).collect():
         pair_docs.update((r["doc_a"], r["doc_b"]))
     assert rejected <= pair_docs
+
+
+def test_dedup_incremental_substring_naive_replica(spark):
+    """Substring admission tier (VERDICT r11 ask #6): compare the full
+    output at the oracle sf against an exact Python replica of the
+    contract — corpus = distinct K-shingles of the standing slice,
+    flag batch shingle positions present in it, collapse consecutive
+    positions to maximal runs, qualify runs of span >= MIN_SPAN_TOKENS,
+    block docs with any qualifying span. Also pins the family
+    invariants: batch slice only, admitted == (n_spans == 0),
+    dup_positions / max_span_tokens bounded by the doc."""
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        MIN_SPAN_TOKENS,
+        SUBSTR_K,
+        q_dedup_incremental_substring,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    out = {
+        r["doc_id"]: r
+        for r in q_dedup_incremental_substring(spark, SF_ORACLE).collect()
+    }
+    assert out and all(d % 5 == 0 for d in out)
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+
+    def shingles(t):
+        return [
+            " ".join(t[i : i + SUBSTR_K])
+            for i in range(len(t) - SUBSTR_K + 1)
+        ]
+
+    corpus = set()
+    for d, t in docs.items():
+        if d % 5 != 0:
+            corpus.update(shingles(t))
+
+    expected = {}
+    for d, t in docs.items():
+        if d % 5 != 0:
+            continue
+        flagged = [
+            i + 1 for i, s in enumerate(shingles(t)) if s in corpus
+        ]
+        if not flagged:
+            continue
+        runs, start = [], 0
+        for j in range(1, len(flagged) + 1):
+            if j == len(flagged) or flagged[j] != flagged[j - 1] + 1:
+                runs.append(flagged[start:j])
+                start = j
+        spans = [r for r in runs if r[-1] - r[0] + SUBSTR_K >= MIN_SPAN_TOKENS]
+        expected[d] = (
+            len(t),
+            len(spans),
+            sum(len(r) for r in spans),
+            max((r[-1] - r[0] + SUBSTR_K for r in spans), default=0),
+            not spans,
+        )
+
+    got = {
+        d: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["dup_positions"],
+            r["max_span_tokens"],
+            r["admitted"],
+        )
+        for d, r in out.items()
+    }
+    assert got == expected
+    for r in out.values():
+        assert r["admitted"] == (r["n_spans"] == 0)
+        assert r["dup_positions"] <= r["n_tokens"] - SUBSTR_K + 1
+        assert r["max_span_tokens"] <= r["n_tokens"]
+        if r["n_spans"]:
+            assert r["max_span_tokens"] >= MIN_SPAN_TOKENS
