@@ -49,6 +49,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel as PySparkStorageLevel
 
 from ..functions.text import nonempty_tokens
 from ..session import default_parallelism, scratch_persist
@@ -143,13 +144,26 @@ def suffix_rank_tables(
     TWICE — 2^K copies of rank_0 by the top, and Catalyst analysis
     time doubles per level. Checkpointing materializes each level
     once (declared driver-paced build work) and keeps every
-    downstream plan shallow."""
+    downstream plan shallow.
+
+    Checkpoints go to DISK_ONLY (r12, the sf10 tier's OOM catch): the
+    LCP descent is one lazy plan that reads ALL K+1 level tables when
+    `pairs` materializes, so every level is resident simultaneously —
+    at 27.5 M positions the default deserialized MEMORY_AND_DISK
+    blocks (~1.4 GB/level × 8 levels) blew the 8 g local heap during
+    level unroll. The level tables are the algorithm's O(n log n)
+    byte cost and belong on the storage tier; each is written once
+    and scanned twice (next level + its descent step), the sequential
+    pattern disk serves fine (sf0.1 bench row unchanged within
+    noise)."""
     def _ckpt(df: DataFrame) -> DataFrame:
         # checkpoint=False is the ANALYSIS-TWIN mode (plans/analysis):
         # fully lazy, shallow because the twin runs a single level
         if not checkpoint:
             return scratch_persist(df)
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(
+            eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
+        )
         for fr in _locals:
             try:
                 fr.unpersist()
@@ -274,7 +288,9 @@ def suffix_report(
         locals_out=sa_locals if checkpoint else None,
     ).select("doc_id", "pos", "sa")
     if checkpoint:
-        sa = sa.localCheckpoint()
+        sa = sa.localCheckpoint(
+            eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
+        )
         for fr in sa_locals:
             try:
                 fr.unpersist()
@@ -349,7 +365,13 @@ def suffix_report(
     )
     # both union branches read pairs; the descent chain above is
     # 2(levels+1) joins deep — truncate before the fanout
-    pairs = pairs.localCheckpoint() if checkpoint else scratch_persist(pairs)
+    pairs = (
+        pairs.localCheckpoint(
+            eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
+        )
+        if checkpoint
+        else scratch_persist(pairs)
+    )
 
     lrs = (
         pairs.select(F.col("da").alias("doc_id"), F.col("pa").alias("pos"), "lcp")
