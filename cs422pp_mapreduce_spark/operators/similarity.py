@@ -1384,6 +1384,21 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = vecs.where(F.col("vec_id") >= KNN_Q)
 
+    # Cold-session fit warmup (VERDICT r11 ask #4): the IVF and PQ
+    # fits are independent driver-paced job chains (each a handful of
+    # small bounded-collect jobs), so a cold run pays them back to
+    # back; two threads let the scheduler interleave them — warm
+    # sessions hit the memos and skip this entirely. The memo dict is
+    # created on the caller thread first so the threads only ever
+    # race on DISTINCT keys.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ivf_session_cache(spark)
+    with ThreadPoolExecutor(2) as _ex:
+        _fi = _ex.submit(build_ivf_index, spark, sf_dir)
+        _fp = _ex.submit(build_pq_index, spark, sf_dir)
+        _fi.result(), _fp.result()
+
     # ONE corpus×queries pass scores BOTH metrics; 5 downstream
     # branches consume it (exact-cos, exact-l2, 3 re-ranks) — persist
     # or the whole scan×broadcast re-executes per branch (the
