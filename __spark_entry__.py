@@ -162,6 +162,11 @@ _QUERIES: dict[str, QueryFn] = {
     # shingle ledger, gaps-and-islands to maximal spans, block on any
     # span >= MIN_SPAN_TOKENS.
     "dedup_incremental_substring": D.q_dedup_incremental_substring,
+    # NEW perplexity_gate: the curation rule trigram_logprob feeds —
+    # keep the lowest-4/5 of docs by mean KN-trigram NLL via an exact
+    # 5*rank <= 4*n count threshold; range-exchange global rank, no
+    # unpartitioned window.
+    "perplexity_gate": TX.q_perplexity_gate,
 
     # --- 2. newest driver row is r08 (oldest-banked fill; the
     # first ~17 complete the ~50-slot prefix, the rest lead the

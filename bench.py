@@ -214,6 +214,7 @@ HEADLINE = [
     # corpus's distinct-shingle ledger)
     "trigram_logprob",
     "dedup_incremental_substring",
+    "perplexity_gate",
 ]
 
 RUNS = 3

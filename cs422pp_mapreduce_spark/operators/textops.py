@@ -1049,6 +1049,86 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perplexity-gate keep fraction: keep the lowest 4/5 of scored docs by
+# mean trigram NLL — exact integer arithmetic (5·rank ≤ 4·n), no
+# float threshold to drift cross-engine.
+PPL_KEEP_NUM = 4
+PPL_KEEP_DEN = 5
+
+
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity curation gate — the operation q_trigram_logprob
+    exists to feed (the CCNet/Gopher-style "drop the worst-perplexity
+    tail" rule, public literature): score every doc with the exact
+    interpolated-KN trigram mean NLL, rank ascending (best first,
+    doc_id tiebreak), KEEP the lowest PPL_KEEP_NUM/PPL_KEEP_DEN
+    fraction — an EXACT count threshold (5·rank ≤ 4·n), not a float
+    quantile, so the cut is bit-deterministic cross-engine.
+
+    Shape: the per-doc score table is corpus-sized, so the global
+    rank uses the range-exchange kernel (q_global_rank,
+    relational.py:437 — range-repartition on (score, doc_id), local
+    row_number, broadcast per-partition offsets), never an
+    unpartitioned window; n arrives as the allowlisted 1-row
+    broadcast. Ranking on doubles is safe here because the engine's
+    NLL convention makes every mean_nll_trigram bit-identical in
+    Spark and DuckDB (same fixed-order IEEE expression, 6-decimal
+    per-type rounding, decimal-routed sums).
+
+    Output: (doc_id, mean_nll_trigram, n_transitions, nll_rank,
+    kept) for every scored doc (≥ 3 tokens)."""
+    from ..session import default_parallelism
+
+    scored = scratch_persist(q_trigram_logprob(spark, sf_dir))
+    # ^ read by the range exchange AND (via offsets/total) twice more
+    ranged = scored.repartitionByRange(
+        default_parallelism(), "mean_nll_trigram", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    local = scratch_persist(
+        ranged.withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    "mean_nll_trigram", "doc_id"
+                )
+            ),
+        )
+    )
+    # ^ persisted BEFORE branching: offsets + the final join must see
+    # the SAME sampled range boundaries (the q_global_rank rule)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    tot = local.agg(F.count(F.lit(1)).alias("n_scored"))
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))  # 1-row scored-doc total
+        .select(
+            "doc_id",
+            "mean_nll_trigram",
+            "n_transitions",
+            (F.col("lr") + F.col("off")).cast("long").alias("nll_rank"),
+            (
+                (F.col("lr") + F.col("off")) * F.lit(PPL_KEEP_DEN)
+                <= F.col("n_scored") * F.lit(PPL_KEEP_NUM)
+            ).alias("kept"),
+        )
+    )
+
+
 # --- BM25 relevance (round 5) -------------------------------------------
 
 # Parameters are defined next to the oracle (single source of truth,

@@ -2416,6 +2416,74 @@ ORACLES: dict[str, str] = {
         FROM tf JOIN nll USING (w1, w2, w3)
         GROUP BY doc_id
     """,
+    # Perplexity curation gate: the trigram_logprob chain re-stated
+    # (SYNC NOTE: any change to the KN convention — D, rounding,
+    # split rule — must land in BOTH copies), then the naive global
+    # rank (the Spark side's range-exchange rank is order-identical
+    # by construction) and the exact 5·rank <= 4·n keep rule.
+    "perplexity_gate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+                   COUNT(*) AS tf
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 3
+            GROUP BY 1, 2, 3, 4
+        ), tri AS (
+            SELECT w1, w2, w3, SUM(tf) AS c123 FROM tf GROUP BY 1, 2, 3
+        ), ctx12 AS (
+            SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS t12
+            FROM tri GROUP BY 1, 2
+        ), mid AS (
+            SELECT w2, w3, COUNT(*) AS n23 FROM tri GROUP BY 1, 2
+        ), ctx2 AS (
+            SELECT w2, SUM(n23) AS n2tot, COUNT(*) AS t2
+            FROM mid GROUP BY 1
+        ), cont AS (
+            SELECT w3, COUNT(*) AS n_3 FROM mid GROUP BY 1
+        ), tt AS (
+            SELECT COUNT(*) AS ntt FROM mid
+        ), nll AS (
+            SELECT g.w1, g.w2, g.w3,
+                   CAST(ROUND(-ln(
+                       GREATEST(CAST(g.c123 AS DOUBLE) - 0.75, 0.0)
+                           / CAST(x.c12 AS DOUBLE)
+                       + ((0.75 * CAST(x.t12 AS DOUBLE))
+                              / CAST(x.c12 AS DOUBLE))
+                         * (GREATEST(CAST(m.n23 AS DOUBLE) - 0.75, 0.0)
+                                / CAST(y.n2tot AS DOUBLE)
+                            + ((0.75 * CAST(y.t2 AS DOUBLE))
+                                   / CAST(y.n2tot AS DOUBLE))
+                              * (CAST(c.n_3 AS DOUBLE)
+                                     / CAST(t.ntt AS DOUBLE)))
+                   ), 6) AS DECIMAL(18,6)) AS nll
+            FROM tri g
+            JOIN ctx12 x ON x.w1 = g.w1 AND x.w2 = g.w2
+            JOIN mid m ON m.w2 = g.w2 AND m.w3 = g.w3
+            JOIN ctx2 y ON y.w2 = g.w2
+            JOIN cont c ON c.w3 = g.w3
+            CROSS JOIN tt t
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(SUM(tf * nll) AS DOUBLE) / SUM(tf)
+                       AS mean_nll_trigram,
+                   CAST(SUM(tf) AS BIGINT) AS n_transitions
+            FROM tf JOIN nll USING (w1, w2, w3)
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT doc_id, mean_nll_trigram, n_transitions,
+                   ROW_NUMBER() OVER (ORDER BY mean_nll_trigram, doc_id)
+                       AS nll_rank
+            FROM scored
+        ), n AS (SELECT COUNT(*) AS n_scored FROM scored)
+        SELECT doc_id, mean_nll_trigram, n_transitions,
+               CAST(nll_rank AS BIGINT) AS nll_rank,
+               nll_rank * 5 <= n_scored * 4 AS kept
+        FROM ranked, n
+    """,
     "source_dup_stats": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT fp) AS n_unique_exact,

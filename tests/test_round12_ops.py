@@ -244,3 +244,45 @@ class TestSuffixOracleCmpFloor:
             f" {SUFFIX_CAP}))))) AS BIGINT)"
         ).fetchone()[0]
         assert oracle_cmp == spark_cmp
+
+
+class TestPerplexityGate:
+    """perplexity_gate (r12): exact count-threshold keep rule over the
+    KN-trigram scores."""
+
+    def test_rank_and_keep_rule_vs_scores(self, spark):
+        from cs422pp_mapreduce_spark.operators.textops import (
+            PPL_KEEP_DEN,
+            PPL_KEEP_NUM,
+            q_perplexity_gate,
+            q_trigram_logprob,
+        )
+        from tests.conftest import SF_ORACLE
+
+        rows = q_perplexity_gate(spark, SF_ORACLE).collect()
+        n = len(rows)
+        assert n
+        # ranks are a dense permutation of 1..n
+        assert sorted(r["nll_rank"] for r in rows) == list(range(1, n + 1))
+        # rank order IS (score, doc_id) order — the range-exchange
+        # kernel must agree with the naive total order
+        by_rank = sorted(rows, key=lambda r: r["nll_rank"])
+        assert by_rank == sorted(
+            rows, key=lambda r: (r["mean_nll_trigram"], r["doc_id"])
+        )
+        # exact integer keep rule, and it actually cuts a tail
+        for r in rows:
+            assert r["kept"] == (
+                r["nll_rank"] * PPL_KEEP_DEN <= n * PPL_KEEP_NUM
+            )
+        assert sum(r["kept"] for r in rows) == n * PPL_KEEP_NUM // PPL_KEEP_DEN
+        # scores are exactly trigram_logprob's (the gate adds rank
+        # columns, never re-derives the model)
+        scores = {
+            r["doc_id"]: (r["mean_nll_trigram"], r["n_transitions"])
+            for r in q_trigram_logprob(spark, SF_ORACLE).collect()
+        }
+        assert {
+            r["doc_id"]: (r["mean_nll_trigram"], r["n_transitions"])
+            for r in rows
+        } == scores

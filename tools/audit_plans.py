@@ -50,6 +50,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "pca_power": {
         "BroadcastNestedLoopJoin": "1-row vector-count broadcast (n)"
     },
+    "perplexity_gate": {
+        "BroadcastNestedLoopJoin": "1-row scored-doc total broadcast (n)"
+    },
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
@@ -157,6 +160,7 @@ WINDOW_OK = {
         "doubling dense-rank pass of the global_rank kernel)"
     ),
     "quality_deciles": "offset frame is O(partitions) rows",
+    "perplexity_gate": "offset frame is O(partitions) rows",
     "seq_pack": "offset frame is O(partitions) rows",
     "pps_sample": "offset frame is O(partitions) rows",
     "seq_pack_bpe": "offset frame is O(partitions) rows",
