@@ -167,6 +167,10 @@ _QUERIES: dict[str, QueryFn] = {
     # 5*rank <= 4*n count threshold; range-exchange global rank, no
     # unpartitioned window.
     "perplexity_gate": TX.q_perplexity_gate,
+    # NEW decontaminate_near: the paraphrase tier above the exact
+    # 8-gram decontamination — train bands probe the broadcast eval
+    # band index, candidates exact-Jaccard verified.
+    "decontaminate_near": D.q_decontaminate_near,
 
     # --- 2. newest driver row is r08 (oldest-banked fill; the
     # first ~17 complete the ~50-slot prefix, the rest lead the

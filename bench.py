@@ -215,6 +215,7 @@ HEADLINE = [
     "trigram_logprob",
     "dedup_incremental_substring",
     "perplexity_gate",
+    "decontaminate_near",
 ]
 
 RUNS = 3

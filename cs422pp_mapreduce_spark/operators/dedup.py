@@ -529,6 +529,81 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination (r12) — the paraphrase tier above
+    q_decontaminate's exact 8-gram pass: a training doc that is a
+    MinHash near-duplicate (3-gram Jaccard ≥ JACCARD_THRESHOLD) of any
+    eval-slice doc leaks the eval answer even when no verbatim 8-gram
+    survives light rewording, so real pipelines run both tiers.
+
+    Same split as q_decontaminate (eval = deterministic md5-bucket <
+    EVAL_PCT %). Shape mirrors q_dedup_incremental_near with the
+    sides swapped to exploit size: the EVAL side is ~EVAL_PCT% of the
+    corpus, so its banded bucket table is the tiny BROADCAST index
+    and the train side only probes — candidates are (train, eval)
+    pairs agreeing on ≥1 full band, then exact-Jaccard verified
+    against the shingle sets. No corpus self-join; at 100 TB the
+    benchmark index is MBs and the corpus scan shuffles only its
+    (doc_id, band, bucket) rows. Signature arithmetic is the
+    cross-engine md5-prefix universal-hash convention
+    (minhash_signatures), so the DuckDB oracle replays every bucket
+    probe bit-for-bit.
+
+    Output: one row per train doc sharing ≥1 band bucket with an eval
+    doc — (doc_id, n_eval_candidates, n_eval_near, contaminated =
+    any verified near-dup). Train docs with zero band collisions pass
+    through and are not re-emitted (the affected-docs convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scratch_persist(_doc_shingles(docs))
+    # ^ read by both band builds AND both sides of the verify join
+    is_eval = eval_bucket() < EVAL_PCT
+    bands = lsh_band_buckets(minhash_signatures(sh))
+    eval_bands = bands.where(is_eval)
+    train_bands = bands.where(~is_eval)
+    cand = scratch_persist(
+        train_bands.alias("p")
+        .join(
+            F.broadcast(eval_bands.alias("c")),
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("eval_doc"),
+        )
+        .distinct()
+    )
+    # ^ feeds the verify branch and the candidate count; without the
+    # persist the full signature/banding pipeline runs twice (the
+    # dedup_incremental_near r10 lesson)
+    sh_p = sh.select("doc_id", F.col("shingles").alias("sh_p"))
+    sh_c = sh.select(
+        F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_c")
+    )
+    jacc = F.size(F.array_intersect("sh_p", "sh_c")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_p", "sh_c"))
+    near_n = (
+        cand.join(sh_p, "doc_id")
+        .join(sh_c, "eval_doc")
+        .where(jacc >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_near"))
+    )
+    cand_n = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_candidates")
+    )
+    return (
+        cand_n.join(near_n, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_eval_candidates",
+            F.coalesce("n_eval_near", F.lit(0)).alias("n_eval_near"),
+            (F.coalesce("n_eval_near", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -1000,6 +1000,77 @@ ORACLES: dict[str, str] = {
                    AS admitted
         FROM spans GROUP BY doc_id, n_tokens
     """,
+    # Near-dup decontamination: the dedup_incremental_near band chain
+    # with the sides re-split on the eval md5-bucket — train bands
+    # probe the (tiny) eval bands, candidates exact-Jaccard verified.
+    # SYNC NOTE: same _MINHASH_PAIRS_CTE-prefix restatement as
+    # dedup_incremental_near; any minhash-convention change must land
+    # in all copies.
+    "decontaminate_near": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE t END) AS shingles
+            FROM toks
+        ), hs AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                       % 2147483647 AS hb
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), mh AS (
+            SELECT doc_id, i,
+                   MIN((((2654435761 * (i + 1)) % 2147483647) * hb
+                        + (40503 * (i + 1)) % 2147483647)
+                       % 2147483647) AS mhv
+            FROM hs, UNNEST(generate_series(0, 31)) AS u(i)
+            GROUP BY doc_id, i
+        ), bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(mhv::VARCHAR, ',' ORDER BY i) AS bucket
+            FROM mh GROUP BY doc_id, i // 4
+        ), ev AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       ::BIGINT % 100 < 2 AS is_eval
+            FROM documents
+        ), cand AS (
+            SELECT DISTINCT p.doc_id AS doc_id, c.doc_id AS eval_doc
+            FROM (SELECT b.* FROM bands b JOIN ev ON ev.doc_id = b.doc_id
+                  WHERE NOT ev.is_eval) p
+            JOIN (SELECT b.* FROM bands b JOIN ev ON ev.doc_id = b.doc_id
+                  WHERE ev.is_eval) c
+              ON p.band = c.band AND p.bucket = c.bucket
+        ), near_n AS (
+            SELECT doc_id, COUNT(*) AS n_eval_near
+            FROM (
+                SELECT cand.doc_id,
+                       CAST(len(list_intersect(sp.shingles, sc.shingles))
+                            AS DOUBLE)
+                       / (len(sp.shingles) + len(sc.shingles)
+                          - len(list_intersect(sp.shingles, sc.shingles)))
+                           AS jaccard
+                FROM cand
+                JOIN sh sp ON sp.doc_id = cand.doc_id
+                JOIN sh sc ON sc.doc_id = cand.eval_doc
+            )
+            WHERE jaccard >= 0.5 GROUP BY doc_id
+        ), cand_n AS (
+            SELECT doc_id, COUNT(*) AS n_eval_candidates
+            FROM cand GROUP BY doc_id
+        )
+        SELECT cn.doc_id,
+               cn.n_eval_candidates,
+               COALESCE(nn.n_eval_near, 0) AS n_eval_near,
+               COALESCE(nn.n_eval_near, 0) > 0 AS contaminated
+        FROM cand_n cn
+        LEFT JOIN near_n nn ON nn.doc_id = cn.doc_id
+    """,
     # Incremental ingest + LSH near-dup tier: exact tiers replayed as
     # in dedup_incremental, then the survivors' MinHash band buckets
     # (same md5-prefix universal-hash chain as dedup_minhash — bands

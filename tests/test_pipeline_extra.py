@@ -363,3 +363,47 @@ def test_dedup_incremental_substring_naive_replica(spark):
         assert r["max_span_tokens"] <= r["n_tokens"]
         if r["n_spans"]:
             assert r["max_span_tokens"] >= MIN_SPAN_TOKENS
+
+
+def test_decontaminate_near_tier(spark):
+    """Near-dup decontamination (r12): (a) only train-slice docs are
+    emitted, (b) verified <= candidates and contaminated == (verified
+    > 0), (c) every contaminated doc appears in a dedup_minhash
+    near-dup pair WITH an eval-slice doc (the probe-vs-index join can
+    only find edges the full banded self-join also finds), and (d)
+    the fixture exercises both the candidate and the verify tier."""
+    from pyspark.sql import functions as F
+
+    from cs422pp_mapreduce_spark.operators.dedup import (
+        EVAL_PCT,
+        eval_bucket,
+        q_decontaminate_near,
+        q_dedup_minhash,
+    )
+    from cs422pp_mapreduce_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    sf = "/root/testdata/sf0.1"  # the oracle sf has 1 row; use bench sf
+    out = q_decontaminate_near(spark, sf).collect()
+    assert out and any(r["contaminated"] for r in out)
+    assert any(not r["contaminated"] for r in out)  # verify rejects too
+    for r in out:
+        assert r["n_eval_near"] <= r["n_eval_candidates"]
+        assert r["contaminated"] == (r["n_eval_near"] > 0)
+
+    eval_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf, "documents")
+        .where(eval_bucket() < EVAL_PCT)
+        .select("doc_id")
+        .collect()
+    }
+    assert not ({r["doc_id"] for r in out} & eval_ids)  # train side only
+
+    pair_partners: dict[int, set] = {}
+    for p in q_dedup_minhash(spark, sf).collect():
+        pair_partners.setdefault(p["doc_a"], set()).add(p["doc_b"])
+        pair_partners.setdefault(p["doc_b"], set()).add(p["doc_a"])
+    for r in out:
+        if r["contaminated"]:
+            assert pair_partners.get(r["doc_id"], set()) & eval_ids
