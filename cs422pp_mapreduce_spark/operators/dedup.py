@@ -538,13 +538,17 @@ def q_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same split as q_decontaminate (eval = deterministic md5-bucket <
     EVAL_PCT %). Shape mirrors q_dedup_incremental_near with the
-    sides swapped to exploit size: the EVAL side is ~EVAL_PCT% of the
-    corpus, so its banded bucket table is the tiny BROADCAST index
-    and the train side only probes — candidates are (train, eval)
-    pairs agreeing on ≥1 full band, then exact-Jaccard verified
-    against the shingle sets. No corpus self-join; at 100 TB the
-    benchmark index is MBs and the corpus scan shuffles only its
-    (doc_id, band, bucket) rows. Signature arithmetic is the
+    sides swapped to exploit size: the EVAL side's banded bucket
+    table is the tiny BROADCAST index and the train side only
+    probes — candidates are (train, eval) pairs agreeing on ≥1 full
+    band, then exact-Jaccard verified against the shingle sets. No
+    corpus self-join; the corpus scan shuffles only its (doc_id,
+    band, bucket) rows. Scale note: the broadcast hint is right
+    because REAL eval sets are fixed benchmark suites (MBs of bands
+    regardless of corpus size); the fixture's proportional
+    EVAL_PCT% slice merely stands in for one. If the eval side ever
+    scaled with the corpus, drop the hint and let AQE pick the
+    hash join — semantics unchanged. Signature arithmetic is the
     cross-engine md5-prefix universal-hash convention
     (minhash_signatures), so the DuckDB oracle replays every bucket
     probe bit-for-bit.
