@@ -72,24 +72,22 @@ def _wrap(fn: QueryFn) -> QueryFn:
 _QUERIES: dict[str, QueryFn] = {
     # ROTATION CONTRACT (registration order = driver-budget priority;
     # the driver's correctness budget covers a ~50-slot prefix per
-    # round). Round-12 order, per VERDICT r11 ask #1 ("lead the
-    # prefix with the 33 r07-stale rows, cap new registrations
+    # round). Round-13 order, per VERDICT r12 ask #1 ("lead the
+    # prefix with the 35 r08-stale rows, cap new registrations
     # <=10"):
-    # 1. slots 1-33: the 33 queries whose newest driver row is r07
-    #    (five rounds old — the staleness floor), in prior relative
-    #    order (tools/staleness.py --target 12 --order sequence).
-    #    tools/check_oracles.py replays them green on this HEAD, but
-    #    the driver hash row is the only EXTERNAL correctness signal.
-    # 2. the r12 NEW/CHANGED block is inserted mid-round immediately
-    #    after this block (cap <=10), displacing r08 fill rows: see
-    #    the "r12 NEW/CHANGED" marker below.
-    # 3. slots to ~50: the oldest r08-banked rows (46 total; ~17 fit
-    #    the prefix this round, the rest lead the r13 rotation).
-    # 4. then r09-, r10-, r11-banked blocks oldest-first, prior
+    # 1. slots 1-35: the 35 queries whose newest driver row is r08
+    #    (five rounds old — the staleness floor), in
+    #    tools/staleness.py --target 13 --order sequence order.
+    # 2. the r13 NEW/CHANGED block is inserted immediately after
+    #    (cap <=10): see the "r13 NEW/CHANGED" marker below.
+    # 3. remaining prefix slots: the oldest r09-banked rows (49
+    #    total; ~10 fit this round, the rest lead the r14 rotation
+    #    per VERDICT r12 ask #7).
+    # 4. then r10-, r11-, r12-banked blocks oldest-first, prior
     #    relative order preserved, so next round's --order is close
     #    to the identity on this layout.
     # Validated by tools/check_oracles.py (driver-exact) at sf0.001 +
-    # sf0.01 and tools/staleness.py --target 12 --check 25.
+    # sf0.01 and tools/staleness.py --target 13 --check 25.
     # NOTE (declared contract caveat, ADVICE r04/r06): q_ann_lsh runs
     # one bounded 1-row Spark job at plan-BUILD time (query-vector
     # fetch that plans its literal bucket predicate), q_bucketed_join
@@ -106,86 +104,8 @@ _QUERIES: dict[str, QueryFn] = {
     # intercepted by the lazy plan twins in plans/analysis.py for the
     # analysis tools).
 
-    # --- 1. newest driver row is r07 (staleness-floor refresh:
-    # these 33 lead the prefix, VERDICT r11 ask #1) ---
-    "dedup_substring_apply": D.q_dedup_substring_apply,
-    "kmeans_clusters": S.q_kmeans_clusters,
-    "linreg_ols": R.q_linreg_ols,
-    "zscore_outliers": EV.q_zscore_outliers,
-    "entity_match": R.q_entity_match,
-    "image_ahash": MM.q_image_ahash,
-    "corr_matrix": R.q_corr_matrix,
-    "stream_sliding": q_stream_sliding,
-    "twap": EV.q_twap,
-    "cusum_drift": EV.q_cusum_drift,
-    "image_resize": MM.q_image_resize,
-    "stratified_split": TX.q_stratified_split,
-    "negative_sampling": TX.q_negative_sampling,
-    "decay_agg": TX.q_decay_agg,
-    "gap_fill": EV.q_gap_fill,
-    "rolling_active_users": EV.q_rolling_active_users,
-    "retention_cohorts": EV.q_retention_cohorts,
-    "outlier_events": EV.q_outlier_events,
-    "stratified_sample": TX.q_stratified_sample,
-    "pii_redact": TX.q_pii_redact,
-    "scd2_apply": MT.q_scd2_apply,
-    "ann_ivf": S.q_ann_ivf,
-    "media_frames": MM.q_media_frames,
-    "event_session_native": EV.q_event_session_native,
-    "event_sliding": EV.q_event_sliding,
-    "window_range": EV.q_event_window_range,
-    "quality_score": TX.q_quality_score,
-    "doc_repetition": TX.q_doc_repetition,
-    "quality_deciles": TX.q_quality_deciles,
-    "token_count": TX.q_token_count,
-    "doc_fingerprint": TX.q_doc_fingerprint,
-    "deterministic_sample": TX.q_deterministic_sample,
-    "mixture_rebalance": TX.q_mixture_rebalance,
-
-    # --- r12 NEW/CHANGED block (cap <=10) ---
-    # CHANGED stream_late_audit: the 2h watermark delay now derives
-    # from one shared constant (LATE_AUDIT_WM_HOURS) on the stream,
-    # the report cutoff, and the DuckDB oracle (ADVICE r11) —
-    # hash-neutral by construction, re-driven per the r11 bpe
-    # precedent. CHANGED dedup_suffix: the oracle params CTE now
-    # mirrors the Spark side's max(1, ...) levels floor (ADVICE
-    # r11) — vacuous on every real fixture, re-driven anyway.
-    "stream_late_audit": q_stream_late_audit,
-    "dedup_suffix": SX.q_dedup_suffix,
-    # NEW trigram_logprob (VERDICT r11 ask #5): exact interpolated
-    # Kneser–Ney trigram proxy, every statistic from the trigram type
-    # inventory, D=0.75 literal on both engines.
-    "trigram_logprob": TX.q_trigram_logprob,
-    # NEW dedup_incremental_substring (VERDICT r11 ask #6): the
-    # substring tier of the admission gate — batch spans whose every
-    # K-shingle already exists in the standing corpus's distinct
-    # shingle ledger, gaps-and-islands to maximal spans, block on any
-    # span >= MIN_SPAN_TOKENS.
-    "dedup_incremental_substring": D.q_dedup_incremental_substring,
-    # NEW perplexity_gate: the curation rule trigram_logprob feeds —
-    # keep the lowest-4/5 of docs by mean KN-trigram NLL via an exact
-    # 5*rank <= 4*n count threshold; range-exchange global rank, no
-    # unpartitioned window.
-    "perplexity_gate": TX.q_perplexity_gate,
-    # NEW decontaminate_near: the paraphrase tier above the exact
-    # 8-gram decontamination — train bands probe the broadcast eval
-    # band index, candidates exact-Jaccard verified.
-    "decontaminate_near": D.q_decontaminate_near,
-
-    # --- 2. newest driver row is r08 (oldest-banked fill; the
-    # first ~17 complete the ~50-slot prefix, the rest lead the
-    # r13 rotation) ---
-    "unigram_logprob": TX.q_unigram_logprob,
-    "source_dup_stats": D.q_source_dup_stats,
-    "bigram_freq": TX.q_bigram_freq,
-    "seq_pack": TX.q_seq_pack,
-    "dedup_fingerprint": D.q_dedup_fingerprint,
-    "decontaminate": D.q_decontaminate,
-    "dedup_windowed": D.q_dedup_windowed,
-    "dedup_simhash": D.q_dedup_simhash,
-    "embedding_neardup_exact": S.q_embedding_neardup_exact,
-    "tpch_q1": TQ.q_tpch_q1,
-    "tpch_q8": TQ.q_tpch_q8,
+    # --- 1. newest driver row is r08 (staleness-floor refresh:
+    # these 35 lead the prefix, VERDICT r12 ask #1) ---
     "tpch_q14": TQ.q_tpch_q14,
     "tpch_q18": TQ.q_tpch_q18,
     "tpch_q7": TQ.q_tpch_q7,
@@ -222,7 +142,11 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q9": TQ.q_tpch_q9,
     "tpch_q20": TQ.q_tpch_q20,
 
-    # --- newest driver row is r09 ---
+    # --- r13 NEW/CHANGED block (cap <=10) ---
+
+    # --- 2. newest driver row is r09 (oldest-banked fill; the
+    # first ~10 complete the ~50-slot prefix, the rest lead the
+    # r14 rotation) ---
     "stream_event_tumbling": q_stream_event_tumbling,
     "stream_event_session": q_stream_event_session,
     "dedup_clusters_exact": D.q_dedup_clusters_exact,
@@ -372,6 +296,58 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_pq": S.q_ann_pq,
     "text_roundtrip": MT.q_text_roundtrip,
     "pagerank": GR.q_pagerank,
+
+    # --- newest driver row is r12 ---
+    "dedup_substring_apply": D.q_dedup_substring_apply,
+    "kmeans_clusters": S.q_kmeans_clusters,
+    "linreg_ols": R.q_linreg_ols,
+    "zscore_outliers": EV.q_zscore_outliers,
+    "entity_match": R.q_entity_match,
+    "image_ahash": MM.q_image_ahash,
+    "corr_matrix": R.q_corr_matrix,
+    "stream_sliding": q_stream_sliding,
+    "twap": EV.q_twap,
+    "cusum_drift": EV.q_cusum_drift,
+    "image_resize": MM.q_image_resize,
+    "stratified_split": TX.q_stratified_split,
+    "negative_sampling": TX.q_negative_sampling,
+    "decay_agg": TX.q_decay_agg,
+    "gap_fill": EV.q_gap_fill,
+    "rolling_active_users": EV.q_rolling_active_users,
+    "retention_cohorts": EV.q_retention_cohorts,
+    "outlier_events": EV.q_outlier_events,
+    "stratified_sample": TX.q_stratified_sample,
+    "pii_redact": TX.q_pii_redact,
+    "scd2_apply": MT.q_scd2_apply,
+    "ann_ivf": S.q_ann_ivf,
+    "media_frames": MM.q_media_frames,
+    "event_session_native": EV.q_event_session_native,
+    "event_sliding": EV.q_event_sliding,
+    "window_range": EV.q_event_window_range,
+    "quality_score": TX.q_quality_score,
+    "doc_repetition": TX.q_doc_repetition,
+    "quality_deciles": TX.q_quality_deciles,
+    "token_count": TX.q_token_count,
+    "doc_fingerprint": TX.q_doc_fingerprint,
+    "deterministic_sample": TX.q_deterministic_sample,
+    "mixture_rebalance": TX.q_mixture_rebalance,
+    "stream_late_audit": q_stream_late_audit,
+    "dedup_suffix": SX.q_dedup_suffix,
+    "trigram_logprob": TX.q_trigram_logprob,
+    "dedup_incremental_substring": D.q_dedup_incremental_substring,
+    "perplexity_gate": TX.q_perplexity_gate,
+    "decontaminate_near": D.q_decontaminate_near,
+    "unigram_logprob": TX.q_unigram_logprob,
+    "source_dup_stats": D.q_source_dup_stats,
+    "bigram_freq": TX.q_bigram_freq,
+    "seq_pack": TX.q_seq_pack,
+    "dedup_fingerprint": D.q_dedup_fingerprint,
+    "decontaminate": D.q_decontaminate,
+    "dedup_windowed": D.q_dedup_windowed,
+    "dedup_simhash": D.q_dedup_simhash,
+    "embedding_neardup_exact": S.q_embedding_neardup_exact,
+    "tpch_q1": TQ.q_tpch_q1,
+    "tpch_q8": TQ.q_tpch_q8,
 }
 
 

@@ -22,7 +22,7 @@ echo "== 0/5 rotation staleness (prefix must refresh >=25 oldest rows) ==" >&2
 # rotation at HEAD was planned for round $ROUND against rounds<ROUND
 # (ADVICE r08 — the current round's artifact landing must not shift
 # the gate). Bump when applying the next rotation.
-ROUND="${ROUND:-12}"
+ROUND="${ROUND:-13}"
 python tools/staleness.py --target "$ROUND" --check 25
 echo "== 1/5 pytest ==" >&2
 python -m pytest tests/ -x -q
