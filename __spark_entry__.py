@@ -143,6 +143,16 @@ _QUERIES: dict[str, QueryFn] = {
     "tpch_q20": TQ.q_tpch_q20,
 
     # --- r13 NEW/CHANGED block (cap <=10) ---
+    # NEW quality_classifier (VERDICT r12 ask #3): fastText-style
+    # linear quality scorer — hashed unigram+bigram features (4096
+    # shared buckets, md5-prefix convention), closed-form multinomial-
+    # NB log-count-ratio weights fit on the deterministic md5-bucket
+    # labeled slice, decimal-routed scoring.
+    "quality_classifier": TX.q_quality_classifier,
+    # NEW decontaminate_semantic (VERDICT r12 ask #4): the embedding
+    # tier of decontamination — train vectors probing the broadcast
+    # eval sign-LSH band index, candidates exact-cosine verified.
+    "decontaminate_semantic": S.q_decontaminate_semantic,
 
     # --- 2. newest driver row is r09 (oldest-banked fill; the
     # first ~10 complete the ~50-slot prefix, the rest lead the

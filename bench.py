@@ -216,6 +216,12 @@ HEADLINE = [
     "dedup_incremental_substring",
     "perplexity_gate",
     "decontaminate_near",
+    # round-13: the learned curation rung (hashed-n-gram NB distilled
+    # from the quality heuristic, calibrated threshold) and the
+    # embedding tier of decontamination (broadcast eval band index +
+    # exact-cosine verify)
+    "quality_classifier",
+    "decontaminate_semantic",
 ]
 
 RUNS = 3
@@ -238,6 +244,7 @@ def main() -> None:
     force(qs["group_agg"](spark, sf_dir))
 
     times: dict[str, float] = {}
+    exec_split: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         # Per-query cache isolation: each query's 3 runs may reuse the
@@ -263,11 +270,24 @@ def main() -> None:
         evict_cluster_cache(spark)
         evict_scratch(spark)
         samples = []
+        df = None
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            force(df)
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 3)
+        # Streaming/micro-batch rows: wall time swings up to ~4× with
+        # host conditions while the data-plane cost stays flat
+        # (BASELINE.md host-sensitivity rule, VERDICT r12 ask #6).
+        # Re-forcing the LAST build's returned DataFrame re-reads the
+        # already-materialized sink — settle.py's "recollect"
+        # execution split — so every bench artifact now carries the
+        # number that makes close-pair drifts self-adjudicating.
+        if name.startswith("stream_") and df is not None:
+            t0 = time.perf_counter()
+            force(df)
+            exec_split[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -279,6 +299,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "exec_split": exec_split,
         "sf": sf_val,
     }
     print(json.dumps(result))

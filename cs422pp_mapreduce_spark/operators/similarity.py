@@ -1530,3 +1530,111 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(recall_row("pq", pq_topk, exact_l2))
         .orderBy("index_name")
     )
+
+
+# --- embedding-tier decontamination (r13) ---------------------------------
+
+# Same verify threshold as the near-dup family: a train embedding
+# within cos >= 0.95 of an eval embedding is a semantic restatement of
+# the eval item (SemDeDup's dup band), which is exactly the leak the
+# n-gram decontamination tiers cannot see.
+DECONTAM_SEM_COS = NEARDUP_COS
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-tier decontamination (r13) — the third rung above
+    q_decontaminate (exact 8-grams) and q_decontaminate_near (MinHash
+    paraphrases): flag training items whose EMBEDDING is a near-dup
+    (cos ≥ DECONTAM_SEM_COS) of any eval-slice embedding. A semantic
+    restatement — translated, heavily reworded, reformatted — shares
+    no verbatim n-grams and few shingles, but its embedding stays
+    nearly collinear with the source; every modern decontamination
+    stack (GPT-4/Llama-3 report style) runs this tier last.
+
+    Composition of existing kernels, per VERDICT r12 ask #4: the eval
+    split is the deterministic md5-bucket < EVAL_PCT % convention
+    (dedup.eval_bucket — reproducible across engines); signatures come
+    from the map-only integer sign-LSH matmul kernel
+    (sign_band_buckets); and the join SHAPE is decontaminate_near's
+    broadcast-eval-index posture — the eval side's (vec_id, band,
+    bucket) table is the tiny BROADCAST index (real benchmark suites
+    are MBs of bands regardless of corpus size), the train side only
+    probes, so the corpus scan shuffles nothing but its own band rows
+    and no train×train pair is ever formed. Candidates (≥1 shared
+    band) are exact-cosine verified with the round-to-4 convention, so
+    the DuckDB oracle replays the full probabilistic candidate set
+    AND the verdicts bit-for-bit.
+
+    Fixture planting: the raw embeddings are uniform (max pairwise
+    cos ≈ 0.51), so contamination is PLANTED — every eval vector gets
+    one perturbed twin (first component × 0.9, the contract_vectors
+    recipe) injected on the TRAIN side at vec_id + PLANT_OFFSET,
+    standing in for a paraphrased eval item that leaked into the
+    crawl. Chance band collisions among the uniform remainder
+    exercise the verify-REJECTION path (~3% of train×eval pairs share
+    a band and fail the cosine check), so both tiers fire at gate
+    scale — the decontaminate_near single-row-fixture gap (ADVICE
+    r12 #1) designed out.
+
+    Output: one row per train item sharing ≥1 band bucket with an
+    eval item — (vec_id, n_eval_candidates, n_eval_near, contaminated
+    = any verified semantic near-dup). Clean train items pass through
+    unflagged (the affected-docs convention)."""
+    from .dedup import EVAL_PCT, eval_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("vec"),
+        (eval_bucket("vec_id") < EVAL_PCT).alias("is_eval"),
+    )
+    twins = raw.where("is_eval").select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("vec", 1) * F.lit(0.9)),
+            F.slice("vec", 2, EMBED_DIM - 1),
+        ).alias("vec"),
+        F.lit(False).alias("is_eval"),
+    )
+    vecs = scratch_persist(raw.unionAll(twins))
+    # ^ read by the band pipeline and both sides of the verify join
+    bb = sign_band_buckets(spark, vecs.select("vec_id", "vec")).join(
+        vecs.select("vec_id", "is_eval"), "vec_id"
+    )
+    cand = scratch_persist(
+        bb.where(~F.col("is_eval"))
+        .alias("p")
+        .join(
+            F.broadcast(bb.where("is_eval").alias("c")),
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("p.vec_id").alias("vec_id"),
+            F.col("c.vec_id").alias("eval_vec"),
+        )
+        .distinct()
+    )
+    # ^ feeds the verify branch and the candidate count (the
+    # decontaminate_near persist rationale)
+    va = vecs.select("vec_id", F.col("vec").alias("vp"))
+    vc = vecs.select(
+        F.col("vec_id").alias("eval_vec"), F.col("vec").alias("vc")
+    )
+    sim = F.round(cosine(F.col("vp"), F.col("vc")), 4)
+    near_n = (
+        cand.join(va, "vec_id")
+        .join(vc, "eval_vec")
+        .where(sim >= DECONTAM_SEM_COS)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_near"))
+    )
+    cand_n = cand.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_candidates")
+    )
+    return cand_n.join(near_n, "vec_id", "left").select(
+        "vec_id",
+        "n_eval_candidates",
+        F.coalesce("n_eval_near", F.lit(0)).alias("n_eval_near"),
+        (F.coalesce("n_eval_near", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -5744,3 +5744,151 @@ def _dedup_suffix_sql() -> str:
 
 
 ORACLES["dedup_suffix"] = _dedup_suffix_sql()
+
+# fastText-style hashed-n-gram quality classifier (r13): mirrors
+# q_quality_classifier term-for-term — unigram+bigram grams hashed by
+# the md5-prefix 60-bit convention into 4096 shared buckets, the label
+# distilled from the quality_score heuristic (>= 0.5), NB
+# log-count-ratio weights (add-1) fit on the md5-bucket < 50% labeled
+# slice, each ln ROUNDed to 6 decimals and DECIMAL(18,6)-routed before
+# the subtraction, tf x weight sums in decimal, unseen-in-training
+# features LEFT-joined to weight 0, and the decision threshold
+# calibrated as the midpoint of the train-slice class-mean scores.
+ORACLES["quality_classifier"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(
+            list_concat(
+                t,
+                CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                     ELSE [] END)) AS gram
+        FROM toks
+    ), tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS feat,
+               COUNT(*) AS tf
+        FROM grams GROUP BY 1, 2
+    ), q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+                                          'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    ), lab AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                   ::BIGINT % 100 < 50 AS is_train,
+               least(CASE WHEN n_tokens > 0
+                          THEN CAST(n_tokens AS DOUBLE) END / 100.0, 1.0)
+                   * 0.4
+               + (CAST(stop_hits AS DOUBLE)
+                  / CASE WHEN n_tokens > 0
+                         THEN CAST(n_tokens AS DOUBLE) END) * 0.4
+               + (1.0 - CAST(n_punct AS DOUBLE)
+                        / CASE WHEN n_chars > 0
+                               THEN CAST(n_chars AS DOUBLE) END) * 0.2
+                   >= 0.5 AS label_hi
+        FROM q
+    ), cls AS (
+        SELECT feat,
+               SUM(CASE WHEN l.label_hi THEN tf ELSE 0 END) AS c_pos,
+               SUM(CASE WHEN NOT l.label_hi THEN tf ELSE 0 END) AS c_neg
+        FROM tf JOIN lab l USING (doc_id)
+        WHERE l.is_train GROUP BY feat
+    ), tot AS (
+        SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg FROM cls
+    ), w AS (
+        SELECT feat,
+               CAST(ROUND(ln(CAST(c_pos + 1 AS DOUBLE)
+                             / CAST(t_pos + 4096 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+               - CAST(ROUND(ln(CAST(c_neg + 1 AS DOUBLE)
+                               / CAST(t_neg + 4096 AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS w
+        FROM cls CROSS JOIN tot
+    ), prior AS (
+        SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN label_hi THEN 1 ELSE 0 END)
+                                  AS DOUBLE)), 6) AS DECIMAL(18,6))
+               - CAST(ROUND(ln(CAST(SUM(CASE WHEN NOT label_hi THEN 1 ELSE 0
+                                        END) AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS bias
+        FROM lab WHERE is_train
+    ), scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(CAST(tf AS DECIMAL(18,0))
+                             * COALESCE(w.w, CAST(0 AS DECIMAL(18,6)))
+                             AS DECIMAL(38,6)))
+                    + (SELECT bias FROM prior) AS DECIMAL(38,6)) AS score_d,
+               COUNT(*) AS n_feat
+        FROM tf LEFT JOIN w USING (feat)
+        GROUP BY doc_id
+    ), thr AS (
+        SELECT (CAST(SUM(CASE WHEN l.label_hi THEN s.score_d END)
+                     AS DOUBLE)
+                / COUNT(CASE WHEN l.label_hi THEN 1 END)
+                + CAST(SUM(CASE WHEN NOT l.label_hi THEN s.score_d END)
+                       AS DOUBLE)
+                  / COUNT(CASE WHEN NOT l.label_hi THEN 1 END)) / 2 AS thr
+        FROM scored s JOIN lab l USING (doc_id)
+        WHERE l.is_train
+    )
+    SELECT s.doc_id, l.is_train, l.label_hi, s.n_feat,
+           CAST(s.score_d AS DOUBLE) AS score,
+           CAST(s.score_d AS DOUBLE) > t.thr AS pred_hi,
+           (CAST(s.score_d AS DOUBLE) > t.thr) = l.label_hi AS correct
+    FROM scored s CROSS JOIN thr t JOIN lab l USING (doc_id)
+"""
+
+# Embedding-tier decontamination (r13): replays q_decontaminate_semantic
+# bit-for-bit — eval split by the md5-bucket < 2% convention, one
+# planted train-side twin (first component × 0.9) per eval vector at
+# vec_id + 1e6, the integer sign-LSH band pipeline (_SIGNLSH_BANDS_CTE)
+# over raw+twins, broadcast-shaped eval-band probe, candidates
+# exact-cosine verified at ROUND(.,4) >= 0.95.
+ORACLES["decontaminate_semantic"] = f"""
+    WITH ev AS (
+        SELECT vec_id FROM embeddings
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))
+                  ::BIGINT % 100 < 2
+    ), vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT s.vec_id + 1000000, list_concat([d[1] * 0.9], d[2:])
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d
+              FROM embeddings) s
+        JOIN ev e ON e.vec_id = s.vec_id
+    ), {_SIGNLSH_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT p.vec_id AS vec_id, c.vec_id AS eval_vec
+        FROM (SELECT * FROM sbands
+              WHERE vec_id NOT IN (SELECT vec_id FROM ev)) p
+        JOIN (SELECT * FROM sbands
+              WHERE vec_id IN (SELECT vec_id FROM ev)) c
+          ON p.band = c.band AND p.bucket = c.bucket
+    ), near_n AS (
+        SELECT vec_id, COUNT(*) AS n_eval_near FROM (
+            SELECT cand.vec_id,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM cand
+            JOIN vecs a ON a.vec_id = cand.vec_id
+            JOIN vecs b ON b.vec_id = cand.eval_vec
+        ) WHERE sim >= 0.95 GROUP BY vec_id
+    ), cand_n AS (
+        SELECT vec_id, COUNT(*) AS n_eval_candidates
+        FROM cand GROUP BY vec_id
+    )
+    SELECT cn.vec_id, cn.n_eval_candidates,
+           COALESCE(nn.n_eval_near, 0) AS n_eval_near,
+           COALESCE(nn.n_eval_near, 0) > 0 AS contaminated
+    FROM cand_n cn LEFT JOIN near_n nn ON nn.vec_id = cn.vec_id
+"""

@@ -53,6 +53,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "perplexity_gate": {
         "BroadcastNestedLoopJoin": "1-row scored-doc total broadcast (n)"
     },
+    "quality_classifier": {
+        "BroadcastNestedLoopJoin": (
+            "1-row class-total/prior/calibrated-threshold broadcasts"
+        )
+    },
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
