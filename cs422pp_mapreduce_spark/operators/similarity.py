@@ -1539,6 +1539,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the eval item (SemDeDup's dup band), which is exactly the leak the
 # n-gram decontamination tiers cannot see.
 DECONTAM_SEM_COS = NEARDUP_COS
+# Bands a candidate pair must agree on (of LSH_BANDS=8) — the family's
+# standing >=2-of-8 rule (SEMDEDUP_MIN_BANDS precedent). The r13 sf10
+# tier caught the >=1-band form superlinear: chance collisions grow as
+# n_train x n_eval (both corpus-proportional in the fixture), 28.7M
+# candidate pairs at sf10 -> 11.6x time for 3.33x data; >=2 bands cuts
+# chance pairs 43x (measured: 28.7M -> 669k at sf10) while planted
+# 0.9996-cos twins agree on >=4 bands at every measured scale, so
+# recall is untouched (pinned in tests).
+DECONTAM_SEM_MIN_BANDS = SEMDEDUP_MIN_BANDS
 
 
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,10 +1569,12 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) table is the tiny BROADCAST index (real benchmark suites
     are MBs of bands regardless of corpus size), the train side only
     probes, so the corpus scan shuffles nothing but its own band rows
-    and no train×train pair is ever formed. Candidates (≥1 shared
-    band) are exact-cosine verified with the round-to-4 convention, so
-    the DuckDB oracle replays the full probabilistic candidate set
-    AND the verdicts bit-for-bit.
+    and no train×train pair is ever formed. Candidates
+    (≥DECONTAM_SEM_MIN_BANDS shared bands — the ≥2-of-8 rule the r13
+    sf10 tier demanded after the ≥1-band form went superlinear on
+    chance collisions) are exact-cosine verified with the round-to-4
+    convention, so the DuckDB oracle replays the full probabilistic
+    candidate set AND the verdicts bit-for-bit.
 
     Fixture planting: the raw embeddings are uniform (max pairwise
     cos ≈ 0.51), so contamination is PLANTED — every eval vector gets
@@ -1571,12 +1582,14 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe) injected on the TRAIN side at vec_id + PLANT_OFFSET,
     standing in for a paraphrased eval item that leaked into the
     crawl. Chance band collisions among the uniform remainder
-    exercise the verify-REJECTION path (~3% of train×eval pairs share
-    a band and fail the cosine check), so both tiers fire at gate
-    scale — the decontaminate_near single-row-fixture gap (ADVICE
-    r12 #1) designed out.
+    exercise the verify-REJECTION path (2-3 train×eval pairs share
+    ≥2 bands at gate scale and fail the cosine check — computed
+    exactly from the deterministic band pipeline), so both tiers
+    fire at gate scale — the decontaminate_near single-row-fixture
+    gap (ADVICE r12 #1) designed out.
 
-    Output: one row per train item sharing ≥1 band bucket with an
+    Output: one row per train item sharing ≥DECONTAM_SEM_MIN_BANDS
+    band buckets with an
     eval item — (vec_id, n_eval_candidates, n_eval_near, contaminated
     = any verified semantic near-dup). Clean train items pass through
     unflagged (the affected-docs convention)."""
@@ -1613,7 +1626,13 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.vec_id").alias("vec_id"),
             F.col("c.vec_id").alias("eval_vec"),
         )
-        .distinct()
+        # >=DECONTAM_SEM_MIN_BANDS agreeing bands per pair (band is in
+        # the join key, so each joined row is one distinct shared
+        # band): the chance-collision cut the sf10 tier demanded.
+        .groupBy("vec_id", "eval_vec")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .where(F.col("n_bands") >= DECONTAM_SEM_MIN_BANDS)
+        .select("vec_id", "eval_vec")
     )
     # ^ feeds the verify branch and the candidate count (the
     # decontaminate_near persist rationale)

@@ -1910,11 +1910,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tf = scratch_persist(qc_feature_tf(docs))
     qcols = quality_score_cols("text")
-    lab = docs.select(
-        "doc_id",
-        (_qc_bucket() < QC_TRAIN_PCT).alias("is_train"),
-        (qcols["quality_score"] >= F.lit(QC_LABEL_CUT)).alias("label_hi"),
+    lab = scratch_persist(
+        docs.select(
+            "doc_id",
+            (_qc_bucket() < QC_TRAIN_PCT).alias("is_train"),
+            (qcols["quality_score"] >= F.lit(QC_LABEL_CUT)).alias(
+                "label_hi"
+            ),
+        )
     )
+    # ^ three consumers (class counts, prior, the scored join): the
+    # persist is 3 ints/doc and saves two full text-column re-scans —
+    # at corpus scale the dominant redundant IO.
     train_tf = tf.join(
         lab.where("is_train").select("doc_id", "label_hi"), "doc_id"
     )

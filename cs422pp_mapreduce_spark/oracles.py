@@ -5869,12 +5869,14 @@ ORACLES["decontaminate_semantic"] = f"""
         JOIN ev e ON e.vec_id = s.vec_id
     ), {_SIGNLSH_BANDS_CTE},
     cand AS (
-        SELECT DISTINCT p.vec_id AS vec_id, c.vec_id AS eval_vec
+        SELECT p.vec_id AS vec_id, c.vec_id AS eval_vec
         FROM (SELECT * FROM sbands
               WHERE vec_id NOT IN (SELECT vec_id FROM ev)) p
         JOIN (SELECT * FROM sbands
               WHERE vec_id IN (SELECT vec_id FROM ev)) c
           ON p.band = c.band AND p.bucket = c.bucket
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
     ), near_n AS (
         SELECT vec_id, COUNT(*) AS n_eval_near FROM (
             SELECT cand.vec_id,

@@ -75,7 +75,20 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # 16Ki-row groups, NOT pyarrow's ~1Mi default: Spark parallelizes
+    # a parquet scan at row-group granularity, so a single-group file
+    # serializes every scan-side computation onto one task — the r13
+    # quality_classifier sf10 straggler (one task doing all 500k docs'
+    # tokenize+hash+explode while 13 read nothing, 92 s vs ~3 s).
+    # A real lake is many files/row groups; the engine deliberately
+    # does NOT defensively repartition text scans (that would shuffle
+    # document content to paper over a storage-layout problem — the
+    # compaction_plan operator exists for exactly this), so the
+    # fixture must present the realistic layout.
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"),
+        row_group_size=16384,
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
