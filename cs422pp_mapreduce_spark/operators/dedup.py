@@ -1608,7 +1608,20 @@ def q_dedup_incremental_substring(
     runs (position runs are disjoint, so the sum is exact),
     max_span_tokens, admitted = no qualifying span). Docs with zero
     corpus overlap are pure pass-through and are not re-emitted (the
-    q_dedup_substring_apply affected-docs convention)."""
+    q_dedup_substring_apply affected-docs convention).
+
+    Hash-collision bound (ADVICE r12 #2): the Spark side semi-joins
+    on xxhash64(shingle) while the oracle compares raw shingle
+    strings, so a 64-bit collision between a batch shingle and a
+    DIFFERENT corpus shingle would flag a position the oracle would
+    not. Expected spurious flags ≈ n_batch_shingles ×
+    n_distinct_corpus_shingles / 2^64 — at sf10 (≈5.1M × 2.6M) that
+    is ~7e-7 per full run, and a single spurious position only
+    matters if it extends a run to ≥ MIN_SPAN_TOKENS. This is the
+    established dedup_substring family convention; if bit-parity at
+    far larger ledgers ever becomes a gate requirement, swap in the
+    md5-prefix cross-engine hash (the dedup_minhash chain) at ~2×
+    the hash cost."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")

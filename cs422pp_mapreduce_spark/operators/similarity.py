@@ -1391,13 +1391,30 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions hit the memos and skip this entirely. The memo dict is
     # created on the caller thread first so the threads only ever
     # race on DISTINCT keys.
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import (
+        FIRST_EXCEPTION,
+        ThreadPoolExecutor,
+        wait,
+    )
 
     _ivf_session_cache(spark)
-    with ThreadPoolExecutor(2) as _ex:
-        _fi = _ex.submit(build_ivf_index, spark, sf_dir)
-        _fp = _ex.submit(build_pq_index, spark, sf_dir)
-        _fi.result(), _fp.result()
+    _ex = ThreadPoolExecutor(2)
+    try:
+        fits = [
+            _ex.submit(build_ivf_index, spark, sf_dir),
+            _ex.submit(build_pq_index, spark, sf_dir),
+        ]
+        # Propagate the FIRST fit failure promptly instead of letting
+        # the sibling run to completion first (ADVICE r12 #3); the two
+        # builds write distinct memo keys, so abandoning the sibling
+        # is correctness-neutral.
+        done, _ = wait(fits, return_when=FIRST_EXCEPTION)
+        for f in done:
+            f.result()
+        for f in fits:
+            f.result()
+    finally:
+        _ex.shutdown(wait=False, cancel_futures=True)
 
     # ONE corpus×queries pass scores BOTH metrics; 5 downstream
     # branches consume it (exact-cos, exact-l2, 3 re-ranks) — persist
