@@ -153,6 +153,10 @@ _QUERIES: dict[str, QueryFn] = {
     # tier of decontamination — train vectors probing the broadcast
     # eval sign-LSH band index, candidates exact-cosine verified.
     "decontaminate_semantic": S.q_decontaminate_semantic,
+    # NEW quality_classifier_report: the learned model's train-vs-
+    # heldout confusion matrix + rates as a driver-verified artifact
+    # (the ann_recall_report pattern applied to the curation model).
+    "quality_classifier_report": TX.q_quality_classifier_report,
 
     # --- 2. newest driver row is r09 (oldest-banked fill; the
     # first ~10 complete the ~50-slot prefix, the rest lead the

@@ -222,6 +222,7 @@ HEADLINE = [
     # exact-cosine verify)
     "quality_classifier",
     "decontaminate_semantic",
+    "quality_classifier_report",
 ]
 
 RUNS = 3

@@ -5754,8 +5754,10 @@ ORACLES["dedup_suffix"] = _dedup_suffix_sql()
 # the subtraction, tf x weight sums in decimal, unseen-in-training
 # features LEFT-joined to weight 0, and the decision threshold
 # calibrated as the midpoint of the train-slice class-mean scores.
-ORACLES["quality_classifier"] = """
-    WITH toks AS (
+# Shared CTE chain for the quality_classifier family (the model
+# fit + per-doc scoring); quality_classifier emits the decision
+# table, quality_classifier_report aggregates it.
+_QC_CTES = """toks AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
@@ -5769,10 +5771,19 @@ ORACLES["quality_classifier"] = """
                      ELSE [] END)) AS gram
         FROM toks
     ), tf AS (
-        SELECT doc_id,
-               ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS feat,
-               COUNT(*) AS tf
-        FROM grams GROUP BY 1, 2
+        SELECT doc_id, feat, tf FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096
+                       AS feat,
+                   COUNT(*) AS tf
+            FROM grams GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id,
+                   4096 + least(CAST(floor(len(t) / 10) AS BIGINT), 10)
+                       AS feat,
+                   CAST(1 AS BIGINT) AS tf
+            FROM toks WHERE len(t) > 0
+        )
     ), q AS (
         SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
@@ -5810,10 +5821,10 @@ ORACLES["quality_classifier"] = """
     ), w AS (
         SELECT feat,
                CAST(ROUND(ln(CAST(c_pos + 1 AS DOUBLE)
-                             / CAST(t_pos + 4096 AS DOUBLE)), 6)
+                             / CAST(t_pos + 4107 AS DOUBLE)), 6)
                     AS DECIMAL(18,6))
                - CAST(ROUND(ln(CAST(c_neg + 1 AS DOUBLE)
-                               / CAST(t_neg + 4096 AS DOUBLE)), 6)
+                               / CAST(t_neg + 4107 AS DOUBLE)), 6)
                       AS DECIMAL(18,6)) AS w
         FROM cls CROSS JOIN tot
     ), prior AS (
@@ -5841,12 +5852,53 @@ ORACLES["quality_classifier"] = """
                   / COUNT(CASE WHEN NOT l.label_hi THEN 1 END)) / 2 AS thr
         FROM scored s JOIN lab l USING (doc_id)
         WHERE l.is_train
-    )
+    )"""
+
+ORACLES["quality_classifier"] = f"""
+    WITH {_QC_CTES}
     SELECT s.doc_id, l.is_train, l.label_hi, s.n_feat,
            CAST(s.score_d AS DOUBLE) AS score,
            CAST(s.score_d AS DOUBLE) > t.thr AS pred_hi,
            (CAST(s.score_d AS DOUBLE) > t.thr) = l.label_hi AS correct
     FROM scored s CROSS JOIN thr t JOIN lab l USING (doc_id)
+"""
+
+# Classifier-quality report (r13): confusion counts + exact-IEEE
+# derived rates per split over the same decision table.
+ORACLES["quality_classifier_report"] = f"""
+    WITH {_QC_CTES},
+    dec AS (
+        SELECT CASE WHEN l.is_train THEN 'train' ELSE 'heldout' END
+                   AS split,
+               l.label_hi,
+               CAST(s.score_d AS DOUBLE) > t.thr AS pred_hi
+        FROM scored s CROSS JOIN thr t JOIN lab l USING (doc_id)
+    ), conf AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN label_hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_label_hi,
+               CAST(SUM(CASE WHEN pred_hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pred_hi,
+               CAST(SUM(CASE WHEN pred_hi AND label_hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred_hi AND NOT label_hi THEN 1 ELSE 0
+                        END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT pred_hi AND label_hi THEN 1 ELSE 0
+                        END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN NOT pred_hi AND NOT label_hi THEN 1
+                        ELSE 0 END) AS BIGINT) AS tn
+        FROM dec GROUP BY split
+    )
+    SELECT split, n_docs, n_label_hi, n_pred_hi, tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy,
+           CASE WHEN n_pred_hi > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_pred_hi AS DOUBLE)
+                END AS precision,
+           CASE WHEN n_label_hi > 0
+                THEN CAST(tp AS DOUBLE) / CAST(n_label_hi AS DOUBLE)
+                END AS recall
+    FROM conf
 """
 
 # Embedding-tier decontamination (r13): replays q_decontaminate_semantic

@@ -58,6 +58,12 @@ ALLOW: dict[str, dict[str, str]] = {
             "1-row class-total/prior/calibrated-threshold broadcasts"
         )
     },
+    "quality_classifier_report": {
+        "BroadcastNestedLoopJoin": (
+            "1-row class-total/prior/calibrated-threshold broadcasts"
+            " (inherited from the classifier pipeline)"
+        )
+    },
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
