@@ -49,6 +49,7 @@ from cs422pp_mapreduce_spark.streaming.stateful import (
     q_stream_profile,
     q_stream_twap,
 )
+from cs422pp_mapreduce_spark.streaming.quality import q_stream_quality_gate
 from cs422pp_mapreduce_spark.streaming.wordcount import q_stream_wordcount
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -157,6 +158,13 @@ _QUERIES: dict[str, QueryFn] = {
     # heldout confusion matrix + rates as a driver-verified artifact
     # (the ann_recall_report pattern applied to the curation model).
     "quality_classifier_report": TX.q_quality_classifier_report,
+    # NEW stream_quality_gate: the fitted model deployed at crawl-
+    # ingest — staged-file document stream scored against the static
+    # weight table, calibrated-threshold admission. Build-time jobs:
+    # the model fit + two bounded 1-row collects (bias, threshold),
+    # the q_ann_lsh contract-caveat class; the analysis tools use its
+    # lazy batch twin (plans/analysis.py).
+    "stream_quality_gate": q_stream_quality_gate,
 
     # --- 2. newest driver row is r09 (oldest-banked fill; the
     # first ~10 complete the ~50-slot prefix, the rest lead the

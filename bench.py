@@ -223,6 +223,7 @@ HEADLINE = [
     "quality_classifier",
     "decontaminate_semantic",
     "quality_classifier_report",
+    "stream_quality_gate",
 ]
 
 RUNS = 3

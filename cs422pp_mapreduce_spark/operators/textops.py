@@ -1890,48 +1890,13 @@ def qc_feature_tf(docs: DataFrame) -> DataFrame:
 QC_LABEL_CUT = 0.5
 
 
-def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style linear quality classifier (Joulin et al. 2016,
-    "Bag of Tricks for Efficient Text Classification") — the learned
-    curation rung above q_perplexity_gate, the GPT-3/LLaMA-pipeline
-    pattern: take a labeled reference slice, fit a cheap linear model
-    over hashed n-gram features, score EVERY crawl document. Here the
-    label is DISTILLED from the engine's own hash-verified composite
-    heuristic (quality_score ≥ QC_LABEL_CUT — the classic
-    expensive-labeler→cheap-model setup), the labeled slice is the
-    deterministic md5-bucket < QC_TRAIN_PCT % of docs (the
-    stratified_split convention), and the weights are the closed-form
-    multinomial-naive-Bayes log-count ratios (add-1/Laplace) — the
-    canonical linear baseline the fastText paper benchmarks against,
-    chosen over an SGD fit because it admits a closed form every
-    engine reproduces bit-for-bit. The decision threshold is
-    CALIBRATED on the labeled slice (midpoint of the class-conditional
-    mean scores) rather than fixed at 0 — multinomial NB scores carry
-    a document-length offset (ln((t_neg+D)/(t_pos+D)) per gram), so
-    raw-0 thresholding conflates length with quality; the calibrated
-    cut reaches ~0.98 train / ~0.72 held-out accuracy on the
-    token-salad fixture (vs 0.70 ranking AUC — measured, see
-    tests/test_round13_ops.py).
-
-    Shape: ONE tokenize pass builds the (doc_id, feat, tf) hashed
-    matrix (persisted — the class-count branch and the scoring branch
-    both read it); per-class feature totals are aggregates over the
-    train-slice rows of that matrix; the weight table is ≤QC_BUCKETS
-    rows JOINED BACK BY feat — AQE broadcasts it at any scale (a
-    fixed-size model is map-side scoring at 100 TB; document text
-    never shuffles, and the only data-sized shuffle is the (doc_id,
-    feat, tf) int matrix). The prior, class totals, and calibrated
-    threshold are 1-row broadcasts. Determinism: each ln term is
-    rounded to 6 decimals and decimal(18,6)-routed (the
-    unigram_logprob convention), tf × weight sums and the
-    class-mean sums run in decimal, so every score — and the
-    threshold — is partition-order independent and bit-identical to
-    the DuckDB oracle.
-
-    Output: one row per document with ≥1 token — (doc_id, is_train,
-    label_hi, n_feat, score = NB log-odds, pred_hi = score > the
-    calibrated threshold, correct = pred_hi == label_hi)."""
-    docs = load_table(spark, sf_dir, "documents")
+def qc_fit(spark: SparkSession, docs: DataFrame) -> dict:
+    """Fit the hashed-n-gram NB quality model over ``docs`` and
+    return its tables: {'tf', 'lab', 'w', 'prior', 'scored',
+    'thr'} — shared by the batch classifier, the report, and the
+    streaming ingest gate (which takes w as a static join table
+    and bias/thr as bounded 1-row collects). See
+    q_quality_classifier for semantics and determinism notes."""
     tf = scratch_persist(qc_feature_tf(docs))
     qcols = quality_score_cols("text")
     lab = scratch_persist(
@@ -2034,6 +1999,60 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("thr")
         )
     )
+    return {
+        "tf": tf,
+        "lab": lab,
+        "w": w,
+        "prior": prior,
+        "scored": scored,
+        "thr": thr,
+    }
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification") — the learned
+    curation rung above q_perplexity_gate, the GPT-3/LLaMA-pipeline
+    pattern: take a labeled reference slice, fit a cheap linear model
+    over hashed n-gram features, score EVERY crawl document. Here the
+    label is DISTILLED from the engine's own hash-verified composite
+    heuristic (quality_score ≥ QC_LABEL_CUT — the classic
+    expensive-labeler→cheap-model setup), the labeled slice is the
+    deterministic md5-bucket < QC_TRAIN_PCT % of docs (the
+    stratified_split convention), and the weights are the closed-form
+    multinomial-naive-Bayes log-count ratios (add-1/Laplace) — the
+    canonical linear baseline the fastText paper benchmarks against,
+    chosen over an SGD fit because it admits a closed form every
+    engine reproduces bit-for-bit. The decision threshold is
+    CALIBRATED on the labeled slice (midpoint of the class-conditional
+    mean scores) rather than fixed at 0 — multinomial NB scores carry
+    a document-length offset (ln((t_neg+D)/(t_pos+D)) per gram), so
+    raw-0 thresholding conflates length with quality; the calibrated
+    cut reaches ~0.98 train / ~0.72 held-out accuracy on the
+    token-salad fixture (vs 0.70 ranking AUC — measured, see
+    tests/test_round13_ops.py).
+
+    Shape: ONE tokenize pass builds the (doc_id, feat, tf) hashed
+    matrix (persisted — the class-count branch and the scoring branch
+    both read it); per-class feature totals are aggregates over the
+    train-slice rows of that matrix; the weight table is ≤QC_BUCKETS
+    rows JOINED BACK BY feat — AQE broadcasts it at any scale (a
+    fixed-size model is map-side scoring at 100 TB; document text
+    never shuffles, and the only data-sized shuffle is the (doc_id,
+    feat, tf) int matrix). The prior, class totals, and calibrated
+    threshold are 1-row broadcasts. Determinism: each ln term is
+    rounded to 6 decimals and decimal(18,6)-routed (the
+    unigram_logprob convention), tf × weight sums and the
+    class-mean sums run in decimal, so every score — and the
+    threshold — is partition-order independent and bit-identical to
+    the DuckDB oracle.
+
+    Output: one row per document with ≥1 token — (doc_id, is_train,
+    label_hi, n_feat, score = NB log-odds, pred_hi = score > the
+    calibrated threshold, correct = pred_hi == label_hi)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = qc_fit(spark, docs)
+    scored, thr = m["scored"], m["thr"]
     score = F.col("score_d").cast("double")
     pred = score > F.col("thr")
     return scored.crossJoin(F.broadcast(thr)).select(

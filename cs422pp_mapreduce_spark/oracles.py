@@ -5946,3 +5946,20 @@ ORACLES["decontaminate_semantic"] = f"""
            COALESCE(nn.n_eval_near, 0) > 0 AS contaminated
     FROM cand_n cn LEFT JOIN near_n nn ON nn.vec_id = cn.vec_id
 """
+
+# Streaming quality gate (r13): the gate is stateless per document
+# given the fitted model, so the stream result equals the batch
+# classifier's scored table projected to the gate columns — n_grams
+# is the per-doc gram-instance total (SUM(tf), including the length
+# indicator), score/admit replay the calibrated-threshold verdict.
+ORACLES["stream_quality_gate"] = f"""
+    WITH {_QC_CTES},
+    tfsum AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams
+        FROM tf GROUP BY 1
+    )
+    SELECT s.doc_id, t.n_grams,
+           CAST(s.score_d AS DOUBLE) AS score,
+           CAST(s.score_d AS DOUBLE) > th.thr AS admit
+    FROM scored s JOIN tfsum t USING (doc_id) CROSS JOIN thr th
+"""

@@ -190,9 +190,11 @@ def analysis_plan_builders() -> dict:
     """Full name → lazy-builder map for the analysis tools (streaming
     twins + driver-paced twins)."""
     from ..streaming.events import STREAM_PLAN_BUILDERS
+    from ..streaming.quality import stream_quality_gate_plan
 
     return {
         **STREAM_PLAN_BUILDERS,
+        "stream_quality_gate": stream_quality_gate_plan,
         "order_stat": order_stat_plan,
         "dedup_suffix": dedup_suffix_plan,
         "bloom_semi_join": bloom_semi_join_plan,

@@ -313,3 +313,40 @@ class TestBenchContract:
             "quality_classifier_report",
         ):
             assert n in bench.HEADLINE, n
+
+
+class TestStreamQualityGate:
+    """The streaming ingest gate must equal the batch classifier
+    exactly (stateless per doc given the model), admit the
+    calibrated keep-fraction, and emit every document exactly once."""
+
+    def test_stream_equals_batch(self, spark):
+        from cs422pp_mapreduce_spark.operators.textops import (
+            q_quality_classifier,
+        )
+        from cs422pp_mapreduce_spark.streaming.quality import (
+            q_stream_quality_gate,
+        )
+
+        got = {
+            r["doc_id"]: (r["n_grams"], r["score"], r["admit"])
+            for r in q_stream_quality_gate(spark, SF_SMOKE).collect()
+        }
+        batch = {
+            r["doc_id"]: (r["score"], r["pred_hi"])
+            for r in q_quality_classifier(spark, SF_SMOKE).collect()
+        }
+        assert set(got) == set(batch), "every doc emitted exactly once"
+        for d, (n_grams, score, admit) in got.items():
+            assert n_grams >= 1
+            assert score == batch[d][0], (d, score, batch[d][0])
+            assert admit == batch[d][1]
+
+    def test_emits_each_doc_once(self, spark):
+        from cs422pp_mapreduce_spark.streaming.quality import (
+            q_stream_quality_gate,
+        )
+
+        rows = q_stream_quality_gate(spark, SF_SMOKE).collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 500

@@ -64,6 +64,13 @@ ALLOW: dict[str, dict[str, str]] = {
             " (inherited from the classifier pipeline)"
         )
     },
+    "stream_quality_gate": {
+        "BroadcastNestedLoopJoin": (
+            "1-row class-total broadcast in the model-fit weight table"
+            " (the twin's fit side; stream side joins only the"
+            " broadcast weight table)"
+        )
+    },
     "hll_bound": {
         "BroadcastNestedLoopJoin": "1-row global exact-distinct broadcast"
     },
