@@ -74,6 +74,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def stream_state_partitions() -> int:
+    """Shuffle-partition count for STREAMING micro-batch drains — i.e.
+    the state-store instance count (it is pinned into the checkpoint at
+    first batch and every stateful stage runs exactly this many tasks
+    per micro-batch; AQE never applies to stateful streaming, so unlike
+    batch stages nothing coalesces this at runtime).
+
+    Sized to the STATE, not the core count: the contract fixtures hold
+    O(10²–10³) keys (windows × types, users), so the batch-side default
+    (one partition per core) only multiplies per-micro-batch fixed cost
+    — task launch + one state-store commit (delta file + fsync) per
+    instance per batch — without any parallelism the data can use
+    (guide §2: fewer, larger partitions; §6: small files hurt twice).
+    Production streams size this to throughput × state volume via the
+    env knob; the checkpoint pins whatever value the job started with.
+    """
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-built session."""
     for k, v in RUNTIME_CONFS.items():

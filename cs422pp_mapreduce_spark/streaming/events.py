@@ -25,13 +25,43 @@ twin (tests assert stream result == batch result on the same data).
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.numeric import exact_sum
+from ..session import stream_state_partitions
 from ..sources.catalog import TABLE_SCHEMAS, table_path
+
+
+@contextmanager
+def stream_drain_conf(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the streaming
+    state-partition count for the duration of a micro-batch drain, then
+    restore the batch setting.
+
+    Stateful streaming fixes its state-store instance count from this
+    conf at the first batch and AQE never coalesces streaming stages,
+    so the batch default (one partition per core) makes EVERY stateful
+    stage of EVERY micro-batch run one task + one state-store commit
+    per core — pure fixed cost at contract-fixture state sizes (see
+    session.stream_state_partitions). Results are partition-count
+    independent by the engine's conventions (decimal-routed sums,
+    per-key sequential state), which the oracle gate re-verifies.
+
+    The conf is session-scoped, so a drain temporarily narrows batch
+    queries planned concurrently on OTHER threads — harmless for
+    results (AQE re-splits batch stages) and the harness protocol runs
+    queries sequentially anyway."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(stream_state_partitions()))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_event_stream(
@@ -104,8 +134,9 @@ def run_stream_foreach_batch(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with stream_drain_conf(stream_df.sparkSession):
+        q = writer.start()
+        q.awaitTermination()
     return q
 
 
@@ -233,8 +264,9 @@ def _drain_to_memory(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    with stream_drain_conf(agg.sparkSession):
+        q = writer.start()
+        q.awaitTermination()
     return agg.sparkSession.table(name)
 
 
@@ -590,15 +622,16 @@ def q_stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            _tumbling_agg(raw)
-            .writeStream.foreachBatch(apply_batch)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_drain_conf(spark):
+            q = (
+                _tumbling_agg(raw)
+                .writeStream.foreachBatch(apply_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     # phase 1: half the input, run to completion, query stops
     land(0)
@@ -666,14 +699,15 @@ def run_stream_to_memory(
     """Drive a streaming DataFrame into an in-memory sink until all
     available input is processed (test/demo harness). Returns the
     stopped query; read results from ``spark.table(table_name)``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_drain_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
