@@ -155,7 +155,33 @@ def suffix_rank_tables(
     byte cost and belong on the storage tier; each is written once
     and scanned twice (next level + its descent step), the sequential
     pattern disk serves fine (sf0.1 bench row unchanged within
-    noise)."""
+    noise).
+
+    r13 optimization pass (values bit-identical, job count cut):
+
+    * rank_0 ranks the DISTINCT token vocabulary and broadcast-joins
+      the class id back onto positions — dense rank depends only on
+      the distinct-key ordering, so the per-position values are the
+      same longs, but the global-sort kernel now runs on |vocab| rows
+      instead of n and the position table is never range-shuffled for
+      level 0 (guide §2.3: shuffle keys, not payloads). The broadcast
+      is bounded by the vocabulary, which grows sublinearly in corpus
+      size for token streams (Heaps' law; the byte-level Lee et al.
+      formulation has |vocab| = 256) — if a corpus ever outgrew that,
+      swap the hint for a shuffle join, same values.
+    * ODD (combine) levels are lazy DISK_ONLY persists instead of
+      eager localCheckpoints: the combine is a projection over the
+      pairing join, so materializing it as its own driver-paced job
+      bought nothing — the persist populates inside the next level's
+      job, every later consumer (next pairing, LCP descent) still
+      reads the materialized DISK_ONLY blocks, and the plan stays
+      shallow because both join inputs are the previous EVEN level's
+      checkpoint. Same storage-tier residency as the r12 fix, ~K/2
+      fewer sequential driver-paced jobs.
+    * each even level's ``paired`` join is persisted for the duration
+      of its global rank, so the range-exchange's boundary-sampling
+      pass does not recompute the join (released with the level's
+      other scratch frames)."""
     def _ckpt(df: DataFrame) -> DataFrame:
         # checkpoint=False is the ANALYSIS-TWIN mode (plans/analysis):
         # fully lazy, shallow because the twin runs a single level
@@ -176,11 +202,15 @@ def suffix_rank_tables(
 
     base = n_positions + 2
     lo = _locals if checkpoint else None
+    vocab_rank = _global_rank(
+        pos.select("tok").distinct(), ["tok"], "r", dense=True,
+        locals_out=lo,
+    ).select("tok", "r")
     ranks: dict[int, DataFrame] = {
         0: _ckpt(
-            _global_rank(
-                pos, ["tok"], "r", dense=True, locals_out=lo
-            ).select("doc_id", "pos", "r")
+            pos.join(F.broadcast(vocab_rank), "tok").select(
+                "doc_id", "pos", "r"
+            )
         )
     }
     for k in range(1, levels + 1):
@@ -213,11 +243,26 @@ def suffix_rank_tables(
                     F.col("r1") * F.lit(base) + F.col("r2") + F.lit(1)
                 ).alias("r"),
             )
+            # lazy DISK_ONLY persist, not an eager checkpoint: the
+            # combine is one projection over the pairing join of the
+            # (checkpointed) even level below — shallow plan, same
+            # storage-tier residency, one less sequential job.
+            ranks[k] = scratch_persist(
+                lvl,
+                PySparkStorageLevel.DISK_ONLY if checkpoint else None,
+            )
         else:
+            if checkpoint:
+                # released by _ckpt below; saves the range-exchange
+                # sampler recomputing the pairing join
+                paired = paired.persist(
+                    PySparkStorageLevel.MEMORY_AND_DISK
+                )
+                _locals.append(paired)
             lvl = _global_rank(
                 paired, ["r1", "r2"], "r", dense=True, locals_out=lo
             ).select("doc_id", "pos", "r")
-        ranks[k] = _ckpt(lvl)
+            ranks[k] = _ckpt(lvl)
     return ranks
 
 
