@@ -132,9 +132,26 @@ def load_table(
     The scan stays declarative: downstream ``select``/``where`` reach the
     reader as ReadSchema pruning + PushedFilters (verify with
     ``plans.explain_str``).
+
+    Memoized per (session, sf_dir, table): ``spark.read.parquet``
+    without a schema lists the path and decodes the footer on EVERY
+    call (~250-370 ms measured at sf0.1 vs ~0 for a cache hit), and the
+    harness protocol re-builds every query three times — a fixed cost
+    with no information content, since the fixture files are immutable
+    for the life of a session. The cached object is the LAZY scan
+    plan, never data: every execution still reads the parquet files
+    (DataFrames are immutable, so handing the same instance out is
+    safe). Session-weak like ``_REGISTERED``.
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    bucket = _TABLE_CACHE.get(spark)
+    if bucket is None:
+        bucket = _TABLE_CACHE[spark] = {}
+    key = (os.path.normpath(sf_dir), name)
+    cached = bucket.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
     if ts_dtype == "bigint":
@@ -160,6 +177,7 @@ def load_table(
                 f"schema drift for {name}: expected cols {sorted(expected)}, "
                 f"got {sorted(actual)}"
             )
+    bucket[key] = df
     return df
 
 
@@ -171,6 +189,11 @@ def load_table(
 import weakref
 
 _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+# (sf_dir, name) → lazy scan DataFrame, per session (see load_table).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
