@@ -1367,8 +1367,21 @@ def q_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("p50", (n + 1) // 2),
         ("p90", (9 * n + 9) // 10),
     ]
+    # The two selections are independent driver-paced job chains over
+    # the same persisted frame; running them from two threads lets each
+    # round's tasks back-fill the other's stragglers (guide §2.6
+    # overlap-independent-jobs) — each selection is deterministic, so
+    # the result rows are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        vals = list(
+            pool.map(
+                lambda s: exact_kth_cents(li, "cents", s[1]), stats
+            )
+        )
     rows = [
-        (name, k, exact_kth_cents(li, "cents", k)) for name, k in stats
+        (name, k, v) for (name, k), v in zip(stats, vals)
     ]
     li.unpersist()
     return spark.createDataFrame(
