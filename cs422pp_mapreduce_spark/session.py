@@ -93,14 +93,32 @@ def stream_state_partitions() -> int:
     return int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
 
 
+_CONFS_APPLIED: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an externally-built session."""
+    """Apply runtime-settable confs to an externally-built session.
+
+    Idempotent per session and memoized (weak set): the driver contract
+    wraps EVERY query builder with this call, so a bench/gate run pays
+    len(RUNTIME_CONFS) py4j round-trips per query build otherwise.
+    Nothing in the engine mutates these confs after application (the
+    streaming drain helper overrides only shuffle.partitions and
+    restores it), so first-application semantics are identical."""
+    global _CONFS_APPLIED
+    if _CONFS_APPLIED is None:
+        import weakref
+
+        _CONFS_APPLIED = weakref.WeakSet()
+    if spark in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Some confs may be static in exotic deployments; best-effort.
             pass
+    _CONFS_APPLIED.add(spark)
     return spark
 
 
