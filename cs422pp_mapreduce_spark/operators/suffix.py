@@ -18,12 +18,13 @@ ops — the "log n range-exchange sorts" form:
   per-partition rank → tiny per-partition offset broadcast), never a
   single-partition window;
 * the suffix ARRAY is the row_number of (rank_K, doc_id, pos);
-  adjacent SA entries' LCP is computed by the classic rank-table
-  descent (for k = K..0: if rank_k agrees at the current offsets,
-  advance both by 2^k) — 2 positional joins per level against the
-  persisted rank tables, O(n log n) total exchanged longs, and the
-  longest repeated prefix of a suffix is max(LCP with SA-prev, LCP
-  with SA-next);
+  adjacent SA entries' LCP is computed by DIRECT capped token-prefix
+  comparison against the doc token arrays (r14 — two equi-joins plus
+  one O(cmp_cap) codegen'd fold per pair, replacing the classic
+  rank-table descent's 2·(K+1) positional joins: same values by the
+  definition of LCP, ~20 fewer n-row shuffles per run, and no level
+  table outlives the SA build), and the longest repeated prefix of a
+  suffix is max(LCP with SA-prev, LCP with SA-next);
 * spans: positions whose repeat length ≥ SUFFIX_MIN_TOKENS cover
   [pos, pos + lcp), merged per document by the gaps-and-islands
   running-max window.
@@ -45,6 +46,7 @@ ships; state is 3-long rows, no strings after rank_0.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +66,52 @@ SUFFIX_MIN_TOKENS = 5
 # Comparison cap: suffixes compare on their first 2^ceil(log2(min(
 # max_doc_tokens, SUFFIX_CAP))) tokens. Never binds on the fixtures.
 SUFFIX_CAP = 512
+# Range-exchange sizing for the global-rank kernel (r14, guide §2.2):
+# partitions derive from the DATA (rows ≈ 8M × 24-byte rank tuples ≈
+# 192 MB per partition), not from the core count — at sf0.1 the ladder
+# sorts ~600k rows, where 32 range partitions are pure per-task fixed
+# cost, while at 100 TB the same formula yields the thousands of
+# right-sized partitions the sort actually needs. Floor 1, no cap.
+RANK_PART_ROWS = 8_000_000
+# Vocab-broadcast guard (ADVICE r13 #3): below this bound the distinct
+# vocabulary is broadcast unconditionally (vocab ≤ positions, and a
+# ≤32M-row (tok, r) relation is well inside the 8 GB broadcast cap);
+# above it, the real vocabulary is counted first (one tiny bounded job
+# relative to a corpus this size) and the hint dropped if it exceeds
+# the bound — degrading to a shuffle join instead of a driver OOM.
+VOCAB_BCAST_MAX = 32_000_000
+
+
+def _rank_partitions(n_rows: int) -> int:
+    return max(1, (int(n_rows) + RANK_PART_ROWS - 1) // RANK_PART_ROWS)
+
+
+@contextmanager
+def suffix_build_conf(spark: SparkSession):
+    """Disable AQE for the duration of the driver-paced ladder build,
+    restoring the session value after (the stream_drain_conf pattern).
+
+    Rationale (r14, guide §1.2 step 3 after steps 1-2 were done): the
+    ladder materializes K/2+2 eager localCheckpoints, and under AQE
+    EVERY exchange of every checkpoint becomes its own stage-
+    materialization job so the plan can be re-optimized from map
+    stats — 66 driver-paced jobs per build at sf0.1 (99 before the r14
+    descent removal). But the ladder's exchanges carry no re-planning
+    information AQE can use: range partition counts derive from
+    n_positions (``_rank_partitions``), the pairing self-joins are
+    n-row-by-n-row with no skew (positions are unique keys), and the
+    broadcast offsets are explicit hints. With AQE off the same build
+    is 16 jobs (measured interleaved, same values) and the wall drops
+    ~25→18 s. The conf is restored before the returned lazy report
+    plan is forced, so the FINAL aggregation still plans under AQE
+    like every other query."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _global_rank(
@@ -72,6 +120,7 @@ def _global_rank(
     out: str,
     dense: bool,
     locals_out: list | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Global (dense_)rank over ``cols`` without the single-partition
     window: range-repartition on the keys, rank per partition, add the
@@ -79,9 +128,11 @@ def _global_rank(
     relational.py:437 — dense variant offsets by distinct-key counts;
     equal keys land in one range partition, so local dense ranks are
     globally consistent). Persisted before branching so the offsets
-    and the final join see the SAME sampled range boundaries."""
+    and the final join see the SAME sampled range boundaries.
+    ``n_parts`` sizes the range exchange from the data (callers derive
+    it via ``_rank_partitions``); default = one per core."""
     ranged = df.repartitionByRange(
-        default_parallelism(), *[F.col(c) for c in cols]
+        n_parts or default_parallelism(), *[F.col(c) for c in cols]
     ).withColumn("pid", F.spark_partition_id())
     w = Window.partitionBy("pid").orderBy(*cols)
     rank_fn = F.dense_rank() if dense else F.row_number()
@@ -146,16 +197,14 @@ def suffix_rank_tables(
     once (declared driver-paced build work) and keeps every
     downstream plan shallow.
 
-    Checkpoints go to DISK_ONLY (r12, the sf10 tier's OOM catch): the
-    LCP descent is one lazy plan that reads ALL K+1 level tables when
-    `pairs` materializes, so every level is resident simultaneously —
-    at 27.5 M positions the default deserialized MEMORY_AND_DISK
-    blocks (~1.4 GB/level × 8 levels) blew the 8 g local heap during
-    level unroll. The level tables are the algorithm's O(n log n)
-    byte cost and belong on the storage tier; each is written once
-    and scanned twice (next level + its descent step), the sequential
-    pattern disk serves fine (sf0.1 bench row unchanged within
-    noise).
+    Checkpoints go to DISK_ONLY (r12, the sf10 tier's OOM catch): at
+    27.5 M positions the default deserialized MEMORY_AND_DISK blocks
+    (~1.4 GB/level × 8 levels) blew the 8 g local heap during level
+    unroll. The level tables are the algorithm's O(n log n) byte cost
+    and belong on the storage tier; since the r14 direct-compare LCP
+    each level is scanned exactly ONCE (by the next level — the SA
+    reads only level K, and no descent re-reads the ladder), so at
+    most two levels are ever live inputs at a time.
 
     r13 optimization pass (values bit-identical, job count cut):
 
@@ -202,15 +251,24 @@ def suffix_rank_tables(
 
     base = n_positions + 2
     lo = _locals if checkpoint else None
+    n_parts = _rank_partitions(n_positions)
+    vocab = pos.select("tok").distinct()
     vocab_rank = _global_rank(
-        pos.select("tok").distinct(), ["tok"], "r", dense=True,
-        locals_out=lo,
+        vocab, ["tok"], "r", dense=True, locals_out=lo,
+        n_parts=min(n_parts, default_parallelism()),
     ).select("tok", "r")
+    # Broadcast guard (ADVICE r13 #3): |vocab| ≤ n_positions, so small
+    # corpora broadcast unconditionally; a corpus big enough to carry a
+    # driver-threatening vocabulary pays one bounded count job to
+    # decide, and falls back to a shuffle join (same values — the
+    # dense-rank class ids don't depend on the join strategy).
+    bcast_vocab = n_positions <= VOCAB_BCAST_MAX or not checkpoint
+    if not bcast_vocab:
+        bcast_vocab = vocab_rank.count() <= VOCAB_BCAST_MAX
+    vr = F.broadcast(vocab_rank) if bcast_vocab else vocab_rank
     ranks: dict[int, DataFrame] = {
         0: _ckpt(
-            pos.join(F.broadcast(vocab_rank), "tok").select(
-                "doc_id", "pos", "r"
-            )
+            pos.join(vr, "tok").select("doc_id", "pos", "r")
         )
     }
     for k in range(1, levels + 1):
@@ -260,7 +318,8 @@ def suffix_rank_tables(
                 )
                 _locals.append(paired)
             lvl = _global_rank(
-                paired, ["r1", "r2"], "r", dense=True, locals_out=lo
+                paired, ["r1", "r2"], "r", dense=True, locals_out=lo,
+                n_parts=n_parts,
             ).select("doc_id", "pos", "r")
             ranks[k] = _ckpt(lvl)
     return ranks
@@ -296,6 +355,11 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # one tokenization pass total: toks feeds the bounds collect, the
+    # position explode, the length table AND both sides of the LCP
+    # compare join (r14) — without the persist the documents scan +
+    # split would re-run 4×
+    toks = scratch_persist(toks)
     maxlen, n_positions = toks.agg(
         F.max(F.size("t")), F.sum(F.size("t"))
     ).collect()[0]  # 1-row bounded
@@ -306,7 +370,7 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_tokens long, n_spans long",
         )
     levels = max(1, math.ceil(math.log2(min(maxlen, SUFFIX_CAP))))
-    return suffix_report(pos, lens, levels, int(n_positions))
+    return suffix_report(pos, lens, levels, int(n_positions), toks=toks)
 
 
 def suffix_report(
@@ -315,35 +379,63 @@ def suffix_report(
     levels: int,
     n_positions: int,
     checkpoint: bool = True,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
-    """SA build → adjacent-LCP descent → per-position longest repeat →
+    """SA build → adjacent-pair LCP → per-position longest repeat →
     island-merged per-doc report (shared by q_dedup_suffix and its
     lazy analysis twin, which passes checkpoint=False and a single
-    level — same schema, same plan shape, no build-time jobs)."""
+    level — same schema, same plan shape, no build-time jobs).
+
+    r14 restructure (guide §2.4 remove shuffles outright): adjacent-SA
+    LCP is computed by DIRECT capped token-prefix comparison against
+    the doc token arrays (``toks``: doc_id → token array) — TWO
+    equi-joins + one codegen'd fold per pair — instead of the
+    2·(levels+1)-join rank-table descent. Values are identical by
+    definition: both compute the longest common prefix of the two
+    suffixes truncated at cmp_cap (the descent's class-equality
+    overshoot was clamped by the remaining lengths, which the direct
+    compare respects inherently; zip_with's null padding ends the fold
+    exactly at the shorter suffix). At any scale this removes
+    2·(levels+1) ≈ 20 shuffles of the n-row pair frame per run AND the
+    need to keep all K+1 rank-level tables resident for the descent —
+    after the SA materializes, no plan reads them again (each level
+    feeds only the next, so at most two levels are live inputs at
+    once; the r12 sf10 OOM pressure class). The per-pair compare is
+    O(cmp_cap) sequential token equality inside WholeStageCodegen —
+    bounded by the same cap the rank ladder compares under."""
+    if toks is None:
+        raise ValueError("suffix_report requires the toks frame (r14)")
     cmp_cap = 1 << levels
 
-    ranks = suffix_rank_tables(pos, levels, n_positions, checkpoint)
+    from contextlib import nullcontext
 
-    sa_locals: list = []
-    sa = _global_rank(
-        ranks[levels],
-        ["r", "doc_id", "pos"],
-        "sa",
-        dense=False,
-        locals_out=sa_locals if checkpoint else None,
-    ).select("doc_id", "pos", "sa")
-    if checkpoint:
-        sa = sa.localCheckpoint(
-            eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
-        )
-        for fr in sa_locals:
-            try:
-                fr.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
-    else:
-        sa = scratch_persist(sa)
-    nxt = sa.select(
+    build_conf = (
+        suffix_build_conf(pos.sparkSession) if checkpoint else nullcontext()
+    )
+    with build_conf:
+        ranks = suffix_rank_tables(pos, levels, n_positions, checkpoint)
+
+        sa_locals: list = []
+        sa = _global_rank(
+            ranks[levels],
+            ["r", "doc_id", "pos"],
+            "sa",
+            dense=False,
+            locals_out=sa_locals if checkpoint else None,
+            n_parts=_rank_partitions(n_positions),
+        ).select("doc_id", "pos", "sa")
+        if checkpoint:
+            sa = sa.localCheckpoint(
+                eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
+            )
+            for fr in sa_locals:
+                try:
+                    fr.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+        else:
+            sa = scratch_persist(sa)
+    nxt = sa.select(  # noqa: E306 — lazy from here except the pairs cut
         (F.col("sa") - 1).alias("sa"),
         F.col("doc_id").alias("db"),
         F.col("pos").alias("pb"),
@@ -353,70 +445,46 @@ def suffix_report(
         F.col("pos").alias("pa"),
         "db",
         "pb",
-        F.lit(0).cast("long").alias("lcp"),
     )
 
-    # LCP descent over the persisted rank tables: at level k the
-    # classes agree iff the next 2^k tokens agree, so advance both
-    # cursors by 2^k and keep descending.
-    for k in range(levels, -1, -1):
-        step = 1 << k
-        ra = ranks[k].select(
-            F.col("doc_id").alias("da"),
-            F.col("pos").alias("_qa"),
-            F.col("r").alias("_ra"),
+    # direct capped LCP: boolean match array over the two suffix
+    # slices (zip_with pads the shorter side with null → eqNullSafe &
+    # isNotNull yields FALSE there, ending the prefix at the shorter
+    # suffix exactly like the old remaining-length clamp). The prefix
+    # length is array_position of the FIRST false (early-exit linear
+    # scan, no per-element accumulator allocation): position p>0 ⇒
+    # lcp = p−1; no false at all ⇒ both slices matched end to end ⇒
+    # lcp = size (equal lengths, else the null pad would mismatch).
+    ta = toks.select(F.col("doc_id").alias("da"), F.col("t").alias("_ta"))
+    tb = toks.select(F.col("doc_id").alias("db"), F.col("t").alias("_tb"))
+    eq_arr = F.zip_with(
+        F.slice("_ta", F.col("pa"), F.lit(cmp_cap)),
+        F.slice("_tb", F.col("pb"), F.lit(cmp_cap)),
+        lambda x, y: x.eqNullSafe(y) & x.isNotNull(),
+    )
+    first_false = F.array_position(eq_arr, F.lit(False))
+    lcp_col = (
+        F.coalesce(
+            F.nullif(first_false, F.lit(0)) - 1,
+            F.size(eq_arr).cast("long"),
         )
-        rb = ranks[k].select(
-            F.col("doc_id").alias("db"),
-            F.col("pos").alias("_qb"),
-            F.col("r").alias("_rb"),
-        )
-        st = (
-            st.withColumn("_qa", F.col("pa") + F.col("lcp"))
-            .withColumn("_qb", F.col("pb") + F.col("lcp"))
-            .join(ra, ["da", "_qa"], "left")
-            .join(rb, ["db", "_qb"], "left")
-            .withColumn(
-                "lcp",
-                F.col("lcp")
-                + F.when(
-                    F.col("_ra").isNotNull()
-                    & F.col("_rb").isNotNull()
-                    & (F.col("_ra") == F.col("_rb")),
-                    F.lit(step),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("_qa", "_qb", "_ra", "_rb")
-        )
-
-    # clamp: class equality at level k can overshoot for two IDENTICAL
-    # suffixes shorter than 2^k; the true LCP never exceeds either
-    # remaining length (or the comparison cap)
-    la = lens.select(F.col("doc_id").alias("da"), F.col("n_tokens").alias("_na"))
-    lb = lens.select(F.col("doc_id").alias("db"), F.col("n_tokens").alias("_nb"))
+    ).cast("long")
     pairs = (
-        st.join(la, "da")
-        .join(lb, "db")
-        .withColumn(
-            "lcp",
-            F.least(
-                "lcp",
-                F.col("_na") - F.col("pa") + 1,
-                F.col("_nb") - F.col("pb") + 1,
-                F.lit(cmp_cap).cast("long"),
-            ),
-        )
+        st.join(ta, "da")
+        .join(tb, "db")
+        .withColumn("lcp", lcp_col)
         .select("da", "pa", "db", "pb", "lcp")
     )
-    # both union branches read pairs; the descent chain above is
-    # 2(levels+1) joins deep — truncate before the fanout
-    pairs = (
-        pairs.localCheckpoint(
-            eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
-        )
-        if checkpoint
-        else scratch_persist(pairs)
-    )
+    # both union branches read pairs — truncate before the fanout so
+    # the join+fold runs once (inside the build conf: this eager cut
+    # is the last driver-paced materialization of the build)
+    if checkpoint:
+        with suffix_build_conf(pos.sparkSession):
+            pairs = pairs.localCheckpoint(
+                eager=True, storageLevel=PySparkStorageLevel.DISK_ONLY
+            )
+    else:
+        pairs = scratch_persist(pairs)
 
     lrs = (
         pairs.select(F.col("da").alias("doc_id"), F.col("pa").alias("pos"), "lcp")

@@ -182,7 +182,8 @@ def dedup_suffix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col").alias("tok"),
     )
     return suffix_report(
-        pos, lens, levels=1, n_positions=1 << 30, checkpoint=False
+        pos, lens, levels=1, n_positions=1 << 30, checkpoint=False,
+        toks=toks,
     )
 
 

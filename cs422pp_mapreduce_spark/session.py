@@ -96,7 +96,7 @@ def stream_state_partitions() -> int:
 _CONFS_APPLIED: "weakref.WeakSet" = None  # type: ignore[assignment]
 
 
-def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+def apply_runtime_confs(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply runtime-settable confs to an externally-built session.
 
     Idempotent per session and memoized (weak set): the driver contract
@@ -104,13 +104,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     len(RUNTIME_CONFS) py4j round-trips per query build otherwise.
     Nothing in the engine mutates these confs after application (the
     streaming drain helper overrides only shuffle.partitions and
-    restores it), so first-application semantics are identical."""
+    restores it), so first-application semantics are identical.
+
+    CONTRACT CHANGE vs pre-r13 (ADVICE r13 #4): the memo means an
+    external caller that mutates a RUNTIME_CONFS key mid-session is no
+    longer self-healed on the next query build. Callers that need the
+    old always-reapply behavior pass ``force=True``."""
     global _CONFS_APPLIED
     if _CONFS_APPLIED is None:
         import weakref
 
         _CONFS_APPLIED = weakref.WeakSet()
-    if spark in _CONFS_APPLIED:
+    if not force and spark in _CONFS_APPLIED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:

@@ -149,27 +149,35 @@ def load_table(
     if bucket is None:
         bucket = _TABLE_CACHE[spark] = {}
     key = (os.path.normpath(sf_dir), name)
-    cached = bucket.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(table_path(sf_dir, name))
-    ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
-    if ts_dtype == "bigint":
-        # TIMESTAMP(NANOS) surfaced as long nanos (nanosAsLong conf):
-        # truncate to microseconds exactly like DuckDB's ns→us read.
-        from pyspark.sql import functions as F
+    df = bucket.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
+        if ts_dtype == "bigint":
+            # TIMESTAMP(NANOS) surfaced as long nanos (nanosAsLong
+            # conf): truncate to microseconds exactly like DuckDB's
+            # ns→us read.
+            from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's
-        # 2^53 exact-integer range.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_dtype == "timestamp_ntz":
-        # Session built without our runtime confs (inferTimestampNTZ
-        # still on): normalize to TIMESTAMP. Under the UTC session
-        # timezone the cast is a type change only, no value shift.
-        from pyspark.sql import functions as F
+            # integer `div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds
+            # double's 2^53 exact-integer range.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_dtype == "timestamp_ntz":
+            # Session built without our runtime confs (inferTimestampNTZ
+            # still on): normalize to TIMESTAMP. Under the UTC session
+            # timezone the cast is a type change only, no value shift.
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        bucket[key] = df
     if validate:
+        # Runs on cache hits too (ADVICE r13 #1): the check is a pure
+        # driver-side schema comparison on the already-built frame, so
+        # a hit costs nothing — and a validate=True caller must never
+        # silently lose its drift check to another caller's earlier
+        # non-validating load.
         expected = {f.name: f.dataType for f in TABLE_SCHEMAS[name].fields}
         actual = {f.name: f.dataType for f in df.schema.fields}
         if set(expected) != set(actual):
@@ -177,7 +185,6 @@ def load_table(
                 f"schema drift for {name}: expected cols {sorted(expected)}, "
                 f"got {sorted(actual)}"
             )
-    bucket[key] = df
     return df
 
 
