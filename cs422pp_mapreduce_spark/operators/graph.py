@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import sys
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,65 @@ DAMPING = 0.85
 N_ITERATIONS = 8
 # Supplier node ids are offset into a disjoint range from customers.
 SUPP_OFFSET = 1_000_000
+
+# Shuffle-partition sizing for the iterative graph loops (r14, guide
+# §2.2): rows per shuffle partition, derived from the lineitem footer
+# row count (edges ∝ lineitem). The default targets the contract-
+# fixture regime — iterative loops over ≤ millions of 24-byte edge/
+# rank tuples, where one-partition-per-core stages are pure per-task
+# fixed cost (8 iterations × 2 exchanges × 32 tasks of ~20k rows;
+# measured interleaved at sf0.1: pagerank 10.5 → 6.7 s at 4
+# partitions). Production corpora should raise it toward ~4-8M rows
+# (≈100-200 MB with sort overhead) via the env knob; the count still
+# scales linearly with data either way, independent of core count, so
+# the driver's 8-vs-32-core bench points stay comparable.
+GRAPH_SHUFFLE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_SHUFFLE_ROWS", "150000")
+)
+
+
+def _lineitem_row_count(sf_dir: str) -> int | None:
+    """Driver-side footer-stats probe (no Spark job); None on failure."""
+    import pyarrow
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in pq.ParquetDataset(path).files
+        )
+    except (OSError, KeyError, pyarrow.ArrowInvalid) as exc:
+        print(
+            f"[graph] footer stats probe failed ({exc!r}); "
+            "keeping session shuffle partitioning",
+            file=sys.stderr,
+        )
+        return None
+
+
+@contextmanager
+def graph_build_conf(spark: SparkSession, sf_dir: str):
+    """Pin ``spark.sql.shuffle.partitions`` to the data-derived count
+    for the duration of an iterative graph loop's plan construction
+    (lazy checkpoints compile their RDD at call time, so every
+    per-round exchange is planned inside this context), restoring the
+    batch value after — the stream_drain_conf pattern. AQE stays ON
+    (its runtime broadcast of the shrinking frontier/rank side is the
+    join strategy these loops rely on; AQE-off was tested and rejected
+    — sort-merge fallback cost more than the stage-job savings)."""
+    rows = _lineitem_row_count(sf_dir)
+    if rows is None:
+        yield
+        return
+    parts = max(2, rows // GRAPH_SHUFFLE_ROWS)
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def transaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,14 +126,19 @@ def pagerank(
 
     ``checkpoint_interval`` trades lineage depth for job count: rounds
     between checkpoints chain lazily into one job (2 shuffles/round),
-    and every k-th round cuts lineage with an eager
-    ``localCheckpoint()``. The per-round fixed cost (job launch +
-    eager materialization) dominates at small scale: measured at
-    sf0.1/local[32], interval 4 runs the 8 rounds ~1.8× faster than
-    interval 2, while interval 8 (one 8-round-deep plan) gives part of
-    the win back to Catalyst analysis cost. Values are identical for
-    any interval — checkpointing never changes arithmetic — so the
-    NumPy replica test stays exact."""
+    and every k-th round cuts lineage with a ``localCheckpoint()``.
+    The per-round fixed cost (job launch + eager materialization)
+    dominates at small scale: measured at sf0.1/local[32], interval 4
+    runs the 8 rounds ~1.8× faster than interval 2, while interval 8
+    (one 8-round-deep plan) gives part of the win back to Catalyst
+    analysis cost. r14: the checkpoints are LAZY (``eager=False`` —
+    the sssp precedent): the logical plan is truncated identically,
+    but the cut's own count pass and its driver barrier disappear —
+    the checkpoint blocks populate inside whichever job first computes
+    them (measured interleaved at sf0.1: 10.5 → 8.4 s, before the
+    partition sizing on top). Values are identical for any interval
+    and either eagerness — checkpointing never changes arithmetic —
+    so the NumPy replica test stays exact."""
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges_sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     out_edges = edges_sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -81,7 +146,7 @@ def pagerank(
     n_nodes = nodes.count()  # bounded driver action: one scalar
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for i in range(n_iterations):
         # Contribution sum is made cross-engine EXACT by quantizing
         # each term at the atto scale: floor((rank/outdeg)·1e18) is a
@@ -119,7 +184,7 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_interval == 0 or i == n_iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -135,11 +200,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).union(edges.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-    return (
-        pagerank(sym)
-        .select(
-            "node", (F.round(F.col("rank"), 12) + 0.0).alias("pagerank")
-        )
+    # every per-round exchange is planned inside the lazy checkpoints'
+    # toRdd, i.e. inside this conf (r14: data-derived partition count)
+    with graph_build_conf(spark, sf_dir):
+        ranks = pagerank(sym)
+    return ranks.select(
+        "node", (F.round(F.col("rank"), 12) + 0.0).alias("pagerank")
     )
 
 
@@ -223,22 +289,14 @@ def _is_big_graph(sf_dir: str, sample_denom: int = 1) -> bool:
     64 factor is the triangle-count rescale, not the edge ratio), so
     its adjacency table crosses the broadcast limit denom× later —
     deciding from the UNSAMPLED count would suppress the broadcast
-    fast path on a graph denom× smaller than the cliff."""
-    import pyarrow
-    import pyarrow.parquet as pq
+    fast path on a graph denom× smaller than the cliff.
 
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        rows = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in pq.ParquetDataset(path).files
-        )
-    except (OSError, KeyError, pyarrow.ArrowInvalid) as exc:
-        # Fall back to the default planner path, but LOUDLY: silence
-        # here would re-open the 12×-at-3×-data sort-spill cliff the
-        # sf3 tier caught (ADVICE r09 — no bare except).
-        print(f"[graph] footer stats probe failed ({exc!r}); "
-              "keeping default join planning", file=sys.stderr)
+    A failed probe falls back to the default planner path, LOUDLY
+    (stderr note from _lineitem_row_count): silence here would
+    re-open the 12×-at-3×-data sort-spill cliff the sf3 tier caught
+    (ADVICE r09 — no bare except)."""
+    rows = _lineitem_row_count(sf_dir)
+    if rows is None:
         return False
     return rows > _BIG_GRAPH_LINEITEM_ROWS * sample_denom
 
@@ -414,12 +472,21 @@ def bfs_hops(
     Scale shape: each round is one frontier⋈edges hash join (both
     sides keyed on node id — AQE keeps the small frontier side
     broadcast when it shrinks) plus one anti-join against the visited
-    set; ``localCheckpoint()`` per round keeps lineage O(1). Frontier
-    and visited frames are node-id wide, never edge-sized."""
+    set; a LAZY ``localCheckpoint(eager=False)`` per round keeps
+    lineage O(1) — ``nxt`` is referenced twice (visited union + next
+    frontier join), and the lazy cut makes it compute once inside
+    whichever job first touches it WITHOUT a per-hop driver barrier
+    (r14; the sssp precedent — measured interleaved at sf0.1:
+    3.8 → 2.9 s, 38 → 29 jobs). The old per-hop ``isEmpty()``
+    early-exit went with the barriers: the hop budget is a small
+    constant, an empty frontier makes every later round a no-op over
+    empty checkpointed frames (near-zero stages inside the same job),
+    and the result is identical either way. Frontier and visited
+    frames are node-id wide, never edge-sized."""
     edges_sym = edges_sym.persist(StorageLevel.MEMORY_AND_DISK)
     frontier = sources.select("node").distinct().withColumn(
         "hop", F.lit(0).cast("long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     visited = frontier
     for h in range(1, max_hops + 1):
         nxt = (
@@ -430,10 +497,8 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
-            break
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -453,7 +518,9 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % BFS_SOURCE_MOD == 0)
         .distinct()
     )
-    return bfs_hops(sym, sources).orderBy("node")
+    with graph_build_conf(spark, sf_dir):  # r14: see q_pagerank
+        visited = bfs_hops(sym, sources)
+    return visited.orderBy("node")
 
 
 SSSP_ROUNDS = 4  # bounded Bellman-Ford relaxation rounds
@@ -512,21 +579,25 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(0).cast("long").alias("dist")
     )
     dist = source
-    for k in range(SSSP_ROUNDS):
-        relaxed = (
-            dist.join(sym, dist.node == sym.src)
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            # per-round lazy checkpoint: dist is referenced TWICE next
-            # round (carry-over union + relaxation join), so without a
-            # cut the plan tree doubles per round (2^rounds recompute;
-            # measured 9.9 s vs 4.5 s warm at sf0.1 for every-round
-            # checkpointing — denser cadence than pagerank's because of
-            # the double reference)
-            .localCheckpoint(eager=False)
-        )
+    with graph_build_conf(spark, sf_dir):  # r14: see q_pagerank
+        for k in range(SSSP_ROUNDS):
+            relaxed = (
+                dist.join(sym, dist.node == sym.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionAll(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                # per-round lazy checkpoint: dist is referenced TWICE
+                # next round (carry-over union + relaxation join), so
+                # without a cut the plan tree doubles per round
+                # (2^rounds recompute; measured 9.9 s vs 4.5 s warm at
+                # sf0.1 for every-round checkpointing — denser cadence
+                # than pagerank's because of the double reference)
+                .localCheckpoint(eager=False)
+            )
     return dist.orderBy("node")

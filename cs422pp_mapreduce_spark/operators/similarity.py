@@ -333,8 +333,20 @@ def _sqdist_q(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _vec_sql(c: list[float]) -> str:
+    """SQL fragment for a literal double array. ``repr(float)`` is the
+    shortest round-trip decimal and Spark's parser reads the ``D``
+    literal with Double.parseDouble — the identical IEEE bits the old
+    per-element ``F.lit(float(x))`` produced."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+
 def _lit_vec(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    # one py4j call (r14): the unrolled F.array(*[F.lit(x) ...]) form
+    # cost ~0.6 ms/element of driver-side plan construction — ~1 s per
+    # K×dim argmin build, 5 builds per Lloyd fit (see ahash64_hex for
+    # the measurement pattern). Same analyzed expression tree.
+    return F.expr(_vec_sql(c))
 
 
 def _argmin_cell(arr: Column | str, centroids: list[list[float]]) -> Column:
@@ -398,6 +410,19 @@ def build_ivf_index(
     if sf_dir in per_session:
         return per_session[sf_dir]
 
+    from ..session import driver_paced_build_conf
+
+    with driver_paced_build_conf(spark):
+        return _build_ivf_index_jobs(spark, sf_dir, k, iters, per_session)
+
+
+def _build_ivf_index_jobs(
+    spark: SparkSession, sf_dir: str, k: int, iters: int, per_session: dict
+):
+    """The fit's bounded driver-paced job chain (see build_ivf_index;
+    runs with AQE off — r14, session.driver_paced_build_conf: each
+    iteration is one K×dim collect over a persisted frame, where AQE's
+    per-exchange stage jobs only add driver pacing)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("arr")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -880,12 +905,17 @@ def build_pq_index(
     def _pq_argmin(books: list[list[list[float]]]) -> Column:
         # nested literal codebook: PQ_M × PQ_K × PQ_DSUB = 1024
         # doubles — index metadata, the broadcast-literal convention
-        # shared with q_ann_pq's LUT.
-        books_lit = F.array(
-            *[
-                F.array(*[_lit_vec(books[m][c]) for c in range(PQ_K)])
+        # shared with q_ann_pq's LUT. One py4j call (r14, see
+        # _lit_vec): the whole nested literal parses server-side.
+        books_lit = F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(_vec_sql(books[m][c]) for c in range(PQ_K))
+                + ")"
                 for m in range(PQ_M)
-            ]
+            )
+            + ")"
         )
         book = F.element_at(books_lit, F.col("m") + 1)
         cells = F.transform(
@@ -906,6 +936,17 @@ def build_pq_index(
     if key in per_session:
         return per_session[key]
 
+    from ..session import driver_paced_build_conf
+
+    with driver_paced_build_conf(spark):
+        return _build_pq_index_jobs(spark, sf_dir, per_session, key, _pq_argmin)
+
+
+def _build_pq_index_jobs(
+    spark: SparkSession, sf_dir: str, per_session: dict, key, _pq_argmin
+):
+    """The fit's bounded driver-paced job chain (see build_pq_index;
+    AQE off for the same reason as _build_ivf_index_jobs — r14)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double("embedding").alias("arr"))
     subs = (
@@ -1398,21 +1439,24 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ivf_session_cache(spark)
-    _ex = ThreadPoolExecutor(2)
+    _ex = ThreadPoolExecutor(3)
     try:
         fits = [
             _ex.submit(build_ivf_index, spark, sf_dir),
             _ex.submit(build_pq_index, spark, sf_dir),
+            # the KNN_Q×dim query-batch collect (bounded, declared) is
+            # independent of both fits — overlap it too (r14, guide
+            # §2.6; it previously ran alone after the fits finished)
+            _ex.submit(queries.collect),
         ]
-        # Propagate the FIRST fit failure promptly instead of letting
-        # the sibling run to completion first (ADVICE r12 #3); the two
-        # builds write distinct memo keys, so abandoning the sibling
+        # Propagate the FIRST failure promptly instead of letting
+        # the siblings run to completion first (ADVICE r12 #3); the
+        # builds write distinct memo keys, so abandoning a sibling
         # is correctness-neutral.
         done, _ = wait(fits, return_when=FIRST_EXCEPTION)
         for f in done:
             f.result()
-        for f in fits:
-            f.result()
+        qrows = fits[2].result()
     finally:
         _ex.shutdown(wait=False, cancel_futures=True)
 
@@ -1458,7 +1502,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- IVF: probe the NPROBE nearest cells per query ---
     centroids, assigned = build_ivf_index(spark, sf_dir)
-    qrows = queries.collect()  # KNN_Q×dim: bounded, declared above
+    # qrows collected above, overlapped with the fits (KNN_Q×dim)
     qmap = {
         int(r["query_id"]): [float(x) for x in r["qvec"]] for r in qrows
     }

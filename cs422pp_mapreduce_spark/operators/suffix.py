@@ -105,13 +105,10 @@ def suffix_build_conf(spark: SparkSession):
     ~25→18 s. The conf is restored before the returned lazy report
     plan is forced, so the FINAL aggregation still plans under AQE
     like every other query."""
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
+    from ..session import driver_paced_build_conf
+
+    with driver_paced_build_conf(spark):
         yield
-    finally:
-        spark.conf.set(key, old)
 
 
 def _global_rank(

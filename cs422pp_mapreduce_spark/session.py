@@ -150,6 +150,33 @@ def get_spark(app_name: str = "cs422pp_mapreduce_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def driver_paced_build_conf(spark: SparkSession):
+    """Disable AQE for a bounded driver-paced build sequence (Lloyd
+    fit collects, the suffix ladder's eager checkpoints), restoring
+    the session value after — the stream_drain_conf pattern.
+
+    Under AQE every exchange of every bounded collect/materialization
+    becomes its own stage-materialization job so the plan can be
+    re-optimized from map stats; these build sequences run dozens of
+    TINY driver-paced queries over persisted inputs whose plans carry
+    nothing AQE can improve (explicit partition counts or broadcast
+    hints, kilobyte aggregates), so the extra jobs are pure driver
+    pacing — measured 66 → 16 jobs on the dedup_suffix ladder at
+    sf0.1 (r14). Queries planned OUTSIDE the context (the returned
+    lazy frames forced by the harness) still plan under AQE."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 # --- scratch-persist registry (ADVICE r10) ----------------------------------
 # Queries that persist branch-shared intermediates (containment's
 # inverted index, the recall report's scored pass) return a LAZY

@@ -181,10 +181,15 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = qc_fit(spark, docs)
     bias = m["prior"].collect()[0]["bias"]  # Decimal — exact literal
     thr = m["thr"].collect()[0]["thr"]  # IEEE double — exact literal
+    # one availableNow trigger (r14, the q_stream_twap note): the gate
+    # is stateless per document given the model — each doc's grams are
+    # in one file hence one batch at ANY trigger size — while each
+    # extra micro-batch pays a full state-commit + Python-round cycle
+    # for the per-doc aggregation state.
     src = stage_document_files(spark, sf_dir, n_files=2)
     sdocs = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     gated = stream_quality_gate_frame(sdocs, m["w"], bias, thr)
